@@ -1,0 +1,59 @@
+"""Benchmark harness: run the registry's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion via a noop-sink write (full
+pipeline runs, nothing collected to the driver) after a warm-up pass
+so JVM/codegen startup isn't billed to any one query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from movie_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
+from movie_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(Path(sf_dir).name.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    spark = get_spark("bench")
+
+    # warm-up: JVM, codegen, parquet footers
+    warm, _ = QUERIES["q2_top_regions"]
+    warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name, (builder, _) in QUERIES.items():
+        start = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "registry_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

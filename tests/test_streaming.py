@@ -1,0 +1,78 @@
+"""Structured Streaming tests: each streaming plan must agree with its
+batch twin when the bounded events corpus is drained with
+Trigger.AvailableNow (stream-batch equivalence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.streaming import events as SE
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged_events_dir(spark, tmp_path_factory):
+    """Re-stage the ns-timestamp events as µs timestamps (streaming
+    file source needs a Spark-readable TimestampType)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # range-partition by time so micro-batches arrive roughly in
+        # event-time order (like a real stream) — otherwise the
+        # watermark legitimately drops whole out-of-order files
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, staged_events_dir):
+    return spark.read.parquet(staged_events_dir).cache()
+
+
+def test_hourly_counts_stream_equals_batch(spark, staged_events_dir, batch_events):
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    SE.run_to_memory(SE.hourly_counts(stream), "hourly_test")
+    got = {
+        (r.hour_epoch, r.event_type): (r.event_count, round(r.value_sum, 6))
+        for r in spark.table("hourly_test").collect()
+    }
+    expected_df = (
+        batch_events.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+    expected = {
+        (r.hour_epoch, r.event_type): (r.event_count, round(r.value_sum, 6))
+        for r in expected_df.collect()
+    }
+    assert got == expected
+
+
+def test_sessionize_stream_counts(spark, staged_events_dir, batch_events):
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    SE.run_to_memory(SE.sessionize(stream), "sessions_test")
+    rows = spark.table("sessions_test").collect()
+    assert len(rows) > 0
+    # total events across sessions == total events
+    assert sum(r.n_events for r in rows) == batch_events.count()
+
+
+def test_dedup_stream(spark, staged_events_dir, batch_events):
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    SE.run_to_memory(SE.dedup_stream(stream), "dedup_test", mode="append")
+    assert (
+        spark.table("dedup_test").count()
+        == batch_events.select("event_id").distinct().count()
+    )

@@ -1,0 +1,147 @@
+"""Unit tests for the title-normalization pipeline (F1–F8) against the
+verified edge-case corpus in FIXTURES.md §6 — including the ⚠ quirks
+the engine must reproduce (article-order) and the ones it fixes
+(N/A leak, mins-replace bug)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.functions import cleaners, titles
+
+
+def _apply(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], ["t"])
+    return [r[0] for r in df.select(fn(F.col("t")).alias("out")).collect()]
+
+
+def test_base_clean(spark):
+    out = _apply(
+        spark,
+        titles.base_clean,
+        ['Toy Story (1995)', '"American President, The (1995)"', '  Heat   (1995) '],
+    )
+    assert out == ["Toy Story", "American President, The", "Heat"]
+
+
+def test_move_trailing_article(spark):
+    out = _apply(
+        spark,
+        titles.move_trailing_article,
+        ["Godfather, The", "Few Good Men, A", "american tail, an", "No Article"],
+    )
+    assert out == ["The Godfather", "A Few Good Men", "an american tail", "No Article"]
+
+
+def test_remove_parenthetical_alternates(spark):
+    out = _apply(
+        spark,
+        titles.remove_parenthetical_alternates,
+        [
+            "City of Lost Children, The (Cité des enfants perdus, La)",
+            "Postman, The (Postino, Il)",
+            "Plain Title",
+        ],
+    )
+    assert out == ["City of Lost Children, The", "Postman, The", "Plain Title"]
+
+
+def test_extract_parenthetical_alternate(spark):
+    out = _apply(
+        spark,
+        titles.extract_parenthetical_alternate,
+        [
+            "Postman, The (Postino, Il)",  # comma → rejected (reference-verified)
+            "Shall We Dance? (Shall We Dansu?)",
+            "No Parens",
+        ],
+    )
+    assert out == [None, "Shall We Dansu?", None]
+
+
+def test_remove_diacritics(spark):
+    out = _apply(spark, lambda c: titles.remove_diacritics(c), ["Cité", "naïve", "abc"])
+    assert out == ["Cite", "naive", "abc"]
+
+
+def test_full_title_clean_article_order_quirk(spark):
+    """⚠ The reference moves the article BEFORE removing parentheticals;
+    a foreign-alternate title therefore keeps its trailing article."""
+    out = _apply(
+        spark,
+        titles.full_title_clean,
+        [
+            "City of Lost Children, The (Cité des enfants perdus, La) (1995)",
+            "American President, The (1995)",
+            "Toy Story (1995)",
+        ],
+    )
+    assert out == [
+        "City of Lost Children, The",  # article KEPT (quirk reproduced)
+        "The American President",      # article moved
+        "Toy Story",
+    ]
+
+
+def test_extract_release_year(spark):
+    out = _apply(
+        spark,
+        titles.extract_release_year,
+        ["Toy Story (1995)", "Babylon 5", "Ready Player One"],
+    )
+    assert out == [1995, None, None]
+
+
+def test_generate_title_candidates(spark):
+    df = spark.createDataFrame(
+        [("Postman, The (Postino, Il) (1994)",), ("Cité (1995)",)], ["t"]
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            titles.generate_title_candidates(F.col("t")).alias("c")
+        ).collect()
+    ]
+    # FIXTURES.md §6: comma'd alternate rejected, order preserved
+    assert got[0] == ["Postman, The (Postino, Il)", "Postman, The"]
+    # diacritic variant appended after the original
+    assert got[1] == ["Cité", "Cite"]
+
+
+def test_candidates_match_reference_python():
+    """The UDF's Python core must agree with the reference semantics on
+    a spread of shapes (pure-python check, no Spark needed)."""
+    cases = {
+        "Toy Story (1995)": ["Toy Story"],
+        "American President, The (1995)": [
+            "The American President",
+            "American President, The",
+        ],
+        "Seven (a.k.a. Se7en) (1995)": ["Seven", "a.k.a. Se7en", "Seven (a.k.a. Se7en)"],
+    }
+    for title, expected in cases.items():
+        assert titles._candidates_py(title) == expected, title
+
+
+def test_clean_box_office(spark):
+    out = _apply(
+        spark,
+        cleaners.clean_box_office,
+        ["$57,300,000", "N/A", "", "12345"],
+    )
+    assert out == [57300000, None, None, 12345]
+
+
+def test_clean_runtime(spark):
+    out = _apply(spark, cleaners.clean_runtime, ["81 min", "90 mins", "N/A", None])
+    assert out == [81, 90, None, None]
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [("N/A", None), ("ok", "ok")],
+)
+def test_null_if_na(spark, value, expected):
+    out = _apply(spark, cleaners.null_if_na, [value])
+    assert out == [expected]

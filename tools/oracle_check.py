@@ -1,0 +1,90 @@
+"""Local twin of the driver's correctness gate: run every query in the
+registry on Spark AND its oracle SQL on DuckDB at a given sf dir, then
+compare row count, column names/order-insensitive values.
+
+Usage: python tools/oracle_check.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+from movie_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
+from movie_data_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
+from movie_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def normalize(rows, ndigits=9):
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                v = round(v, ndigits)
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, (builder, sql) in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = builder(spark, sf_dir)
+            spark_cols = [c.lower() for c in sdf.columns]
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if sql is None:
+            print(f"ok   {name}: rows-only ({len(spark_rows)} rows)")
+            continue
+        try:
+            res = con.execute(sql)
+            duck_cols = [d[0].lower() for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+
+        problems = []
+        if spark_cols != duck_cols:
+            problems.append(f"cols {spark_cols} != {duck_cols}")
+        if len(spark_rows) != len(duck_rows):
+            problems.append(f"rowcount {len(spark_rows)} != {len(duck_rows)}")
+        if not problems:
+            a, b = normalize(spark_rows), normalize(duck_rows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"ok   {name}: {len(spark_rows)} rows match")
+
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
