@@ -31,15 +31,32 @@ def main() -> None:
 
     spark = get_spark("bench")
 
-    # warm-up: JVM, codegen, parquet footers
+    # warm-up: JVM, codegen, parquet footers, and the Python worker
+    # pool (first pandas_udf call pays ~5s of fork+import per session)
     warm, _ = QUERIES["q2_top_regions"]
     warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.functions.titles import remove_diacritics
+
+    spark.range(1).select(
+        remove_diacritics(F.lit("Cité"))
+    ).write.format("noop").mode("overwrite").save()
+
+    # pass 1 (untimed): codegen + parquet footer caches per query
+    for name, (builder, _) in QUERIES.items():
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # drop data caches so per-query numbers don't ride earlier persists
+    spark.catalog.clearCache()
+
+    # pass 2 (timed, warm engine — BASELINE.md's comparison basis)
     timings: dict[str, float] = {}
     for name, (builder, _) in QUERIES.items():
         start = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -135,9 +135,18 @@ def minhash_lsh_duplicates(
     per-bucket join stays bounded; capped buckets are near-total
     duplicates that the exact-dedup pass already collapses.
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    # Input corpora often arrive as few large files → few partitions;
+    # spread rows across the cluster BEFORE the expensive shingle/
+    # signature expressions so they parallelize (a narrow round-robin
+    # shuffle of raw text, amortized across everything downstream).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par)
+        .select(
+            F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+        )
+        .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    )
 
     banded = base.select(
         "doc_id",
@@ -146,6 +155,9 @@ def minhash_lsh_duplicates(
             "band_idx", "band_hash"
         ),
     )
+    # The bucket self-join references this subtree twice — persist so
+    # shingling+minhash run once, not once per join side.
+    banded = banded.persist()
 
     from pyspark.sql import Window
 
@@ -202,38 +214,48 @@ def ngram_jaccard_pairs(
 
 @F.pandas_udf(T.LongType())
 def _simhash64(token_arrays: pd.Series) -> pd.Series:
-    """64-bit simhash over token lists (vectorized, numpy bit-twiddle)."""
+    """64-bit simhash over token lists (Arrow-vectorized).
 
+    Token hashes are md5-derived (process/executor-stable, unlike the
+    PYTHONHASHSEED-salted builtin ``hash``) and memoized per Arrow
+    batch — natural-language batches repeat tokens heavily, so the
+    hash cost amortizes to the batch vocabulary, not the token count.
+    The sign-sum → bit-pack step is pure numpy (no Python bit loops).
+    """
     import hashlib
 
+    cache: dict[str, int] = {}
+
     def stable_hash64(t: str) -> int:
-        # process/executor-stable (unlike builtin hash(), which is
-        # PYTHONHASHSEED-salted and would break determinism)
-        return int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[:8], "little")
+            cache[t] = h
+        return h
+
+    shifts = np.arange(64, dtype=np.uint64)
 
     def one(tokens) -> int:
         if tokens is None or len(tokens) == 0:
             return 0
-        hashes = np.array(
-            [np.uint64(stable_hash64(t)) for t in tokens],
-            dtype=np.uint64,
+        hashes = np.fromiter(
+            (stable_hash64(t) for t in tokens), dtype=np.uint64, count=len(tokens)
         )
-        bits = (
-            (hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        ).astype(np.int64)
-        sums = (2 * bits - 1).sum(axis=0)
-        sketch = np.uint64(0)
-        for i in range(64):
-            if sums[i] > 0:
-                sketch |= np.uint64(1) << np.uint64(i)
+        bits = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        positive = (2 * bits - 1).sum(axis=0) > 0
+        sketch = np.packbits(positive, bitorder="little").view(np.uint64)[0]
         return int(sketch.astype(np.int64))  # two's-complement into LongType
 
     return token_arrays.map(one)
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach a 64-bit simhash sketch column."""
-    return docs.withColumn("simhash", _simhash64(bpe_ish_tokens(F.col(text_col))))
+    """Attach a 64-bit simhash sketch column (repartitioned first so
+    the Arrow UDF parallelizes even from a single-file source)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par).withColumn(
+        "simhash", _simhash64(bpe_ish_tokens(F.col(text_col)))
+    )
 
 
 def simhash_duplicates(
@@ -249,7 +271,12 @@ def simhash_duplicates(
     chunks), so bucketing on (chunk_idx, chunk_value) has full recall.
     Verify with an exact popcount — ``bit_count`` is native in Spark.
     """
-    sk = simhash(docs, text_col).select(F.col(id_col).alias("doc_id"), "simhash")
+    # persist: the chunk self-join would otherwise run the UDF twice
+    sk = (
+        simhash(docs, text_col)
+        .select(F.col(id_col).alias("doc_id"), "simhash")
+        .persist()
+    )
     chunks = sk.select(
         "doc_id",
         "simhash",

@@ -29,6 +29,20 @@ def staged_events_dir(spark, tmp_path_factory):
         .write.mode("overwrite")
         .parquet(out)
     )
+    # The file stream source orders micro-batches by modification time;
+    # parallel task commits scramble mtimes, so a late-time file can be
+    # read first and advance the watermark past an entire earlier file.
+    # Pin mtimes to path order (part-00000 = earliest ts range) so
+    # arrival order matches event-time order deterministically.
+    import os
+    import time as _time
+
+    parts = sorted(
+        p for p in os.listdir(out) if p.startswith("part-") and p.endswith(".parquet")
+    )
+    base = _time.time()
+    for i, p in enumerate(parts):
+        os.utime(os.path.join(out, p), (base + i, base + i))
     return out
 
 

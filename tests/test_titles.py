@@ -22,7 +22,11 @@ def test_base_clean(spark):
         titles.base_clean,
         ['Toy Story (1995)', '"American President, The (1995)"', '  Heat   (1995) '],
     )
-    assert out == ["Toy Story", "American President, The", "Heat"]
+    # Reference order (etl.py:62-65): year-suffix strip runs BEFORE the
+    # outer-quote strip, so a quoted title keeps its year — the
+    # $-anchored regex can't see past the closing quote. Verified
+    # against the reference; reproduced, not "fixed".
+    assert out == ["Toy Story", "American President, The (1995)", "Heat"]
 
 
 def test_move_trailing_article(spark):
@@ -118,7 +122,13 @@ def test_candidates_match_reference_python():
             "The American President",
             "American President, The",
         ],
-        "Seven (a.k.a. Se7en) (1995)": ["Seven", "a.k.a. Se7en", "Seven (a.k.a. Se7en)"],
+        # order: [moved(=base, no article), paren-removed, alternate]
+        # — verified by running the reference's own function
+        "Seven (a.k.a. Se7en) (1995)": [
+            "Seven (a.k.a. Se7en)",
+            "Seven",
+            "a.k.a. Se7en",
+        ],
     }
     for title, expected in cases.items():
         assert titles._candidates_py(title) == expected, title
