@@ -833,3 +833,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_knn_embeddings": (lsh_knn_embeddings, None),
     "embedding_neardup_pairs": (embedding_neardup_pairs, None),
 }
+
+# Extended operator families (set ops, cube, analytic windows,
+# percentiles, as-of/non-equi joins, string family, sliding windows,
+# multimodal). Imported at the bottom to reuse this module's helpers.
+from .analytics_ext import EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)

@@ -1,0 +1,427 @@
+"""Extended driver-contract queries: operator families beyond the
+first registry batch in plans/analytics.py — set operations, cube,
+lag/lead, frame windows, exact percentiles, as-of and non-equi joins,
+scalar string functions, sliding event-time windows, and the
+oracle-checkable slice of the multimodal path.
+
+Same contract and determinism rules as plans/analytics.py (exact
+decimal sums for aggregated doubles, total-order tie-breaks, identical
+aliases in both plans). Registered into the main QUERIES registry at
+the bottom of analytics.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources.catalog import load_table
+from .analytics import _dec_sum, load_events
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION (distinct), INTERSECT, EXCEPT + UNION ALL glue.
+# The reference has none (SURVEY §2.8) — native Spark surface.
+# ---------------------------------------------------------------------------
+
+def set_ops_summary(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").select(F.col("c_custkey").alias("k"))
+    o = load_table(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+
+    def tagged(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(tag).alias("op"), "n"
+        )
+
+    return (
+        tagged(c.union(o).distinct(), "union")
+        .unionByName(tagged(c.intersect(o), "intersect"))
+        .unionByName(tagged(c.subtract(o), "except"))
+    )
+
+
+SET_OPS_SQL = """
+SELECT 'union' AS op, COUNT(*) AS n FROM
+  (SELECT c_custkey AS k FROM customer UNION SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'intersect', COUNT(*) FROM
+  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'except', COUNT(*) FROM
+  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cube (full grouping-set lattice; rollup already covered)
+# ---------------------------------------------------------------------------
+
+def cube_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        _dec_sum(F.col("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+CUBE_LINEITEM_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS line_count,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Analytic windows: lag/lead deltas and a rows-frame moving average
+# ---------------------------------------------------------------------------
+
+def event_deltas(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_events(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+    )
+
+
+EVENT_DELTAS_SQL = """
+SELECT user_id, event_id,
+       ROUND(value - LAG(value) OVER w, 6) AS delta,
+       LEAD(event_id) OVER w AS next_event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def user_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """5-row trailing average per user (ROWS frame). Exact decimal
+    sum / count keeps the value identical across engines."""
+    events = load_events(spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    mavg = (
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return events.select(
+        "user_id", "event_id", F.round(mavg, 6).alias("moving_avg")
+    )
+
+
+USER_MOVING_AVG_SQL = """
+SELECT user_id, event_id,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (sort-based, linear interpolation in both engines)
+# ---------------------------------------------------------------------------
+
+def price_quantiles_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    q = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(q.alias("q"), F.count(F.lit(1)).alias("order_count"))
+        .select(
+            "c_mktsegment",
+            F.round(F.element_at("q", 1), 4).alias("p25"),
+            F.round(F.element_at("q", 2), 4).alias("p50"),
+            F.round(F.element_at("q", 3), 4).alias("p75"),
+            "order_count",
+        )
+    )
+
+
+PRICE_QUANTILES_SQL = """
+SELECT c_mktsegment,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS order_count
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join: latest 'view' at-or-before each 'purchase', per user.
+# Spark side is the merge-formulation operator (operators/asof.py);
+# the oracle uses DuckDB's native ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+
+def purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_events(spark, sf)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts_us").alias("pts"),
+    )
+    # one right row per (user, ts): max event_id wins (deterministic tie)
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts_us").alias("vts"))
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="pts",
+        right_ts="vts",
+        value_cols=["view_event_id", "vts"],
+        direction="backward",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "view_event_id",
+        (F.col("pts") - F.col("vts")).alias("gap_us"),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, epoch_us(ts) AS vts, MAX(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.purchase_id, p.user_id, v.view_event_id, p.pts - v.vts AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.vts <= p.pts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-equi (band/range) join against a tiny inline dimension —
+# broadcast nested-loop on Spark, VALUES join in the oracle.
+# ---------------------------------------------------------------------------
+
+# p_retailprice spans [900, 900+100·sf') in the synthetic corpus
+# ([900, 920) at sf0.001) — bands chosen so all three populate at
+# every scale factor
+_BANDS = [("budget", 0.0, 906.0), ("mid", 906.0, 913.0), ("premium", 913.0, 1e12)]
+
+
+def price_band_summary(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("part_count"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+    )
+
+
+PRICE_BAND_SQL = """
+SELECT band, COUNT(*) AS part_count,
+       ROUND(MIN(p_retailprice), 2) AS min_price,
+       ROUND(MAX(p_retailprice), 2) AS max_price
+FROM part
+JOIN (VALUES ('budget', 0.0, 906.0),
+             ('mid', 906.0, 913.0),
+             ('premium', 913.0, 1e12)) AS b(band, lo, hi)
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band
+"""
+
+
+# ---------------------------------------------------------------------------
+# Correlated-aggregate filter: orders priced far above their
+# customer's average (window formulation on both sides — exact sums)
+# ---------------------------------------------------------------------------
+
+def orders_above_customer_avg(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey")
+    # decimal division + decimal round = exact HALF_UP — a double-side
+    # ROUND can flip on .005 boundaries (sum/count lands there whenever
+    # count divides the cent-sum), and the two engines' double-rounding
+    # disagrees exactly there. The oracle mirrors this with integer
+    # cent arithmetic.
+    cavg_exact = F.round(
+        _dec_sum(F.col("o_totalprice")).over(w) / F.count(F.lit(1)).over(w), 2
+    ).cast("double")
+    cavg_raw = (
+        _dec_sum(F.col("o_totalprice")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    # materialize window values first — Spark (correctly) rejects
+    # window expressions inside WHERE, so filter on projected columns
+    return (
+        orders.withColumn("_cavg", cavg_raw)
+        .withColumn("cust_avg", cavg_exact)
+        .filter(F.col("o_totalprice") > F.lit(1.5) * F.col("_cavg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+ORDERS_ABOVE_AVG_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       -- exact half-up rounding of (cent_sum / n) via integer math
+       ((s4 + 50 * n) // (100 * n)) / 100.0 AS cust_avg
+FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER w * 10000
+              AS HUGEINT) AS s4,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS cavg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey)
+)
+WHERE o_totalprice > 1.5 * cavg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar string-function family over part names (F-family breadth on
+# the shared corpus: case, length, regex extract, split, edit distance)
+# ---------------------------------------------------------------------------
+
+def part_name_features(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    name = F.col("p_name")
+    return part.select(
+        "p_partkey",
+        F.upper(name).alias("upper_name"),
+        F.length(name).alias("name_len"),
+        F.regexp_extract(name, r"^(\w+)", 1).alias("first_word"),
+        F.size(F.split(name, r"\s+")).alias("n_words"),
+        F.levenshtein(name, F.lower(F.col("p_type"))).alias("type_distance"),
+        F.concat_ws("::", F.col("p_type"), name).alias("tagged_name"),
+    )
+
+
+PART_NAME_FEATURES_SQL = r"""
+SELECT p_partkey,
+       upper(p_name) AS upper_name,
+       length(p_name) AS name_len,
+       regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+       len(string_split_regex(p_name, '\s+')) AS n_words,
+       levenshtein(p_name, lower(p_type)) AS type_distance,
+       concat_ws('::', p_type, p_name) AS tagged_name
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time windows (batch twin of streaming sliding_value_avg;
+# Spark F.window(1h, 15min) vs explicit window-start enumeration)
+# ---------------------------------------------------------------------------
+
+def events_sliding_windows(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_events(spark, sf)
+    ev = events.withColumn("tsm", F.timestamp_micros(F.col("ts_us")))
+    return (
+        ev.groupBy(F.window("tsm", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.round(_dec_sum(F.col("value"), 6).cast("double"), 2).alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "event_count",
+            "value_sum",
+        )
+    )
+
+
+# every event belongs to exactly 4 sliding windows (3600s length /
+# 900s slide); enumerate their starts with k ∈ 0..3
+EVENTS_SLIDING_SQL = """
+WITH e AS (SELECT epoch_us(ts) AS tus, event_type, value FROM events),
+x AS (
+  SELECT ((tus // 900000000) * 900000000
+          - CAST(k AS BIGINT) * 900000000) // 1000000 AS window_start,
+         event_type, value
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+)
+SELECT window_start, event_type, COUNT(*) AS event_count,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 2) AS value_sum
+FROM x
+GROUP BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: the oracle-checkable slice — payload byte length + sha256
+# computed through the real mapInPandas plumbing (binary column, Arrow
+# batches), cross-checked against DuckDB's blob functions.
+# ---------------------------------------------------------------------------
+
+def multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal.binary_ops import extract_image_features
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return extract_image_features(media, fake=True).select(
+        "media_id", "n_bytes", "sha256"
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: fixed-stride 'frame' sampling over binary payloads
+    (video-shaped path; byte-slice chunks under the fake codec)."""
+    from ..multimodal.binary_ops import sample_frames
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return sample_frames(media, every_n_bytes=256, fake=True)
+
+
+EXT_QUERIES = {
+    "set_ops_summary": (set_ops_summary, SET_OPS_SQL),
+    "cube_lineitem": (cube_lineitem, CUBE_LINEITEM_SQL),
+    "event_deltas": (event_deltas, EVENT_DELTAS_SQL),
+    "user_moving_avg": (user_moving_avg, USER_MOVING_AVG_SQL),
+    "price_quantiles_by_segment": (price_quantiles_by_segment, PRICE_QUANTILES_SQL),
+    "purchase_attribution": (purchase_attribution, PURCHASE_ATTRIBUTION_SQL),
+    "price_band_summary": (price_band_summary, PRICE_BAND_SQL),
+    "orders_above_customer_avg": (orders_above_customer_avg, ORDERS_ABOVE_AVG_SQL),
+    "part_name_features": (part_name_features, PART_NAME_FEATURES_SQL),
+    "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
+    "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
+    # rows-only (binary chunking has no clean SQL twin)
+    "frame_samples": (frame_samples, None),
+}

@@ -207,3 +207,42 @@ def test_multimodal_real_decode_is_stubbed(spark):
     )
     with pytest.raises(Exception):  # NotImplementedError inside the UDF
         binary_ops.extract_image_features(df, fake=False).collect()
+
+
+def test_asof_join_backward_and_forward(spark):
+    from movie_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "p1"), ("u1", 205, "p2"), ("u2", 50, "p3"), ("u3", 10, "p4")],
+        "key string, lts long, lname string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, "r_at_100"), ("u1", 200, "r_at_200"),
+         ("u1", 300, "r_at_300"), ("u2", 60, "r_at_60")],
+        "key string, rts long, rname string",
+    )
+
+    back = {
+        r.lname: (r.rname, r.rts)
+        for r in asof_join(
+            left, right, on=["key"], left_ts="lts", right_ts="rts",
+            value_cols=["rname", "rts"], direction="backward",
+        ).collect()
+    }
+    # equal timestamps match (<= semantics); missing → NULLs
+    assert back["p1"] == ("r_at_100", 100)
+    assert back["p2"] == ("r_at_200", 200)
+    assert back["p3"] == (None, None)
+    assert back["p4"] == (None, None)
+
+    fwd = {
+        r.lname: (r.rname, r.rts)
+        for r in asof_join(
+            left, right, on=["key"], left_ts="lts", right_ts="rts",
+            value_cols=["rname", "rts"], direction="forward",
+        ).collect()
+    }
+    assert fwd["p1"] == ("r_at_100", 100)
+    assert fwd["p2"] == ("r_at_300", 300)
+    assert fwd["p3"] == ("r_at_60", 60)
+    assert fwd["p4"] == (None, None)
