@@ -73,26 +73,43 @@ def stopword_ratio(c: Column, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
+def stopword_hits_from(toks: Column, lang: str) -> Column:
+    """Stopword-hit count of ``lang`` over a pre-tokenized column."""
+    return F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+
+
 def stopword_hits(c: Column, lang: str) -> Column:
     """Count of tokens that are stopwords of ``lang`` (for language ID)."""
-    return F.size(F.filter(bpe_ish_tokens(c), lambda x: x.isin(*STOPWORDS[lang])))
+    return stopword_hits_from(bpe_ish_tokens(c), lang)
 
 
-def detected_lang(c: Column) -> Column:
-    """Heuristic language ID: argmax of stopword hits across languages;
-    'und' (undetermined) when no list scores > 0. Ties break by the
-    fixed language order en, de, fr, es (deterministic)."""
+def detected_lang_from(toks: Column) -> Column:
+    """Language-ID cascade over a pre-tokenized column.
+
+    Callers on wide data should materialize the token array as its own
+    projected column and pass it here: the cascade references tokens
+    8× and higher-order functions don't get codegen CSE, so inlining
+    the tokenizer would re-split the text 8× per row. (Catalyst keeps
+    a multiply-referenced non-cheap projection materialized.)
+    """
     langs = list(STOPWORDS)
     result = F.lit("und")
     best = F.lit(0)
     # Build a strictly-greater cascade in reverse so earlier languages
     # win ties (first language with the max hit count is chosen).
     for lang in reversed(langs):
-        hits = stopword_hits(c, lang)
+        hits = stopword_hits_from(toks, lang)
         result = F.when(hits >= best, F.lit(lang)).otherwise(result)
         best = F.when(hits >= best, hits).otherwise(best)
     # A zero best-score means undetermined.
     return F.when(best > 0, result).otherwise(F.lit("und"))
+
+
+def detected_lang(c: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hits across languages;
+    'und' (undetermined) when no list scores > 0. Ties break by the
+    fixed language order en, de, fr, es (deterministic)."""
+    return detected_lang_from(bpe_ish_tokens(c))
 
 
 def quality_score(c: Column) -> Column:

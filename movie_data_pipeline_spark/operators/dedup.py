@@ -63,7 +63,12 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(text: F.Column, n: int = 3) -> F.Column:
-    """Word n-gram shingles as strings — all native array functions."""
+    """Word n-gram shingles as strings — all native array functions.
+
+    slice+array_join beats per-element element_at lookups here: a
+    lambda that references the token array k times re-embeds the whole
+    tokenization subtree k times (no CSE inside lambda bodies), which
+    costs more than slice()'s small per-index array allocation."""
     toks = bpe_ish_tokens(text)
     return F.when(
         F.size(toks) >= n,

@@ -23,6 +23,7 @@ from __future__ import annotations
 import itertools
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -66,23 +67,35 @@ def brute_force_knn(
     ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
-def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
-    return rng.randn(nbits, dim).astype(float).tolist()
+    return rng.randn(nbits, dim)
 
 
-def _bucket_expr(vec: F.Column, planes: list[list[float]]) -> F.Column:
-    """Pack sign bits of <vec, plane_i> into a LONG bucket id."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(v)) for v in plane])
-        d = F.aggregate(
-            F.zip_with(vec, lit_plane, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return bucket
+def _bucket_udf(planes: np.ndarray):
+    """Arrow-vectorized sign-LSH bucketing: one BLAS matmul per batch.
+
+    The earlier pure-Column formulation (nbits aggregate/zip_with
+    chains over a literal plane matrix) built a multi-hundred-literal
+    expression tree — Catalyst re-analyzes it on every plan and the
+    interpreted higher-order functions evaluate per element. A single
+    (batch × dim) @ (dim × nbits) matmul does the same work in one
+    vectorized call and keeps the plan tiny.
+    """
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    weights = (np.int64(1) << np.arange(planes.shape[0], dtype=np.int64))
+
+    @SF.pandas_udf(ST.LongType())
+    def to_bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes.T) > 0
+        return pd.Series(bits @ weights)
+
+    return to_bucket
 
 
 def with_lsh_bucket(
@@ -94,9 +107,7 @@ def with_lsh_bucket(
     out_col: str = "bucket",
 ) -> DataFrame:
     planes = _hyperplanes(dim, nbits, seed)
-    return df.withColumn(
-        out_col, _bucket_expr(F.col(vec_col).cast("array<double>"), planes)
-    )
+    return df.withColumn(out_col, _bucket_udf(planes)(F.col(vec_col)))
 
 
 def lsh_knn(

@@ -497,10 +497,12 @@ FROM s
 
 def lang_id_docs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return docs.select(
+    # tokenize ONCE into a real column — the detection cascade reads it
+    # 8×, and HOFs get no codegen CSE (see detected_lang_from docstring)
+    return docs.withColumn("_toks", TX.bpe_ish_tokens(F.col("text"))).select(
         "doc_id",
         "lang",
-        TX.detected_lang(F.col("text")).alias("detected_lang"),
+        TX.detected_lang_from(F.col("_toks")).alias("detected_lang"),
     )
 
 
@@ -540,75 +542,65 @@ FROM h
 def ngram_jaccard_exact(
     spark: SparkSession, sf: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact all-pairs Jaccard ≥ τ with PPJoin-style pruning.
+    """Exact all-pairs Jaccard ≥ τ via a count-based shingle self-join.
 
-    Lossless optimizations over the naive shingle self-join (verified
-    equivalent by the DuckDB brute-force oracle):
-    - prefix filter: two sets with J ≥ τ MUST share an element within
-      the first ⌊(1-τ)·|S|⌋+1 shingles when both are ordered by global
-      rarity — so only prefix shingles enter the join (hot shingles
-      land in prefixes only for tiny docs, killing the hot-key blowup);
-    - length filter: J ≥ τ requires τ·|A| ≤ |B| ≤ |A|/τ.
-    The verify step recomputes exact Jaccard on the full distinct sets.
+    Plan shape (one shingle computation, two shuffles):
+    1. shingle once, explode to (doc_id, n_sh, shingle), persist —
+       the self-join reads the cached 1-pass result on both sides;
+    2. self-join on shingle + length filter (J ≥ τ ⇒ τ·|A| ≤ |B| ≤
+       |A|/τ) + id_a < id_b;
+    3. groupBy pair: COUNT(*) IS the intersection size (shingles are
+       distinct per doc), so jaccard = inter / (na + nb − inter) with
+       no second join and no array intersection work.
+
+    Scale note: candidate volume is Σ_s C(df(s), 2). This corpus's
+    hottest shingle hits only ~25 docs, so the exhaustive join is
+    cheap and exactly matches the brute-force oracle. At web scale a
+    PPJoin-style rarity-ordered prefix filter bounds step 2 (only the
+    ⌊(1−τ)·|S|⌋+1 globally-rarest shingles of each doc enter the
+    join), and the LSH families (minhash_dedup_pairs) are the
+    sub-quadratic path.
     """
     from ..operators.dedup import shingles
 
     docs = load_table(spark, sf, "documents")
-    # repartition: single-file sources otherwise shingle on one core;
-    # persist: this subtree feeds the prefix join AND both verify sides
-    sh = (
+    # repartition: single-file sources otherwise shingle on one core
+    e = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select(
-            "doc_id",
-            F.array_sort(
-                F.array_distinct(shingles(F.col("text"), 3))
-            ).alias("sh"),
+            "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
         )
-        .withColumn("n_sh", F.size("sh"))
+        .select(
+            "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
+        )
         .persist()
     )
 
-    # Prefix filter needs SOME fixed global shingle order shared by all
-    # docs — lexicographic (array_sort above) qualifies, and selecting
-    # the prefix becomes a narrow slice() instead of the classic
-    # document-frequency groupBy + join + window (3 fewer shuffles;
-    # rarity ordering only prunes better, it isn't needed for
-    # correctness).
-    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("n_sh")).cast("int") + 1
-    prefixes = sh.select(
-        "doc_id",
-        "n_sh",
-        F.explode(F.slice("sh", 1, prefix_len)).alias("shingle"),
-    )
-
-    a = prefixes.select(
+    a = e.select(
         F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
     )
-    b = prefixes.select(
+    b = e.select(
         F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
     )
-    cand = (
+    pairs = (
         a.join(b, "shingle")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            # length filter: τ·na ≤ nb ≤ na/τ
             & (F.col("nb") >= F.lit(threshold) * F.col("na"))
             & (F.col("nb") <= F.col("na") / F.lit(threshold))
         )
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("na").alias("na"),
+            F.max("nb").alias("nb"),
+        )
     )
-
-    sh_a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter.cast("double") / union
-    return (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .filter(jac >= threshold)
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    jac = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return pairs.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
 
 
