@@ -410,6 +410,58 @@ def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
     return sample_frames(media, every_n_bytes=256, fake=True)
 
 
+# ---------------------------------------------------------------------------
+# JSON functions: parse the events.props JSON payload (typed extract +
+# aggregate). Integer sums — no FP determinism concerns.
+# ---------------------------------------------------------------------------
+
+def json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    events = load_events(spark, sf)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        events.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("k_over_50"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                  THEN 1 END) AS k_over_50
+FROM events
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sketches: HyperLogLog approximate distinct (rows-only — Spark's HLL++
+# and DuckDB's approx sketch disagree by construction; the unit test
+# pins the relative error instead)
+# ---------------------------------------------------------------------------
+
+def approx_distinct_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_count_distinct vs exact, side by side — the 100 TB path
+    replaces exact countDistinct with the sketch (one pass, constant
+    memory, no expand-based two-phase aggregation)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 EXT_QUERIES = {
     "set_ops_summary": (set_ops_summary, SET_OPS_SQL),
     "cube_lineitem": (cube_lineitem, CUBE_LINEITEM_SQL),
@@ -422,6 +474,8 @@ EXT_QUERIES = {
     "part_name_features": (part_name_features, PART_NAME_FEATURES_SQL),
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
-    # rows-only (binary chunking has no clean SQL twin)
+    "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
+    # rows-only (binary chunking / sketch values have no exact SQL twin)
     "frame_samples": (frame_samples, None),
+    "approx_distinct_summary": (approx_distinct_summary, None),
 }

@@ -246,3 +246,11 @@ def test_asof_join_backward_and_forward(spark):
     assert fwd["p2"] == ("r_at_300", 300)
     assert fwd["p3"] == ("r_at_60", 60)
     assert fwd["p4"] == (None, None)
+
+
+def test_approx_distinct_error_bound(spark):
+    from movie_data_pipeline_spark.plans.analytics_ext import approx_distinct_summary
+
+    row = approx_distinct_summary(spark, "/root/testdata/sf0.001").collect()[0]
+    assert abs(row.approx_orders - row.exact_orders) / row.exact_orders < 0.05
+    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05

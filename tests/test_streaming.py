@@ -90,3 +90,28 @@ def test_dedup_stream(spark, staged_events_dir, batch_events):
         spark.table("dedup_test").count()
         == batch_events.select("event_id").distinct().count()
     )
+
+
+def test_sliding_avg_stream_equals_batch(spark, staged_events_dir, batch_events):
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    SE.run_to_memory(SE.sliding_value_avg(stream), "sliding_test")
+    got = {
+        (r.window_start, r.event_type): round(r.value_avg, 6)
+        for r in spark.table("sliding_test").collect()
+    }
+    expected_df = (
+        batch_events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.avg("value").alias("value_avg"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type",
+            "value_avg",
+        )
+    )
+    expected = {
+        (r.window_start, r.event_type): round(r.value_avg, 6)
+        for r in expected_df.collect()
+    }
+    assert got == expected
