@@ -145,24 +145,31 @@ def minhash_lsh_duplicates(
     # signature expressions so they parallelize (a narrow round-robin
     # shuffle of raw text, amortized across everything downstream).
     par = docs.sparkSession.sparkContext.defaultParallelism
-    base = (
+    sh_tbl = (
         docs.repartition(par)
         .select(
             F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
         )
-        .withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+        .persist()  # feeds banding once + both verify sides
     )
 
-    banded = base.select(
-        "doc_id",
-        "sh",
-        F.posexplode(minhash_bands(F.col("sig"), num_perm, bands)).alias(
-            "band_idx", "band_hash"
-        ),
+    # Band rows stay SLIM (doc_id, band_idx, band_hash): the bucket-cap
+    # window and the self-join shuffle only 3 scalar columns — the
+    # heavy shingle arrays never ride the explode (8× duplication) or
+    # the shuffles, and are joined back only for the final verify of
+    # the deduped candidate pairs.
+    banded = (
+        # signature must be its OWN projected column: the band packer
+        # references it 8×, and inlining would re-hash 8× per row
+        sh_tbl.withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+        .select(
+            "doc_id",
+            F.posexplode(minhash_bands(F.col("sig"), num_perm, bands)).alias(
+                "band_idx", "band_hash"
+            ),
+        )
+        .persist()  # self-join reads it twice; signature runs once
     )
-    # The bucket self-join references this subtree twice — persist so
-    # shingling+minhash run once, not once per join side.
-    banded = banded.persist()
 
     from pyspark.sql import Window
 
@@ -172,25 +179,23 @@ def minhash_lsh_duplicates(
     )
 
     left = banded.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col("doc_id").alias("id_a"),
-        F.col("sh").alias("sh_a"),
+        "band_idx", "band_hash", F.col("doc_id").alias("id_a")
     )
     right = banded.select(
-        F.col("band_idx"),
-        F.col("band_hash"),
-        F.col("doc_id").alias("id_b"),
-        F.col("sh").alias("sh_b"),
+        "band_idx", "band_hash", F.col("doc_id").alias("id_b")
     )
     pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = sh_tbl.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh_tbl.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        pairs.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

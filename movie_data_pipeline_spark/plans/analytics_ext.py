@@ -454,11 +454,23 @@ def approx_distinct_summary(spark: SparkSession, sf: str) -> DataFrame:
     replaces exact countDistinct with the sketch (one pass, constant
     memory, no expand-based two-phase aggregation)."""
     li = load_table(spark, sf, "lineitem")
-    return li.agg(
+    # one agg per distinct column, stitched with 1-row cross joins —
+    # multiple exact distincts in a single aggregate would force an
+    # N-way Expand (N copies of every input row through the shuffle)
+    approx = li.agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    exact_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("exact_orders")
+    )
+    exact_parts = li.select("l_partkey").distinct().agg(
+        F.count(F.lit(1)).alias("exact_parts")
+    )
+    return (
+        approx.crossJoin(exact_orders)
+        .crossJoin(exact_parts)
+        .select("approx_orders", "exact_orders", "approx_parts", "exact_parts")
     )
 
 
