@@ -411,6 +411,22 @@ def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (rows-only): k-means coarse quantizer + probed-list re-rank —
+# the second approximate-similarity index family beside sign-LSH
+# ---------------------------------------------------------------------------
+
+def ivf_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import ivf_knn, train_ivf_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = train_ivf_centroids(emb, nlist=16)  # index-construction action
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_knn(emb, queries, centroids, k=5, nprobe=4).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON functions: parse the events.props JSON payload (typed extract +
 # aggregate). Integer sums — no FP determinism concerns.
 # ---------------------------------------------------------------------------
@@ -487,7 +503,8 @@ EXT_QUERIES = {
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
-    # rows-only (binary chunking / sketch values have no exact SQL twin)
+    # rows-only (binary chunking / sketch / ANN have no exact SQL twin)
     "frame_samples": (frame_samples, None),
     "approx_distinct_summary": (approx_distinct_summary, None),
+    "ivf_knn_embeddings": (ivf_knn_embeddings, None),
 }

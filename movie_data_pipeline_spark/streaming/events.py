@@ -10,6 +10,7 @@ stream-vs-batch equivalence under Trigger.AvailableNow).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -105,3 +106,58 @@ def run_to_memory(query_df: DataFrame, name: str, mode: str = "complete"):
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+RUNNING_TOTALS_SCHEMA = (
+    "user_id long, n_events long, value_sum double, max_value double"
+)
+_RUNNING_STATE_SCHEMA = "n long, s double, m double"
+
+
+def running_user_totals(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful aggregation via ``applyInPandasWithState``: a
+    per-user running (count, sum, max) over the whole stream, emitted
+    as an update every micro-batch the user appears in.
+
+    This is the escape hatch for aggregations Structured Streaming's
+    built-ins can't express (arbitrary per-key state machines). State
+    is a 3-field tuple per user — constant memory per key; the
+    processing-time timeout is deliberately unused here (totals never
+    expire), but late rows beyond the watermark are still dropped
+    upstream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, batches, state: GroupState):
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in batches:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            if len(vals):
+                s += float(vals.sum())
+                m = max(m, float(vals.max()))
+        state.update((n, s, m))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [s],
+                "max_value": [m if m != float("-inf") else None],
+            }
+        )
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_RUNNING_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

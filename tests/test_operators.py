@@ -254,3 +254,27 @@ def test_approx_distinct_error_bound(spark):
     row = approx_distinct_summary(spark, "/root/testdata/sf0.001").collect()[0]
     assert abs(row.approx_orders - row.exact_orders) / row.exact_orders < 0.05
     assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05
+
+
+def test_ivf_knn_recall(spark):
+    from movie_data_pipeline_spark.operators.similarity import (
+        brute_force_knn,
+        ivf_knn,
+        train_ivf_centroids,
+    )
+    from movie_data_pipeline_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centroids = train_ivf_centroids(emb, nlist=8)
+    q = emb.filter(F.col("vec_id") < 10)
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_knn(emb, q, centroids, k=5, nprobe=3).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_knn(emb, q, k=5).collect()
+    }
+    # every query must return a full k and recall must be solid
+    assert len(approx) == len(exact) == 50
+    assert len(approx & exact) / len(exact) >= 0.6

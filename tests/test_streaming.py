@@ -115,3 +115,33 @@ def test_sliding_avg_stream_equals_batch(spark, staged_events_dir, batch_events)
         for r in expected_df.collect()
     }
     assert got == expected
+
+
+def test_running_user_totals_stateful(spark, staged_events_dir, batch_events):
+    """applyInPandasWithState: final per-user state must equal the
+    batch aggregation (update mode -> keep each user's LAST emission)."""
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    SE.run_to_memory(SE.running_user_totals(stream), "running_test", mode="update")
+    # update mode re-emits a user on every batch; the max n_events row
+    # per user is the final state
+    rows = spark.table("running_test").collect()
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    expected = {
+        r.user_id: r
+        for r in batch_events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(final) == set(expected)
+    for uid, exp in expected.items():
+        got = final[uid]
+        assert got.n_events == exp.n_events, uid
+        assert abs(got.value_sum - exp.value_sum) < 1e-6, uid
+        assert abs(got.max_value - exp.max_value) < 1e-12, uid
