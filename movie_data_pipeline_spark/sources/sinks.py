@@ -67,3 +67,24 @@ def append_if_empty(spark: SparkSession, df: DataFrame, path: str) -> None:
 def table_stats(spark: SparkSession, tables: dict[str, DataFrame]) -> dict[str, int]:
     """S10: row counts per table (one job per table, no collect of data)."""
     return {name: df.count() for name, df in tables.items()}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """Bucketed, bucket-sorted table — the at-rest layout for repeated
+    co-located joins: two tables bucketed on the same key with the
+    same bucket count join with NO exchange on either side (and no
+    sort, since buckets are sorted). At 100 TB this is the difference
+    between re-shuffling the fact table per query and never shuffling
+    it at all."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )

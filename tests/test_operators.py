@@ -278,3 +278,68 @@ def test_ivf_knn_recall(spark):
     # every query must return a full k and recall must be solid
     assert len(approx) == len(exact) == 50
     assert len(approx & exact) / len(exact) >= 0.6
+
+
+def test_salted_agg_matches_plain(spark):
+    from movie_data_pipeline_spark.operators.skew import salted_count_sum
+    from movie_data_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    salted = {
+        r.l_returnflag: (r.row_count, round(r.value_sum, 4))
+        for r in salted_count_sum(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    plain = {
+        r.l_returnflag: (r.row_count, round(r.value_sum, 4))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.sum(F.col("l_quantity").cast("decimal(30,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    from movie_data_pipeline_spark.operators.skew import salted_join
+    from movie_data_pipeline_spark.sources.catalog import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    part = load_table(spark, "/root/testdata/sf0.001", "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    salted = salted_join(li, part, "l_partkey", n_salts=4).count()
+    plain = li.join(part, "l_partkey").count()
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from movie_data_pipeline_spark.sources.catalog import load_table
+    from movie_data_pipeline_spark.sources.sinks import write_bucketed
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", 8)
+    write_bucketed(orders, "b_orders", "l_orderkey", 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(spark.table("b_orders"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # sanity: result is correct
+        assert joined.count() == li.join(orders, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
