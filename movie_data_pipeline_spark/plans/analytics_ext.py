@@ -411,6 +411,101 @@ def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fact-to-fact joins (TPC-H Q3/Q5 shapes): orders ⋈ lineitem is the
+# big-big join where shuffle strategy matters — both sides hash-
+# partition on the order key (sort-merge under AQE at scale; the
+# at-rest answer is co-bucketing both tables on the key, see
+# sinks.write_bucketed). Dims stay broadcast.
+# ---------------------------------------------------------------------------
+
+def shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 undelivered orders by revenue."""
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(30,4)") * (
+        F.lit(1).cast("decimal(30,4)") - F.col("l_discount").cast("decimal(30,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue).cast("double"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey,
+       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate_epoch,
+       o_orderpriority,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                 * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))))
+             AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def supplier_volume_by_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by supplier nation — the 6-table join
+    (two facts + four broadcast dims)."""
+    region = load_table(spark, sf, "region")
+    nation = load_table(spark, sf, "nation")
+    supplier = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    revenue = F.col("l_extendedprice").cast("decimal(30,4)") * (
+        F.lit(1).cast("decimal(30,4)") - F.col("l_discount").cast("decimal(30,4)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+SUPPLIER_VOLUME_SQL = """
+SELECT r_name, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))
+                 * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))))
+             AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS line_count
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN (rows-only): k-means coarse quantizer + probed-list re-rank —
 # the second approximate-similarity index family beside sign-LSH
 # ---------------------------------------------------------------------------
@@ -503,6 +598,8 @@ EXT_QUERIES = {
     "events_sliding_windows": (events_sliding_windows, EVENTS_SLIDING_SQL),
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
+    "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
+    "supplier_volume_by_nation": (supplier_volume_by_nation, SUPPLIER_VOLUME_SQL),
     # rows-only (binary chunking / sketch / ANN have no exact SQL twin)
     "frame_samples": (frame_samples, None),
     "approx_distinct_summary": (approx_distinct_summary, None),
