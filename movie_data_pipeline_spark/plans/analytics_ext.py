@@ -522,6 +522,64 @@ def ivf_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TF-IDF: term frequency × inverse document frequency, top-3 terms per
+# doc. Two linear shuffles (tf groupBy, df groupBy) + a broadcast-able
+# join of the term-df table; the per-doc top-k is one keyed window.
+# ln() agrees to the ulp across engines; scores round at 6 digits.
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import bpe_ish_tokens
+    from ..operators.topk import top_k_per_group
+
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.count()  # scalar for idf; one cheap count-only scan
+
+    terms = docs.select(
+        "doc_id", F.explode(bpe_ish_tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_tbl, "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ),
+    )
+    return top_k_per_group(
+        scored,
+        ["doc_id"],
+        [F.col("tfidf").desc(), F.col("term").asc()],
+        3,
+    ).select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+
+
+TFIDF_SQL = r"""
+WITH terms AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                            x -> x != '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # JSON functions: parse the events.props JSON payload (typed extract +
 # aggregate). Integer sums — no FP determinism concerns.
 # ---------------------------------------------------------------------------
@@ -599,6 +657,7 @@ EXT_QUERIES = {
     "multimodal_meta": (multimodal_meta, MULTIMODAL_META_SQL),
     "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
     "supplier_volume_by_nation": (supplier_volume_by_nation, SUPPLIER_VOLUME_SQL),
     # rows-only (binary chunking / sketch / ANN have no exact SQL twin)
     "frame_samples": (frame_samples, None),

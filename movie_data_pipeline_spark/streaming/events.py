@@ -161,3 +161,23 @@ def running_user_totals(stream: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_to_parquet(
+    query_df: DataFrame, path: str, checkpoint: str, mode: str = "append"
+):
+    """Drain a bounded stream into a parquet sink with a durable
+    checkpoint: offsets + sink commits live in ``checkpoint``, so a
+    restarted query resumes exactly where it stopped (exactly-once
+    file-source → file-sink semantics). This is the production write
+    path; the memory sink is test-only."""
+    q = (
+        query_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -343,3 +343,21 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partition_pruning(spark, tmp_path):
+    from movie_data_pipeline_spark.sources.catalog import load_table
+    from movie_data_pipeline_spark.sources.sinks import write_partitioned
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate")
+    )
+    path = str(tmp_path / "li_by_year")
+    write_partitioned(li, path, ["ship_year"])
+
+    pruned = spark.read.parquet(path).filter(F.col("ship_year") == 1997)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ship_year" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert pruned.count() == li.filter("ship_year = 1997").count()

@@ -145,3 +145,44 @@ def test_running_user_totals_stateful(spark, staged_events_dir, batch_events):
         assert got.n_events == exp.n_events, uid
         assert abs(got.value_sum - exp.value_sum) < 1e-6, uid
         assert abs(got.max_value - exp.max_value) < 1e-12, uid
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting from the same checkpoint must not reprocess consumed
+    files, and must pick up only files added since."""
+    import shutil
+    from pathlib import Path
+
+    src = tmp_path / "src"
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    src.mkdir()
+
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    base.filter("event_id < 500").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage1")
+    )
+    for p in Path(tmp_path / "stage1").glob("part-*.parquet"):
+        shutil.copy(p, src / "batch1.parquet")
+
+    stream = SE.read_events_stream(spark, str(src))
+    SE.run_to_parquet(stream, out, chk)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == base.filter("event_id < 500").count()
+
+    # restart with no new files: nothing reprocessed
+    stream = SE.read_events_stream(spark, str(src))
+    SE.run_to_parquet(stream, out, chk)
+    assert spark.read.parquet(out).count() == n1
+
+    # add a second file: only its rows are appended
+    base.filter("event_id >= 500").coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "stage2")
+    )
+    for p in Path(tmp_path / "stage2").glob("part-*.parquet"):
+        shutil.copy(p, src / "batch2.parquet")
+    stream = SE.read_events_stream(spark, str(src))
+    SE.run_to_parquet(stream, out, chk)
+    assert spark.read.parquet(out).count() == base.count()
