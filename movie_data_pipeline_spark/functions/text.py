@@ -112,16 +112,25 @@ def detected_lang(c: Column) -> Column:
     return detected_lang_from(bpe_ish_tokens(c))
 
 
+def quality_score_from(ws_toks: Column, bpe_toks: Column, c: Column) -> Column:
+    """Quality score over pre-tokenized columns (see detected_lang_from
+    for why callers on wide data should materialize token arrays)."""
+    n = F.size(ws_toks)
+    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    hits = F.size(F.filter(bpe_toks, lambda x: x.isin(*STOPWORDS["en"])))
+    stop = F.when(F.size(bpe_toks) > 0, hits / F.size(bpe_toks)).otherwise(
+        F.lit(0.0)
+    )
+    stop_term = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.4)) * 2.0, F.lit(1.0))
+    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+
+
 def quality_score(c: Column) -> Column:
     """Composite [0,1] quality score: rewards mid-length docs with low
     punctuation density and a natural stopword ratio. Deterministic and
     SQL-replicable (all built-ins)."""
-    n = token_count(c)
-    length_term = F.least(n / F.lit(100.0), F.lit(1.0))
-    punct_term = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
-    stop = stopword_ratio(c, "en")
-    stop_term = F.lit(1.0) - F.least(F.abs(stop - F.lit(0.4)) * 2.0, F.lit(1.0))
-    return F.round((length_term + punct_term + stop_term) / 3.0, 6)
+    return quality_score_from(tokens(c), bpe_ish_tokens(c), c)
 
 
 def fingerprint(c: Column) -> Column:

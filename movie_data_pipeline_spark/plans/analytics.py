@@ -465,7 +465,17 @@ GROUP BY lang
 
 def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+    # materialize both tokenizations once (multi-referenced by the score)
+    return (
+        docs.withColumn("_ws", TX.tokens(F.col("text")))
+        .withColumn("_bpe", TX.bpe_ish_tokens(F.col("text")))
+        .select(
+            "doc_id",
+            TX.quality_score_from(
+                F.col("_ws"), F.col("_bpe"), F.col("text")
+            ).alias("quality"),
+        )
+    )
 
 
 DOC_QUALITY_SQL = r"""
