@@ -522,6 +522,76 @@ def ivf_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Analytic-function breadth: ntile / percent_rank / dense_rank
+# ---------------------------------------------------------------------------
+
+def customer_balance_tiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Global ranking functions. ⚠ scale note: an un-partitioned window
+    is a deliberate single-partition global sort — fine for a dim-sized
+    table like customer; for a 100 TB fact you'd compute tile
+    boundaries with approx percentiles and broadcast-join them instead
+    (exact global ranks are inherently a global sort in any engine)."""
+    customer = load_table(spark, sf, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return customer.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+CUSTOMER_TILES_SQL = """
+SELECT c_custkey, c_acctbal,
+       CAST(NTILE(4) OVER w AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       DENSE_RANK() OVER w AS drank
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temporal-function family: truncation, components, arithmetic
+# ---------------------------------------------------------------------------
+
+def order_date_features(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mth"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.unix_timestamp(F.date_trunc("month", d)).alias("month_start_epoch"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).cast(
+            "int"
+        ).alias("days_to_y2k"),
+        F.unix_timestamp(F.date_add(d.cast("date"), 90).cast("timestamp")).alias(
+            "due_epoch"
+        ),
+    )
+
+
+ORDER_DATE_FEATURES_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(month(o_orderdate) AS INT) AS mth,
+       CAST(day(o_orderdate) AS INT) AS dom,
+       CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT)
+         AS month_start_epoch,
+       CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT)
+         AS days_to_y2k,
+       CAST(floor(epoch(CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY
+                             AS TIMESTAMP))) AS BIGINT) AS due_epoch
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF: term frequency × inverse document frequency, top-3 terms per
 # doc. Two linear shuffles (tf groupBy, df groupBy) + a broadcast-able
 # join of the term-df table; the per-doc top-k is one keyed window.
@@ -658,6 +728,8 @@ EXT_QUERIES = {
     "json_props_stats": (json_props_stats, JSON_PROPS_SQL),
     "shipping_priority": (shipping_priority, SHIPPING_PRIORITY_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_SQL),
+    "customer_balance_tiles": (customer_balance_tiles, CUSTOMER_TILES_SQL),
+    "order_date_features": (order_date_features, ORDER_DATE_FEATURES_SQL),
     "supplier_volume_by_nation": (supplier_volume_by_nation, SUPPLIER_VOLUME_SQL),
     # rows-only (binary chunking / sketch / ANN have no exact SQL twin)
     "frame_samples": (frame_samples, None),
