@@ -574,16 +574,20 @@ def ngram_jaccard_exact(
     from ..operators.dedup import shingles
 
     docs = load_table(spark, sf, "documents")
-    # repartition: single-file sources otherwise shingle on one core
-    e = (
+    # repartition: single-file sources otherwise shingle on one core.
+    # Cache BEFORE the explode: 5k array rows compress into the
+    # columnar cache ~2× faster than 260k exploded string rows, and
+    # re-exploding from cache is a cheap narrow op per join side.
+    sh0 = (
         docs.repartition(spark.sparkContext.defaultParallelism)
         .select(
             "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
         )
-        .select(
-            "doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle")
-        )
+        .withColumn("n_sh", F.size("sh"))
         .persist()
+    )
+    e = sh0.select(
+        "doc_id", "n_sh", F.explode("sh").alias("shingle")
     )
 
     a = e.select(
