@@ -18,16 +18,30 @@ from pyspark.sql import DataFrame, SparkSession
 from movie_data_pipeline_spark.plans.analytics import QUERIES
 
 
+def _hardened(builder: Callable[[SparkSession, str], DataFrame]):
+    """Pin the session confs the plans assume, whatever session the
+    driver hands us: UTC (temporal extraction and timestamp literals
+    are session-timezone-dependent in Spark; the DuckDB oracle is
+    tz-naive/UTC) and Arrow for the pandas-UDF boundary."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        return builder(spark, sf_dir)
+
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: the 4-way broadcast
     join + aggregate + deterministic top-k (reference Q2 shape)."""
     builder, _ = QUERIES["q2_top_regions"]
-    return builder(spark, "/root/testdata/sf0.001")
+    return _hardened(builder)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2."""
-    return {name: builder for name, (builder, _) in QUERIES.items()}
+    return {name: _hardened(builder) for name, (builder, _) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
