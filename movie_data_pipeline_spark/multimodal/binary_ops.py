@@ -136,3 +136,34 @@ def metadata_only_stats(df: DataFrame) -> DataFrame:
             F.avg(F.col("meta.duration_ms")).alias("avg_duration_ms"),
         )
     )
+
+
+RESIZED_SCHEMA = "media_id long, payload binary, n_bytes_out long"
+
+
+def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFrame:
+    """Resize/downsample pass: decode → subsample → re-encode, emitted
+    as a new binary column (the real pipeline would decode pixels and
+    bilinear-resample; the fake codec strides the byte array). Shape,
+    batch handling, and output schema are the production ones."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((media_id, None, 0))
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real resize requires an image library (not in "
+                        "container); pass fake=True for the byte-stride stand-in"
+                    )
+                arr = _fake_decode_bytes(bytes(payload))[::factor]
+                out = arr.tobytes()
+                rows.append((media_id, bytearray(out), len(out)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "n_bytes_out"]
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, RESIZED_SCHEMA)

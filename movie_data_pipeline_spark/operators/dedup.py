@@ -318,3 +318,78 @@ def simhash_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _winnow64(texts: pd.Series) -> pd.Series:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD '03): rolling
+    Rabin-Karp hashes of character k-grams, then the minimum hash of
+    each w-wide window, deduplicated. Guarantees any shared substring
+    of length ≥ k + w − 1 yields a shared fingerprint — the classic
+    plagiarism/near-dup document signature.
+
+    Arrow-vectorized: the rolling hash is one numpy pass per doc
+    (polynomial hash via cumulative powers), window minima via stride
+    tricks — no Python per-character loops.
+    """
+    K, W = 8, 16  # k-gram size, winnow window
+    B = np.uint64(1000003)  # polynomial base
+    powK = B ** np.uint64(K - 1)
+
+    def one(text) -> list[int]:
+        if text is None:
+            return []
+        data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        n = len(data)
+        if n < K:
+            return []
+        # rolling polynomial hash of every k-gram (uint64 wraparound)
+        h = np.uint64(0)
+        hashes = np.empty(n - K + 1, dtype=np.uint64)
+        for i in range(K):
+            h = h * B + data[i]
+        hashes[0] = h
+        for i in range(1, n - K + 1):
+            h = (h - data[i - 1] * powK) * B + data[i + K - 1]
+            hashes[i] = h
+        if len(hashes) <= W:
+            return [int(hashes.min().astype(np.int64))]
+        # min of each w-window via sliding_window_view
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        mins = sliding_window_view(hashes, W).min(axis=1)
+        return sorted({int(m.astype(np.int64)) for m in mins})
+
+    return texts.map(one)
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the winnowing fingerprint set; shared fingerprints
+    between docs indicate shared substrings of length ≥ 23."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par).withColumn(
+        "fingerprints", _winnow64(F.col(text_col))
+    )
+
+
+def winnow_shared_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 3,
+) -> DataFrame:
+    """Doc pairs sharing ≥ min_shared winnowing fingerprints — same
+    explode → self-join-on-hash → pair-count shape as the shingle
+    path, but keyed on the compact rolling-hash fingerprints."""
+    fp = winnow_fingerprints(docs, text_col).select(
+        F.col(id_col).alias("doc_id"), F.explode("fingerprints").alias("fp")
+    ).persist()
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -397,6 +397,18 @@ FROM documents
 """
 
 
+def winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: winnowing (rolling-hash) fingerprint pairs — doc
+    pairs sharing substrings of length ≥ k + w − 1. min_shared=12 sits
+    above the p99.9 of the background shared-count distribution on
+    this corpus (common phrasing shares a few fingerprints; true
+    near-dups share dozens)."""
+    from ..operators.dedup import winnow_shared_pairs
+
+    docs = load_table(spark, sf, "documents")
+    return winnow_shared_pairs(docs, min_shared=12)
+
+
 def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only: fixed-stride 'frame' sampling over binary payloads
     (video-shaped path; byte-slice chunks under the fake codec)."""
@@ -735,4 +747,5 @@ EXT_QUERIES = {
     "frame_samples": (frame_samples, None),
     "approx_distinct_summary": (approx_distinct_summary, None),
     "ivf_knn_embeddings": (ivf_knn_embeddings, None),
+    "winnow_pairs": (winnow_pairs, None),
 }

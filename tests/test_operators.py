@@ -361,3 +361,44 @@ def test_partition_pruning(spark, tmp_path):
         "PartitionFilters"
     )[1].split("]")[0]
     assert pruned.count() == li.filter("ship_year = 1997").count()
+
+
+def test_winnow_fingerprints_shared_substring(spark):
+    from movie_data_pipeline_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_shared_pairs,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, f"AAA {shared} BBB"),
+            (2, f"CCC {shared} DDD"),
+            (3, "completely different text with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(docs).collect()}
+    # docs 1 and 2 share a long substring -> guaranteed shared fingerprints
+    assert len(fps[1] & fps[2]) >= 3
+    assert len(fps[1] & fps[3]) < 3
+
+    pairs = {
+        (r.id_a, r.id_b) for r in winnow_shared_pairs(docs, min_shared=3).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_resize_media_fake(spark):
+    from movie_data_pipeline_spark.multimodal import binary_ops
+
+    rows = [
+        (1, "image", bytearray(bytes(range(256)) * 4), (None, None, None, None, None)),
+        (2, "image", None, (None, None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, binary_ops.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in binary_ops.resize_media(df, factor=4, fake=True).collect()}
+    assert out[1].n_bytes_out == 256  # 1024 bytes / 4
+    assert bytes(out[1].payload)[:3] == bytes([0, 4, 8])  # strided
+    assert out[2].payload is None and out[2].n_bytes_out == 0
