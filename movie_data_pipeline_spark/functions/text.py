@@ -144,3 +144,50 @@ def fingerprint(c: Column) -> Column:
 def content_hash(c: Column) -> Column:
     """MD5 of the raw text — exact-dedup key, replicable in any oracle."""
     return F.md5(c)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — training-corpus scrubbing. All chained JVM-side
+# regexp_replace (no UDF): runs inside whole-stage codegen, so it
+# composes with filters/pushdown at 100 TB. Patterns are deliberately
+# conservative (precision over recall) — the standard posture for
+# corpus scrubbing, where a false positive destroys real text.
+# ---------------------------------------------------------------------------
+
+_PII_PATTERNS = [
+    # emails
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    # US-style phone numbers: optional +1 / (area), separators -. or space
+    (
+        r"(?<!\d)(?:\+?1[-. ]?)?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}(?!\d)",
+        "<PHONE>",
+    ),
+    # SSN-shaped 3-2-4 digit groups
+    (r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", "<SSN>"),
+    # IPv4 addresses
+    (r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)", "<IP>"),
+    # 13-19 digit runs with optional group separators (card-shaped)
+    (r"(?<!\d)\d(?:[-, ]?\d){12,18}(?!\d)", "<CARD>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace email / phone / SSN / IPv4 / card-shaped substrings with
+    typed placeholder tokens. Order matters: emails first (their local
+    parts can contain digit runs), card-shaped digit runs last (the
+    narrower SSN/phone/IP shapes must win first)."""
+    out = c
+    for pat, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_hit_count(c: Column) -> Column:
+    """How many PII placeholders redact_pii would emit for this text —
+    the audit/reporting twin of redact_pii."""
+    redacted = redact_pii(c)
+    return F.size(
+        F.regexp_extract_all(
+            redacted, F.lit(r"<(EMAIL|PHONE|SSN|IP|CARD)>"), 0
+        )
+    )

@@ -844,5 +844,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # percentiles, as-of/non-equi joins, string family, sliding windows,
 # multimodal). Imported at the bottom to reuse this module's helpers.
 from .analytics_ext import EXT_QUERIES  # noqa: E402
+from .analytics_ext3 import EXT3_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
+QUERIES.update(EXT3_QUERIES)

@@ -1,0 +1,277 @@
+"""Third registry batch: reshaping and governance operators —
+pivot / unpivot, GROUPING SETS, deterministic hash-based dataset
+splits, referential-integrity audit, and token-budget packing.
+
+Same contract rules as plans/analytics.py: identical column aliases in
+the DataFrame plan and the DuckDB oracle SQL, exact decimal sums under
+any aggregation of doubles, total-order sort keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Pivot: long → wide (order counts per priority, by order year).
+# Spark compiles .pivot(col, values) to a single-pass conditional
+# aggregate when values are given explicitly — one shuffle, no second
+# values-discovery job, which is the form that scales.
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = [
+    ("1-URGENT", "urgent_orders"),
+    ("2-HIGH", "high_orders"),
+    ("3-MEDIUM", "medium_orders"),
+    ("4-NOT SPECIFIED", "not_specified_orders"),
+    ("5-LOW", "low_orders"),
+]
+
+
+def pivot_priority_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderpriority", [v for v, _ in _PRIORITIES])
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "order_year",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(alias)
+            for v, alias in _PRIORITIES
+        ],
+    ).orderBy("order_year")
+
+
+PIVOT_PRIORITY_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent_orders,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high_orders,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium_orders,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified_orders,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low_orders
+FROM orders
+GROUP BY order_year
+ORDER BY order_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot: wide → long (melt part's numeric metrics, then profile each).
+# DataFrame.unpivot is zero-shuffle (a per-row Expand), so the only
+# shuffle is the final tiny groupBy(metric).
+# ---------------------------------------------------------------------------
+
+def unpivot_part_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    p = load_table(spark, sf, "part")
+    long = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(
+                (
+                    F.sum(F.col("value").cast("decimal(30,4)")).cast("double")
+                    / F.count("value")
+                ),
+                2,
+            ).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("metric")
+    )
+
+
+UNPIVOT_PART_SQL = """
+WITH long AS (
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+)
+SELECT metric,
+       COUNT(*) AS n_values,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) / COUNT(value), 2) AS avg_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM long
+GROUP BY metric
+ORDER BY metric
+"""
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS: two independent single-column rollups plus a grand
+# total in ONE pass over the join — what would otherwise be three
+# scans/aggregations. Spark plans this as a single Expand.
+# ---------------------------------------------------------------------------
+
+def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    load_table(spark, sf, "orders").createOrReplaceTempView("gs_orders")
+    load_table(spark, sf, "customer").createOrReplaceTempView("gs_customer")
+    load_table(spark, sf, "nation").createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+               COALESCE(o_orderpriority, 'ALL') AS grp_priority,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2)
+                   AS revenue,
+               COUNT(*) AS n_orders
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        ORDER BY grp_nation, grp_priority
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT COALESCE(n_name, 'ALL') AS grp_nation,
+       COALESCE(o_orderpriority, 'ALL') AS grp_priority,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+ORDER BY grp_nation, grp_priority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: md5 of the stable id, first two
+# hex chars thresholded at 'cc' (~79.7%) and 'e6' (~89.8%). Pure
+# narrow map — no shuffle, no RNG state, identical assignment on any
+# cluster/partitioning/engine, docs can be re-split incrementally.
+# This (not .sample) is how a 100 TB corpus gets split reproducibly.
+# ---------------------------------------------------------------------------
+
+def doc_split_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    bucket = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2
+    )
+    split = (
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(30,4)")).cast("double")
+                / F.count("n_chars"),
+                2,
+            ).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+DOC_SPLIT_SQL = """
+WITH assigned AS (
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split,
+           n_chars
+    FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,4))) AS DOUBLE) / COUNT(n_chars), 2)
+           AS avg_chars
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit — the engine-side replacement for the
+# reference's FK constraints (schema.sql:24-40), which Spark tables
+# can't enforce declaratively. Each arm is a left-anti join; on a
+# cluster the big-big arm (lineitem→orders) is a shuffled anti join on
+# the join key, the dim arms broadcast.
+# ---------------------------------------------------------------------------
+
+def fk_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+
+    def arm(child: DataFrame, key, parent: DataFrame, pkey, name: str):
+        return (
+            child.join(
+                parent, F.col(key) == F.col(pkey), "left_anti"
+            )
+            .agg(F.count(F.lit(1)).alias("orphan_rows"))
+            .select(F.lit(name).alias("fk"), "orphan_rows")
+        )
+
+    return (
+        arm(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(arm(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+        .unionAll(arm(li, "l_suppkey", s, "s_suppkey", "lineitem->supplier"))
+        .unionAll(arm(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .orderBy("fk")
+    )
+
+
+FK_AUDIT_SQL = """
+SELECT * FROM (
+    SELECT 'lineitem->orders' AS fk,
+           COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS orphan_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem->part',
+           COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders->customer',
+           COUNT(*) FILTER (WHERE NOT EXISTS
+               (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+    FROM orders
+) ORDER BY fk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing (rows-only: the greedy packer is imperative
+# per-shard logic, not SQL-expressible).
+# ---------------------------------------------------------------------------
+
+def doc_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.packing import pack_documents
+
+    d = load_table(spark, sf, "documents")
+    return pack_documents(d, budget=512).orderBy("pack_id")
+
+
+EXT3_QUERIES = {
+    "pivot_priority_by_year": (pivot_priority_by_year, PIVOT_PRIORITY_SQL),
+    "unpivot_part_metrics": (unpivot_part_metrics, UNPIVOT_PART_SQL),
+    "grouping_sets_revenue": (grouping_sets_revenue, GROUPING_SETS_SQL),
+    "doc_split_assignment": (doc_split_assignment, DOC_SPLIT_SQL),
+    "fk_integrity_audit": (fk_integrity_audit, FK_AUDIT_SQL),
+    "doc_packing": (doc_packing, None),
+}

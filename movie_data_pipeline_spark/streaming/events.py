@@ -181,3 +181,59 @@ def run_to_parquet(
     )
     q.awaitTermination()
     return q
+
+
+def enrich_stream(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: attach slowly-changing user attributes to
+    the event stream. The static side is re-planned per micro-batch
+    (so dim refreshes are picked up) and broadcast when small — the
+    standard streaming-enrichment shape; no watermark needed because
+    the static side never grows state."""
+    return stream.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def purchases_after_clicks(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a click by
+    the same user within ``horizon``. Both sides carry watermarks and
+    the join predicate bounds event-time distance, so the state store
+    can expire rows — the two conditions Structured Streaming requires
+    for bounded-state stream-stream joins."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts >= click_ts AND
+            purchase_ts <= click_ts + interval {horizon}
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -402,3 +402,51 @@ def test_resize_media_fake(spark):
     assert out[1].n_bytes_out == 256  # 1024 bytes / 4
     assert bytes(out[1].payload)[:3] == bytes([0, 4, 8])  # strided
     assert out[2].payload is None and out[2].n_bytes_out == 0
+
+
+def test_pack_documents_budget_and_coverage(spark):
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.operators.packing import pack_documents
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (17 * (i % 13) + 1)) for i in range(300)],
+        "doc_id long, text string",
+    )
+    budget = 100
+    packs = pack_documents(docs, budget=budget, n_shards=8).collect()
+    # every doc lands in exactly one pack
+    assert sum(p.n_docs for p in packs) == 300
+    # budget respected except single-doc oversize packs (never split)
+    for p in packs:
+        assert p.pack_tokens <= budget or p.n_docs == 1
+    # deterministic under repartitioning
+    again = pack_documents(docs.repartition(7), budget=budget, n_shards=8).collect()
+    assert sorted(map(tuple, packs)) == sorted(map(tuple, again))
+
+
+def test_redact_pii_planted_fixtures(spark):
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.functions.text import pii_hit_count, redact_pii
+
+    cases = [
+        ("write to alice.smith+x@example.co.uk today", "write to <EMAIL> today", 1),
+        ("call (415) 555-0199 or 415-555-0199", "call <PHONE> or <PHONE>", 2),
+        ("ssn 078-05-1120 leaked", "ssn <SSN> leaked", 1),
+        ("host 192.168.101.254 is up", "host <IP> is up", 1),
+        ("card 4111 1111 1111 1111 declined", "card <CARD> declined", 1),
+        ("no pii here, just 42 and 3.14", "no pii here, just 42 and 3.14", 0),
+        # year in parens must survive (precision posture)
+        ("Heat (1995) scored 8.3", "Heat (1995) scored 8.3", 0),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, _, _ in cases], "text string"
+    ).select(
+        "text",
+        redact_pii(F.col("text")).alias("red"),
+        pii_hit_count(F.col("text")).alias("hits"),
+    )
+    got = {r.text: (r.red, r.hits) for r in df.collect()}
+    for text, want_red, want_hits in cases:
+        assert got[text] == (want_red, want_hits), (text, got[text])

@@ -186,3 +186,58 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     stream = SE.read_events_stream(spark, str(src))
     SE.run_to_parquet(stream, out, chk)
     assert spark.read.parquet(out).count() == base.count()
+
+
+def test_enrich_stream_static_join(spark, staged_events_dir, batch_events):
+    user_dim = (
+        batch_events.select("user_id")
+        .distinct()
+        .withColumn(
+            "tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd")
+        )
+    )
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    SE.run_to_memory(
+        SE.enrich_stream(stream, user_dim), "enrich_test", mode="append"
+    )
+    got = spark.table("enrich_test")
+    assert got.count() == batch_events.count()  # left join keeps all
+    assert got.filter(F.col("tier").isNull()).count() == 0
+    bad = got.filter(
+        (F.col("user_id") % 2 == 0) != (F.col("tier") == "even")
+    ).count()
+    assert bad == 0
+
+
+def test_stream_stream_join_equals_batch(spark, staged_events_dir, batch_events):
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    joined = SE.purchases_after_clicks(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+    )
+    SE.run_to_memory(joined, "ssj_test", mode="append")
+    got = {
+        (r.click_id, r.purchase_id) for r in spark.table("ssj_test").collect()
+    }
+    # batch twin: plain self-join with the same time-bound predicate
+    c = batch_events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    p = batch_events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    want = {
+        (r.cid, r.pid)
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("interval 1 hour")),
+        ).collect()
+    }
+    # the stream result must be a subset (watermark may drop late rows)
+    # and cover the overwhelming majority of the batch pairs
+    assert got <= want
+    assert len(got) >= 0.9 * len(want), (len(got), len(want))
