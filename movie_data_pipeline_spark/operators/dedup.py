@@ -425,3 +425,73 @@ def winnow_shared_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+# ---------------- duplicate clusters (connected components) ----------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → one
+    cluster per transitive duplicate group: (doc_id, cluster_id,
+    is_canonical), cluster_id = min doc id in the component, canonical
+    = that min doc (the keep-one-of-each-cluster dedup decision).
+
+    Algorithm: iterative min-label propagation — each node adopts the
+    smallest label among itself and its neighbors until fixpoint. Pure
+    DataFrame ops (one join + groupBy per iteration); converges in
+    O(component diameter) rounds, and near-dup clusters are shallow
+    (pairs all share content, so diameters are small). Lineage is cut
+    with localCheckpoint each round so plans don't snowball; the
+    driver loop iterates ROUNDS, never rows.
+    """
+    edges = (
+        pairs.select(
+            F.col(a_col).cast("long").alias("src"),
+            F.col(b_col).cast("long").alias("dst"),
+        )
+        .unionAll(
+            pairs.select(
+                F.col(b_col).cast("long").alias("src"),
+                F.col(a_col).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )

@@ -267,6 +267,20 @@ def doc_packing(spark: SparkSession, sf: str) -> DataFrame:
     return pack_documents(d, budget=512).orderBy("pack_id")
 
 
+# ---------------------------------------------------------------------------
+# Duplicate clusters (rows-only: iterative connected components is not
+# SQL-expressible) — near-dup pairs → transitive groups → the actual
+# keep/drop dedup decision per doc.
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import duplicate_clusters, minhash_lsh_duplicates
+
+    d = load_table(spark, sf, "documents")
+    pairs = minhash_lsh_duplicates(d, threshold=0.7)
+    return duplicate_clusters(pairs).orderBy("cluster_id", "doc_id")
+
+
 EXT3_QUERIES = {
     "pivot_priority_by_year": (pivot_priority_by_year, PIVOT_PRIORITY_SQL),
     "unpivot_part_metrics": (unpivot_part_metrics, UNPIVOT_PART_SQL),
@@ -274,4 +288,5 @@ EXT3_QUERIES = {
     "doc_split_assignment": (doc_split_assignment, DOC_SPLIT_SQL),
     "fk_integrity_audit": (fk_integrity_audit, FK_AUDIT_SQL),
     "doc_packing": (doc_packing, None),
+    "dedup_clusters": (dedup_clusters, None),
 }

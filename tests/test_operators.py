@@ -450,3 +450,19 @@ def test_redact_pii_planted_fixtures(spark):
     got = {r.text: (r.red, r.hits) for r in df.collect()}
     for text, want_red, want_hits in cases:
         assert got[text] == (want_red, want_hits), (text, got[text])
+
+
+def test_duplicate_clusters_transitive(spark):
+    from movie_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4 (diameter 3), pair 10-11, triangle 20-21-22
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    rows = duplicate_clusters(pairs).collect()
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+    assert clusters == {1: {1, 2, 3, 4}, 10: {10, 11}, 20: {20, 21, 22}}
