@@ -18,8 +18,10 @@ Five families, all partition-parallel, no driver-side data loops:
                   hyperplane machinery).
 
 Scale posture: every stage is a narrow map or a single keyed shuffle.
-Bucket skew (a hot band) is bounded by capping bucket width via a
-per-bucket row_number guard where noted.
+Candidate pairs are generated in-row after a single groupBy on the
+bucket/fingerprint key (``pairs_within_groups`` — no self-join), with
+hot keys bounded by truncation (LSH buckets) or removal (fingerprint
+document-frequency noise cap).
 """
 
 from __future__ import annotations
@@ -122,6 +124,56 @@ def jaccard(a: F.Column, b: F.Column) -> F.Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def pairs_within_groups(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    max_group: int,
+    drop_oversize: bool = False,
+) -> DataFrame:
+    """(id_a < id_b) pairs of ids sharing a key, built IN-ROW after a
+    single groupBy — no self-join. The shared pair-generation core of
+    the LSH-bucket and winnowing paths: one keyed shuffle in, bounded
+    fan-out out (≤ max_group²/2 pairs per key regardless of corpus
+    size — the 100 TB guard).
+
+    Hot-key policy: ``drop_oversize=False`` keeps the first max_group
+    sorted ids (same semantics as a row_number()-over-key cap, minus
+    the window's sort pass) — right for LSH buckets, where an over-full
+    bucket still holds real near-dups. ``drop_oversize=True`` discards
+    the whole key — right for fingerprint document-frequency capping,
+    where an over-shared key is boilerplate, not duplication."""
+    agg_ids = F.array_sort(F.collect_list(id_col))
+    if drop_oversize:
+        groups = (
+            keyed.groupBy(*key_cols)
+            .agg(agg_ids.alias("ids"))
+            .filter(F.size("ids").between(2, max_group))
+        )
+    else:
+        groups = (
+            keyed.groupBy(*key_cols)
+            .agg(F.slice(agg_ids, 1, max_group).alias("ids"))
+            .filter(F.size("ids") >= 2)
+        )
+    return (
+        groups.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ids"), i + 2, F.size("ids")),
+                            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.id_a", "pair.id_b")
+    )
+
+
 def minhash_lsh_duplicates(
     docs: DataFrame,
     text_col: str = "text",
@@ -153,11 +205,11 @@ def minhash_lsh_duplicates(
         .persist()  # feeds banding once + both verify sides
     )
 
-    # Band rows stay SLIM (doc_id, band_idx, band_hash): the bucket-cap
-    # window and the self-join shuffle only 3 scalar columns — the
-    # heavy shingle arrays never ride the explode (8× duplication) or
-    # the shuffles, and are joined back only for the final verify of
-    # the deduped candidate pairs.
+    # Band rows stay SLIM (doc_id, band_idx, band_hash): the pair
+    # generation shuffles only 3 scalar columns — the heavy shingle
+    # arrays never ride the explode (8× duplication) or the shuffle,
+    # and are joined back only for the final verify of the deduped
+    # candidate pairs.
     banded = (
         # signature must be its OWN projected column: the band packer
         # references it 8×, and inlining would re-hash 8× per row
@@ -168,28 +220,10 @@ def minhash_lsh_duplicates(
                 "band_idx", "band_hash"
             ),
         )
-        .persist()  # self-join reads it twice; signature runs once
     )
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")
-    banded = banded.withColumn("bn", F.row_number().over(w)).filter(
-        F.col("bn") <= max_bucket
-    )
-
-    left = banded.select(
-        "band_idx", "band_hash", F.col("doc_id").alias("id_a")
-    )
-    right = banded.select(
-        "band_idx", "band_hash", F.col("doc_id").alias("id_b")
-    )
-    pairs = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    pairs = pairs_within_groups(
+        banded, ["band_idx", "band_hash"], "doc_id", max_bucket
+    ).dropDuplicates(["id_a", "id_b"])
     sh_a = sh_tbl.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = sh_tbl.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -398,30 +432,11 @@ def winnow_shared_pairs(
     fp = winnow_fingerprints(docs, text_col).select(
         F.col(id_col).alias("doc_id"), F.explode("fingerprints").alias("fp")
     )
-    # fingerprint groups, noise-capped; ids sorted so id_a < id_b holds
-    groups = (
-        fp.groupBy("fp")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids").between(2, max_df))
-    )
-    pairs = groups.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda x, i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda y: F.struct(
-                            x.alias("id_a"), y.alias("id_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("pair")
+    pairs = pairs_within_groups(
+        fp, ["fp"], "doc_id", max_df, drop_oversize=True
     )
     return (
-        pairs.select("pair.id_a", "pair.id_b")
-        .groupBy("id_a", "id_b")
+        pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )

@@ -98,3 +98,39 @@ def write_partitioned(
     (PartitionFilters in the scan — zero I/O for skipped partitions).
     The at-rest layout for time-sliced 100 TB fact data."""
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 256
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into ~target_file_mb files; returns the new file count.
+
+    The operational fix for the classic ingestion pathology (streaming
+    micro-batches / per-task commits leaving thousands of KB-scale
+    files whose footer+open overhead dominates scans at 100 TB).
+    Staged rewrite: write to a sibling temp dir, then swap — the
+    directory is never half-compacted. Local-filesystem swap here;
+    object-store deployments would swap via their atomic-rename/commit
+    service, the read+repartition+write plan is identical.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "__compacting"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = path.rstrip("/") + "__precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -512,3 +512,27 @@ def test_omdb_datasource_stub(spark, movies_csv):
     miss = enr.filter(F.col("imdb_id").isNull()).select("plot", "director").first()
     if miss is not None:
         assert (miss.plot, miss.director) == ("Not Available", "Unknown")
+
+
+def test_compact_parquet(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "fragmented")
+    df = spark.range(10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 tiny files
+    import os
+
+    def parquet_files():
+        return [
+            f for dp, _, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    assert len(parquet_files()) == 64
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    n = compact_parquet(spark, path, target_file_mb=256)
+    assert len(parquet_files()) == n == 1
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after
