@@ -237,3 +237,55 @@ def purchases_after_clicks(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def run_upsert_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_col: str,
+):
+    """foreachBatch keyed-upsert sink: merge each micro-batch into a
+    parquet table keyed on ``keys`` (greatest ``order_col`` wins) — a
+    stream maintaining a dimension table, the MERGE-INTO shape on
+    plain parquet. The batch id gives idempotent replay: a re-run
+    micro-batch re-merges to the same state (last-write-wins is
+    idempotent), so exactly-once table state rides on the checkpoint's
+    at-least-once delivery.
+
+    Scale note: each merge rewrites the table (bounded by key
+    cardinality, not stream length — fine for dimension-sized state).
+    Log-structured targets (Delta/Iceberg MERGE) swap in here without
+    touching the query graph.
+    """
+    from ..sources.sinks import dedup_last_write_wins
+
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = dedup_last_write_wins(batch_df, keys, order_col)
+        try:
+            current = spark.read.parquet(path)
+            merged = dedup_last_write_wins(
+                current.unionByName(fresh), keys, order_col
+            )
+        except Exception:
+            merged = fresh
+        staged = path.rstrip("/") + "__staged"
+        merged.write.mode("overwrite").parquet(staged)
+        import os
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staged, path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -241,3 +241,31 @@ def test_stream_stream_join_equals_batch(spark, staged_events_dir, batch_events)
     # and cover the overwhelming majority of the batch pairs
     assert got <= want
     assert len(got) >= 0.9 * len(want), (len(got), len(want))
+
+
+def test_upsert_sink_matches_batch_last_write(spark, staged_events_dir, batch_events, tmp_path):
+    from movie_data_pipeline_spark.sources.sinks import dedup_last_write_wins
+
+    path = str(tmp_path / "user_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = SE.read_events_stream(spark, staged_events_dir).select(
+        "user_id", "ts", "event_type", "value"
+    )
+    SE.run_upsert_sink(stream, path, ckpt, keys=["user_id"], order_col="ts")
+    got = {
+        r.user_id: (r.ts, r.event_type)
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r.user_id: (r.ts, r.event_type)
+        for r in dedup_last_write_wins(
+            batch_events.select("user_id", "ts", "event_type", "value"),
+            ["user_id"], "ts",
+        ).collect()
+    }
+    assert set(got) == set(want)
+    # latest timestamp per user must agree (event_type may tie-break
+    # differently on equal ts; timestamps here are unique per user)
+    assert {u: t for u, (t, _) in got.items()} == {
+        u: t for u, (t, _) in want.items()
+    }
