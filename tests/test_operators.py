@@ -536,3 +536,59 @@ def test_compact_parquet(spark, tmp_path):
     assert len(parquet_files()) == n == 1
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert before == after
+
+
+def test_zorder_key_morton_property(spark):
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.sources.sinks import zorder_key
+
+    # 2-bit Morton curve on (x, y): key = interleave bits, x at even
+    # positions, y at odd — classic Z traversal order
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long"
+    ).select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=2).alias("k"))
+    got = {(r.x, r.y): r.k for r in df.collect()}
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1
+    assert got[(0, 1)] == 2 and got[(1, 1)] == 3
+    assert got[(2, 2)] == 12 and got[(3, 3)] == 15
+    assert len(set(got.values())) == 16  # bijective on the grid
+
+
+def test_write_zordered_clusters_minmax(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.sources.sinks import write_zordered
+
+    # uniform 2-d grid; z-order on (a, b) should give every file a
+    # small min/max span on BOTH columns (random layout gives ~full span)
+    df = (
+        spark.range(200_000)
+        .select(
+            (F.col("id") % 1000).alias("a"),
+            F.floor(F.col("id") / 1000).alias("b"),
+        )
+        .repartition(16)  # scrambled input layout
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, ["a", "b"], n_files=16)
+    import os
+
+    spans_a, spans_b = [], []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, f))
+        mn_a = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+        mx_a = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+        mn_b = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+        mx_b = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+        spans_a.append(mx_a - mn_a)
+        spans_b.append(mx_b - mn_b)
+    # global spans are ~1000 (a) and ~200 (b); clustered files must
+    # average far below — 16 files on a 2-d curve → ~4x4 tiles
+    assert sum(spans_a) / len(spans_a) < 500
+    assert sum(spans_b) / len(spans_b) < 100
+    # data survives the layout intact
+    assert spark.read.parquet(path).count() == 200_000
