@@ -290,3 +290,127 @@ EXT3_QUERIES = {
     "doc_packing": (doc_packing, None),
     "dedup_clusters": (dedup_clusters, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface: fixed-size token chunking via lateral join —
+# the pre-tokenization windowing step of an LLM training pipeline.
+# ---------------------------------------------------------------------------
+
+def chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions import chunking
+
+    chunking.register(spark)
+    load_table(spark, sf, "documents").createOrReplaceTempView("chunk_docs_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM chunk_docs_src d, LATERAL chunk_tokens(trim(d.text), 50) c
+        ORDER BY d.doc_id, c.chunk_idx
+        """
+    )
+
+
+CHUNK_DOCS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+), nums AS (SELECT CAST(range AS INT) AS gs FROM range(0, 100000))
+SELECT doc_id, gs AS chunk_idx,
+       array_to_string(t[gs*50+1 : (gs+1)*50], ' ') AS chunk
+FROM toks JOIN nums ON gs * 50 < len(t)
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Table profiling + declarative expectations — the catalog/quality ops.
+# ---------------------------------------------------------------------------
+
+def profile_customer(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.sinks import profile_table
+
+    return profile_table(load_table(spark, sf, "customer"))
+
+
+PROFILE_CUSTOMER_SQL = """
+SELECT * FROM (
+    SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
+           SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT c_custkey) AS n_distinct,
+           CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(c_custkey) AS VARCHAR) AS max_value
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', COUNT(*),
+           SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT c_name),
+           CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', COUNT(*),
+           SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT c_nationkey),
+           CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(*),
+           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT c_acctbal),
+           CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*),
+           SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT c_mktsegment),
+           CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR)
+    FROM customer
+) ORDER BY column_name
+"""
+
+
+def orders_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.sinks import check_expectations
+
+    o = load_table(spark, sf, "orders")
+    return check_expectations(
+        o,
+        {
+            "custkey_not_null": F.col("o_custkey").isNotNull(),
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "status_in_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+            "totalprice_positive": F.col("o_totalprice") > 0,
+        },
+    )
+
+
+ORDERS_EXPECTATIONS_SQL = """
+SELECT * FROM (
+    SELECT 'custkey_not_null' AS rule,
+           SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS n_violations,
+           COUNT(*) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           SUM(CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END),
+           COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END),
+           COUNT(*)
+    FROM orders
+) ORDER BY rule
+"""
+
+EXT3_QUERIES.update(
+    {
+        "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
+        "profile_customer": (profile_customer, PROFILE_CUSTOMER_SQL),
+        "orders_expectations": (orders_expectations, ORDERS_EXPECTATIONS_SQL),
+    }
+)

@@ -194,3 +194,64 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Per-column profile: rows, nulls, exact distincts, min/max (as
+    strings) — the ANALYZE TABLE / data-catalog summary, computed in
+    ONE aggregation pass over the table (all measures are parallel
+    partial aggregates; no per-column jobs). Output: one row per
+    column, ordered by name."""
+    cols = df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__rows_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__dist_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.col(f"__rows_{c}"),
+            F.col(f"__nulls_{c}"),
+            F.col(f"__dist_{c}"),
+            F.col(f"__min_{c}"),
+            F.col(f"__max_{c}"),
+        ]
+    return (
+        wide.select(
+            F.stack(
+                F.lit(len(cols)),
+                *stack_args,
+            ).alias("column_name", "n_rows", "n_nulls", "n_distinct",
+                    "min_value", "max_value")
+        )
+        .orderBy("column_name")
+    )
+
+
+def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Declarative data-quality gate: each rule is a boolean Column;
+    returns (rule, n_violations, n_rows) per rule in ONE aggregation
+    pass (the engine-side analogue of the reference's CHECK
+    constraints, schema.sql:37 — but reporting instead of rejecting,
+    which is what a 100 TB append pipeline actually wants). A NULL
+    rule result counts as a violation (unknown ≠ pass)."""
+    aggs = [F.count(F.lit(1)).alias("__rows")] + [
+        F.sum((~F.coalesce(cond, F.lit(False))).cast("long")).alias(f"__v_{name}")
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stack_args = []
+    for name in rules:
+        stack_args += [F.lit(name), F.col(f"__v_{name}"), F.col("__rows")]
+    return wide.select(
+        F.stack(F.lit(len(rules)), *stack_args).alias(
+            "rule", "n_violations", "n_rows"
+        )
+    ).orderBy("rule")
