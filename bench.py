@@ -22,6 +22,18 @@ from movie_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
 from movie_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+def clear_state(spark) -> None:
+    """Drop ALL block-manager state between timed queries: cached
+    tables AND persisted/localCheckpointed RDDs (clearCache alone
+    misses the latter — leaked blocks from persist()/localCheckpoint
+    accumulate across 55 queries and turn into multi-second GC pauses
+    that land on whichever query is running when the heap fills)."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in jmap.values():
+        rdd.unpersist(True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -48,7 +60,7 @@ def main() -> None:
     for name, (builder, _) in QUERIES.items():
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
     # drop data caches so per-query numbers don't ride earlier persists
-    spark.catalog.clearCache()
+    clear_state(spark)
 
     # pass 2 (timed, warm engine — BASELINE.md's comparison basis)
     timings: dict[str, float] = {}
@@ -56,7 +68,7 @@ def main() -> None:
         start = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
-        spark.catalog.clearCache()
+        clear_state(spark)
 
     total = round(sum(timings.values()), 4)
     print(
