@@ -19,19 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from movie_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
-from movie_data_pipeline_spark.session import get_spark  # noqa: E402
-
-
-def clear_state(spark) -> None:
-    """Drop ALL block-manager state between timed queries: cached
-    tables AND persisted/localCheckpointed RDDs (clearCache alone
-    misses the latter — leaked blocks from persist()/localCheckpoint
-    accumulate across 55 queries and turn into multi-second GC pauses
-    that land on whichever query is running when the heap fills)."""
-    spark.catalog.clearCache()
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for rdd in jmap.values():
-        rdd.unpersist(True)
+from movie_data_pipeline_spark.session import clear_state, get_spark  # noqa: E402
 
 
 def main() -> None:

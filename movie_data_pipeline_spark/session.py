@@ -48,3 +48,19 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_state(spark: SparkSession) -> None:
+    """Release ALL block-manager state: cached tables AND
+    persisted/localCheckpointed RDD blocks.
+
+    ``catalog.clearCache()`` alone misses RDD-level blocks, and
+    operators that persist intermediates (the dedup family's shingle
+    tables, connected components' per-round checkpoints) keep those
+    blocks registered until explicit unpersist — in a long-lived
+    session running many analyses the leak surfaces as multi-second
+    GC pauses. Call between unrelated analyses (bench.py calls it
+    between every timed query)."""
+    spark.catalog.clearCache()
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist(True)
