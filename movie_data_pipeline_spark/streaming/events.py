@@ -289,3 +289,70 @@ def run_upsert_sink(
     )
     q.awaitTermination()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #2: transformWithStateInPandas (the Spark 4
+# arbitrary-state API superseding applyInPandasWithState — typed state
+# primitives, per-key timers, optional TTL).
+# ---------------------------------------------------------------------------
+
+EVENT_TYPE_COUNTS_SCHEMA = "user_id long, event_type string, n long"
+
+
+def per_user_event_type_counts(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Running per-(user, event_type) counts via a MapState keyed by
+    event_type inside each user's state — the state-machine shape
+    (per-key sub-keyed state) that windowed aggregation can't express
+    and applyInPandasWithState could only fake with encoded blobs.
+    Emits the updated (user_id, event_type, n) rows each micro-batch
+    the user appears in.
+
+    Requires the RocksDB state store provider and the protobuf package
+    (the TWS state protocol) — gate deployments accordingly; this
+    container lacks protobuf, so the unit test importorskips."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class EventTypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "event_type string", "n long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            batch_counts: dict[str, int] = {}
+            for pdf in rows:
+                for et, cnt in pdf.groupby("event_type").size().items():
+                    batch_counts[et] = batch_counts.get(et, 0) + int(cnt)
+            out = []
+            for et, cnt in batch_counts.items():
+                prev = (
+                    self.counts.getValue((et,))[0]
+                    if self.counts.containsKey((et,))
+                    else 0
+                )
+                total = prev + cnt
+                self.counts.updateValue((et,), (total,))
+                out.append((key[0], et, total))
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_type", "n"]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=EventTypeCounts(),
+            outputStructType=EVENT_TYPE_COUNTS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

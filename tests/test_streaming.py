@@ -269,3 +269,28 @@ def test_upsert_sink_matches_batch_last_write(spark, staged_events_dir, batch_ev
     assert {u: t for u, (t, _) in got.items()} == {
         u: t for u, (t, _) in want.items()
     }
+
+
+def test_transform_with_state_event_type_counts(spark, staged_events_dir, batch_events):
+    # transformWithState's state protocol rides on protobuf, absent in
+    # this container — the operator targets protobuf-equipped clusters
+    pytest.importorskip("google.protobuf.descriptor")
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    SE.run_to_memory(
+        SE.per_user_event_type_counts(stream), "tws_test", mode="update"
+    )
+    # final state per (user, event_type) = the LAST update emitted
+    rows = spark.table("tws_test").collect()
+    final = {}
+    for r in rows:  # memory sink appends updates in batch order
+        final[(r.user_id, r.event_type)] = max(
+            final.get((r.user_id, r.event_type), 0), r.n
+        )
+    want = {
+        (r.user_id, r.event_type): r.n
+        for r in batch_events.groupBy("user_id", "event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert final == want
