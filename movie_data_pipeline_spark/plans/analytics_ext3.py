@@ -414,3 +414,124 @@ EXT3_QUERIES.update(
         "orders_expectations": (orders_expectations, ORDERS_EXPECTATIONS_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: sequential conversion funnel + weekly cohort
+# retention — the two canonical product-analytics shapes over an
+# event stream. Each stage of the funnel is ORDER-dependent (a click
+# only counts after that user's first view), which is what separates
+# a funnel from three filters.
+# ---------------------------------------------------------------------------
+
+def conversion_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select("user_id", "event_type", "ts_us")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "1_view")
+        .unionAll(stage(c, "2_click"))
+        .unionAll(stage(p, "3_purchase"))
+        .orderBy("stage")
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH v AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+    GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT '2_click', COUNT(*) FROM c
+    UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+) ORDER BY stage
+"""
+
+
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select(
+        "user_id",
+        F.date_trunc("week", F.timestamp_micros(F.col("ts_us"))).alias(
+            "activity_week"
+        ),
+    )
+    cohorts = e.groupBy("user_id").agg(
+        F.min("activity_week").alias("cohort_week")
+    )
+    return (
+        e.dropDuplicates(["user_id", "activity_week"])
+        .join(cohorts, "user_id")
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("offset_weeks"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH act AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week FROM events
+), cohorts AS (
+    SELECT user_id, MIN(activity_week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+       CAST(datediff('day', c.cohort_week, a.activity_week) / 7 AS INT)
+           AS offset_weeks,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN cohorts c ON a.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, offset_weeks
+"""
+
+EXT3_QUERIES.update(
+    {
+        "conversion_funnel": (conversion_funnel, CONVERSION_FUNNEL_SQL),
+        "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
+    }
+)
