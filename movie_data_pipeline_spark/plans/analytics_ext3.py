@@ -535,3 +535,33 @@ EXT3_QUERIES.update(
         "cohort_retention": (cohort_retention, COHORT_RETENTION_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (rows-only: the sketch has no DuckDB twin) —
+# percentile_approx's KLL-ish sketch vs the exact percentile, side by
+# side. At 100 TB the exact form needs a full sort per group; the
+# sketch is one pass, fixed memory, mergeable across partitions.
+# ---------------------------------------------------------------------------
+
+def approx_quantiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.99]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", qs, 10000
+            ).alias("approx_price_quantiles"),
+            F.expr(
+                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
+            ).alias("exact_price_quantiles"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+EXT3_QUERIES.update(
+    {"approx_quantiles_lineitem": (approx_quantiles_lineitem, None)}
+)

@@ -592,3 +592,14 @@ def test_write_zordered_clusters_minmax(spark, tmp_path):
     assert sum(spans_b) / len(spans_b) < 100
     # data survives the layout intact
     assert spark.read.parquet(path).count() == 200_000
+
+
+def test_approx_quantiles_within_tolerance(spark):
+    from movie_data_pipeline_spark.plans.analytics import QUERIES
+
+    builder, _ = QUERIES["approx_quantiles_lineitem"]
+    for r in builder(spark, "/root/testdata/sf0.01").collect():
+        for approx, exact in zip(
+            r.approx_price_quantiles, r.exact_price_quantiles
+        ):
+            assert abs(approx - exact) <= max(0.02 * exact, 1.0), r
