@@ -72,7 +72,7 @@ def cmd_queries(args: argparse.Namespace) -> int:
 
     spark = _spark()
     _register_warehouse(spark, args.warehouse)
-    script = ";\n".join([MQ.Q1_SQL, MQ.Q2_SQL, MQ.Q3_SQL, MQ.Q4_SQL])
+    script = ";\n".join([MQ.Q1_SQL, MQ.Q2_SQL, MQ.Q3_SQL_SPARK, MQ.Q4_SQL])
     run_script(spark, script, print_results=True)
     return 0
 

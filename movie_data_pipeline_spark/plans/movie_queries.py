@@ -117,6 +117,23 @@ ORDER BY movie_count DESC, director ASC
 LIMIT 1
 """
 
+# Engine-dialect twin for the SQL-runner path (the reference's CLI runs
+# SQLite dialect on SQLite, etl.py:295-321; ours runs Spark SQL on
+# Spark). Same sorted-distinct semantics; DuckDB's
+# `STRING_AGG(DISTINCT x ORDER BY x)` and Spark's
+# `string_agg(DISTINCT x) WITHIN GROUP (ORDER BY x)` are mutually
+# unparsable, hence two strings.
+Q3_SQL_SPARK = """
+SELECT director,
+       COUNT(*) AS movie_count,
+       string_agg(DISTINCT title, ', ') WITHIN GROUP (ORDER BY title) AS movies
+FROM movies
+WHERE director IS NOT NULL AND director != 'N/A'
+GROUP BY director
+ORDER BY movie_count DESC, director ASC
+LIMIT 1
+"""
+
 
 def q4_avg_rating_per_year(movies: DataFrame, ratings: DataFrame) -> DataFrame:
     """Q4 (queries.sql:49-58): join → filter year → per-year stats →

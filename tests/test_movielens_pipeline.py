@@ -103,3 +103,37 @@ def test_movie_genres_no_sentinel(tables):
 
 def test_ratings_check_constraint(tables):
     assert tables["ratings"].filter("rating < 0 OR rating > 5").count() == 0
+
+
+def test_cli_etl_and_queries(spark, tmp_path, capsys, movies_csv, ratings_csv):
+    """CLI wiring (argparse → pipeline → warehouse → SQL runner) on a
+    trimmed corpus; the full-corpus golden run is covered above."""
+    import itertools
+
+    from movie_data_pipeline_spark.__main__ import main
+
+    small_movies = tmp_path / "movies.csv"
+    small_ratings = tmp_path / "ratings.csv"
+    with open(movies_csv) as fh:
+        small_movies.write_text("".join(itertools.islice(fh, 201)))
+    with open(ratings_csv) as fh:
+        small_ratings.write_text("".join(itertools.islice(fh, 1001)))
+    wh = str(tmp_path / "wh")
+
+    assert main([
+        "etl", "--movies", str(small_movies),
+        "--ratings", str(small_ratings), "--warehouse", wh,
+    ]) == 0
+    out = capsys.readouterr().out
+    stats = dict(
+        line.split("\t") for line in out.splitlines() if "\t" in line
+    )
+    assert stats["movies"] == "200"
+    assert int(stats["movie_genres"]) > 200  # explode fans out
+    assert stats["ratings"] == "1000"
+
+    assert main(["queries", "--warehouse", wh]) == 0
+    qout = capsys.readouterr().out
+    # Q1 header + one result row; Q2 header present
+    assert "title\trelease_year\tavg_rating\trating_count" in qout
+    assert "genre_name\tavg_rating\tmovie_count\ttotal_ratings" in qout
