@@ -85,11 +85,10 @@ def test_queries_sql_surface(spark, tables):
             ),
             MQ.Q2_SQL,
         ),
+        (MQ.q3_most_prolific_director(tables["movies"]), MQ.Q3_SQL_SPARK),
         (MQ.q4_avg_rating_per_year(tables["movies"], tables["ratings"]), MQ.Q4_SQL),
     ]
     for df, sql in pairs:
-        # Spark can't run DuckDB's STRING_AGG DISTINCT syntax (Q3) but
-        # Q1/Q2/Q4 are ANSI enough to run on both engines.
         got = sorted(map(tuple, df.collect()))
         via_sql = sorted(map(tuple, spark.sql(sql).collect()))
         assert got == via_sql
