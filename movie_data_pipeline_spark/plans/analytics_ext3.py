@@ -565,3 +565,62 @@ def approx_quantiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
 EXT3_QUERIES.update(
     {"approx_quantiles_lineitem": (approx_quantiles_lineitem, None)}
 )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build: an event stream of state observations →
+# compressed validity intervals (valid_from, valid_to; NULL = current).
+# Two window passes over one user-keyed shuffle: change detection via
+# lag, interval close via lead. The warehouse op that turns an append
+# log into a point-in-time-joinable dimension (pairs with the as-of
+# join, `purchase_attribution`).
+# ---------------------------------------------------------------------------
+
+def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select(
+        "user_id", "event_type", "ts_us", "event_id"
+    )
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        e.withColumn("prev_state", F.lag("event_type").over(order))
+        .filter(
+            F.col("prev_state").isNull()
+            | (F.col("event_type") != F.col("prev_state"))
+        )
+    )
+    return (
+        changes.withColumn(
+            "valid_to_us", F.lead("ts_us").over(order)
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts_us").alias("valid_from_us"),
+            "valid_to_us",
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+SCD2_USER_STATE_SQL = """
+WITH obs AS (
+    SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+           LAG(event_type) OVER w AS prev_state
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), changes AS (
+    SELECT * FROM obs
+    WHERE prev_state IS NULL OR event_type != prev_state
+)
+SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+       LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS valid_to_us
+FROM changes
+ORDER BY user_id, valid_from_us
+"""
+
+EXT3_QUERIES.update({"scd2_user_state": (scd2_user_state, SCD2_USER_STATE_SQL)})
