@@ -1,0 +1,82 @@
+"""BM25 ranked retrieval over a document corpus — the scoring side of
+a search engine, pure DataFrame ops end to end.
+
+Plan shape (one pass over the corpus, two tiny shuffles):
+  tokenize → explode → filter to query terms (predicate BEFORE the
+  heavy aggregation — only query-term postings survive the explode)
+  → per-(doc, term) frequency → join the per-term document-frequency
+  dim (broadcast; |query| rows) → BM25 partial score per posting →
+  sum per doc → deterministic top-k.
+
+At 100 TB the doc-length and df statistics come from the same single
+aggregation pass; nothing is driver-side except the query terms
+themselves. Determinism for the oracle gate: scores are rounded
+before ranking and ties break on doc_id, so both engines select the
+same k rows (raw float ULP differences can't flip the cut)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_ish_tokens
+
+
+def bm25_top_docs(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k docs by BM25 for a bag of query terms.
+
+    Robertson/Sparck-Jones IDF with the +1 floor (Lucene's form):
+    idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        bpe_ish_tokens(F.col(text_col)).alias("toks"),
+    )
+    lengths = toks.select("doc_id", F.size("toks").alias("dl"))
+    n_and_avgdl = lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+
+    postings = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_dim = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+
+    scored = (
+        postings.join(F.broadcast(df_dim), "term")
+        .join(F.broadcast(lengths), "doc_id")
+        .crossJoin(F.broadcast(n_and_avgdl))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("partial"), 3).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(k)

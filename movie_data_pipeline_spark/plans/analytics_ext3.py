@@ -624,3 +624,56 @@ ORDER BY user_id, valid_from_us
 """
 
 EXT3_QUERIES.update({"scd2_user_state": (scd2_user_state, SCD2_USER_STATE_SQL)})
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — the query-side complement of tfidf_top_terms.
+# Scores rounded BEFORE ranking and ties broken on doc_id so both
+# engines make the same top-k cut (raw float ULP noise can't flip it).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "join", "window"]
+
+
+def bm25_top_docs_q(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.search import bm25_top_docs
+
+    d = load_table(spark, sf, "documents")
+    return bm25_top_docs(d, _BM25_TERMS, k=10)
+
+
+BM25_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS t
+    FROM documents
+), lengths AS (
+    SELECT doc_id, len(t) AS dl FROM toks
+), stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lengths
+), postings AS (
+    SELECT doc_id, term, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+    WHERE term IN ('spark', 'join', 'window')
+    GROUP BY doc_id, term
+), dfs AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY term
+)
+SELECT doc_id,
+       ROUND(SUM(idf * (tf * 2.2)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 3) AS bm25
+FROM (
+    SELECT p.doc_id, p.tf, l.dl, s.n_docs, s.avgdl,
+           ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) AS idf
+    FROM postings p
+    JOIN dfs d USING (term)
+    JOIN lengths l USING (doc_id)
+    CROSS JOIN stats s
+)
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+EXT3_QUERIES.update({"bm25_top_docs": (bm25_top_docs_q, BM25_SQL)})

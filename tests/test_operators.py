@@ -603,3 +603,26 @@ def test_approx_quantiles_within_tolerance(spark):
             r.approx_price_quantiles, r.exact_price_quantiles
         ):
             assert abs(approx - exact) <= max(0.02 * exact, 1.0), r
+
+
+def test_bm25_ranking_semantics(spark):
+    from movie_data_pipeline_spark.operators.search import bm25_top_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler filler"),  # high tf
+            (2, "spark filler filler filler filler filler"),  # low tf
+            (3, "spark " + "filler " * 60),  # same tf, much longer doc
+            (4, "nothing relevant here at all"),  # no hit
+            (5, "rare rare filler"),  # rare-term doc
+            (6, "filler text filler text filler"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_top_docs(docs, ["spark", "rare"], k=10).collect()
+    score = {r.doc_id: r.bm25 for r in rows}
+    assert 4 not in score and 6 not in score  # no query terms → no row
+    assert score[1] > score[2]  # higher tf wins
+    assert score[2] > score[3]  # length normalization penalizes doc 3
+    # 'rare' (df=1) outscores single 'spark' (df=3) via IDF
+    assert score[5] > score[2]
