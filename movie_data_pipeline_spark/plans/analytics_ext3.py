@@ -677,3 +677,71 @@ LIMIT 10
 """
 
 EXT3_QUERIES.update({"bm25_top_docs": (bm25_top_docs_q, BM25_SQL)})
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted downsampling — training-mix curation (e.g.
+# "cap non-English at half weight"). Same md5-bucket discipline as
+# doc_split_assignment: keep a doc iff its hash bucket falls under the
+# group's target fraction. No RNG, no shuffle for the sampling itself
+# (a narrow filter), stable under re-runs and partitioning — the only
+# sampling primitive that is reproducible AND incremental at 100 TB.
+# ---------------------------------------------------------------------------
+
+_LANG_KEEP = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.25}
+
+
+def corpus_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    # bucket ∈ [0, 256): first two md5 hex chars of the stable id
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    keep_frac = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(frac))
+            for lang, frac in _LANG_KEEP.items()
+        ],
+        F.lit(0.0),
+    )
+    kept = d.filter(bucket < keep_frac * 256)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(30,4)")).cast("double")
+                / F.count("n_chars"),
+                2,
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_REBALANCE_SQL = """
+WITH hashed AS (
+    SELECT lang, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+               AS bucket
+    FROM documents
+), kept AS (
+    SELECT * FROM hashed
+    WHERE bucket < 256 * CASE lang
+        WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+        WHEN 'es' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.0 END
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,4))) AS DOUBLE) / COUNT(n_chars), 2)
+           AS avg_chars
+FROM kept
+GROUP BY lang
+ORDER BY lang
+"""
+
+EXT3_QUERIES.update({"corpus_rebalance": (corpus_rebalance, CORPUS_REBALANCE_SQL)})
