@@ -745,3 +745,39 @@ ORDER BY lang
 """
 
 EXT3_QUERIES.update({"corpus_rebalance": (corpus_rebalance, CORPUS_REBALANCE_SQL)})
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids as long-form (label, dim, mean) — the
+# array-analytics shape behind IVF/k-means: posexplode the vector,
+# one groupBy over (label, dim). Long form keeps the oracle exact
+# (no array-of-float compare) and the plan a single shuffle.
+# ---------------------------------------------------------------------------
+
+def embedding_dim_means(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim0", "v"))
+        .select("label", (F.col("dim0") + 1).alias("dim"), "v")
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 4).alias("mean_v"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+EMBEDDING_DIM_MEANS_SQL = """
+WITH nums AS (SELECT CAST(range AS INT) AS dim FROM range(1, 100000)),
+exploded AS (
+    SELECT e.label, n.dim, CAST(e.embedding[n.dim] AS DOUBLE) AS v
+    FROM embeddings e JOIN nums n ON n.dim <= len(e.embedding)
+)
+SELECT label, dim, ROUND(AVG(v), 4) AS mean_v, COUNT(*) AS n_vectors
+FROM exploded
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+EXT3_QUERIES.update({"embedding_dim_means": (embedding_dim_means, EMBEDDING_DIM_MEANS_SQL)})
