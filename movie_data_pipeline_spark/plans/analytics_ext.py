@@ -83,14 +83,17 @@ def event_deltas(spark: SparkSession, sf: str) -> DataFrame:
     return events.select(
         "user_id",
         "event_id",
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        # + 0.0 collapses IEEE -0.0 (sign-of-zero determinism class)
+        (F.round(F.col("value") - F.lag("value").over(w), 6) + F.lit(0.0)).alias(
+            "delta"
+        ),
         F.lead("event_id").over(w).alias("next_event_id"),
     )
 
 
 EVENT_DELTAS_SQL = """
 SELECT user_id, event_id,
-       ROUND(value - LAG(value) OVER w, 6) AS delta,
+       ROUND(value - LAG(value) OVER w, 6) + 0.0 AS delta,
        LEAD(event_id) OVER w AS next_event_id
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -663,7 +666,10 @@ SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
 
 # ---------------------------------------------------------------------------
 # JSON functions: parse the events.props JSON payload (typed extract +
-# aggregate). Integer sums — no FP determinism concerns.
+# aggregate). Integer sums have no FP-order concerns, but the oracle
+# must CAST(SUM(..) AS BIGINT): DuckDB SUM(INT) widens to HUGEINT
+# (int128) while Spark sum(int) is BIGINT, and the driver's value
+# hash is type-sensitive (round-1 hash_match failure).
 # ---------------------------------------------------------------------------
 
 def json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -684,7 +690,7 @@ def json_props_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 JSON_PROPS_SQL = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
        MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS k_min,
        MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS k_max,
        COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50

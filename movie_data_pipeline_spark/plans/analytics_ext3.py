@@ -761,7 +761,18 @@ def embedding_dim_means(spark: SparkSession, sf: str) -> DataFrame:
         .select("label", (F.col("dim0") + 1).alias("dim"), "v")
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg(F.col("v").cast("double")), 4).alias("mean_v"),
+            # Exact decimal sum (order-independent) then round; `+ 0.0`
+            # collapses IEEE -0.0 to 0.0 — a mean of negatives that
+            # rounds to zero keeps its sign on one engine and not the
+            # other (round-1 sf0.001 failure).
+            (
+                F.round(
+                    F.sum(F.col("v").cast("decimal(30,12)")).cast("double")
+                    / F.count(F.col("v")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("mean_v"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
         .orderBy("label", "dim")
@@ -774,7 +785,10 @@ exploded AS (
     SELECT e.label, n.dim, CAST(e.embedding[n.dim] AS DOUBLE) AS v
     FROM embeddings e JOIN nums n ON n.dim <= len(e.embedding)
 )
-SELECT label, dim, ROUND(AVG(v), 4) AS mean_v, COUNT(*) AS n_vectors
+SELECT label, dim,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v), 4) + 0.0
+           AS mean_v,
+       COUNT(*) AS n_vectors
 FROM exploded
 GROUP BY label, dim
 ORDER BY label, dim
