@@ -3,7 +3,8 @@
 The reference's SQLite conflict clauses become explicit set-oriented
 plans — each is a single distributed write, not row-at-a-time inserts:
 
-- S5 INSERT OR REPLACE  → last-write-wins dedup by key, then overwrite
+- S5 INSERT OR REPLACE  → keyed MERGE: existing ∪ batch, last-write-wins
+  by key (incoming wins ties), staged atomic swap
 - S6/S7 INSERT OR IGNORE → dedup + left-anti join against existing, append
 - S8 append-if-empty     → guarded append
 
@@ -37,8 +38,52 @@ def dedup_last_write_wins(
 def upsert_overwrite(
     df: DataFrame, path: str, keys: Sequence[str], order_col: str | None = None
 ) -> None:
-    """S5: INSERT OR REPLACE semantics as dedup-by-key + overwrite."""
-    dedup_last_write_wins(df, keys, order_col).write.mode("overwrite").parquet(path)
+    """S5: INSERT OR REPLACE (reference etl.py:238-244) as a keyed
+    MERGE: union the existing table (when present) with the incoming
+    batch, keep one row per key — greatest ``order_col`` wins, the
+    incoming side winning ties — and swap the merged result in via a
+    staged write (same atomic-rename discipline as
+    ``compact_parquet``). Pre-existing rows whose keys are absent from
+    the batch survive, which batch-replace overwrite would silently
+    drop.
+
+    Scale: one keyed shuffle over existing ∪ incoming. At 100 TB the
+    table would be partitioned and only touched partitions rewritten
+    (dynamic partition overwrite / MERGE INTO on a table format); the
+    merge plan itself is unchanged.
+    """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    incoming = df.withColumn("__src", F.lit(1))
+    try:
+        existing = spark.read.parquet(path).select(*df.columns)
+        merged = existing.withColumn("__src", F.lit(0)).unionByName(incoming)
+        staged = True
+    except Exception:
+        merged = incoming  # first write — nothing to merge with
+        staged = False
+    order = [F.col(order_col).desc()] if order_col else []
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        *order, F.col("__src").desc()
+    )
+    winners = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    if staged:
+        # The plan reads `path`; Spark refuses (rightly) to overwrite a
+        # path it is reading. Stage to a sibling dir, then rename-swap.
+        tmp = path.rstrip("/") + "__upserting"
+        winners.write.mode("overwrite").parquet(tmp)
+        old = path.rstrip("/") + "__preupsert"
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        winners.write.mode("overwrite").parquet(path)
 
 
 def insert_if_absent(

@@ -143,6 +143,20 @@ def test_sinks_upsert_and_ignore(spark, tmp_path):
     got = {r.k: r.v for r in spark.read.parquet(p1).collect()}
     assert got == {1: "b", 2: "c"}  # last-write-wins on ver
 
+    # incremental batch: key 2 replaced (higher ver), key 3 inserted,
+    # key 1 NOT in the batch — must survive the merge untouched
+    batch2 = spark.createDataFrame([(2, "c2", 6), (3, "d", 1)], ["k", "v", "ver"])
+    sinks.upsert_overwrite(batch2, p1, ["k"], order_col="ver")
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(p1).collect()}
+    assert got == {1: ("b", 20), 2: ("c2", 6), 3: ("d", 1)}
+
+    # equal-ver tie: incoming side wins (INSERT OR REPLACE semantics)
+    batch3 = spark.createDataFrame([(3, "d_new", 1)], ["k", "v", "ver"])
+    sinks.upsert_overwrite(batch3, p1, ["k"], order_col="ver")
+    assert {
+        r.k: r.v for r in spark.read.parquet(p1).collect()
+    } == {1: "b", 2: "c2", 3: "d_new"}
+
     p2 = str(tmp_path / "ignore")
     sinks.insert_if_absent(spark, df.select("k", "v"), p2, ["k"])
     sinks.insert_if_absent(
