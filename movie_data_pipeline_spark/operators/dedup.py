@@ -307,6 +307,7 @@ def simhash_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
 
@@ -314,8 +315,17 @@ def simhash_duplicates(
     shares at least one identical 16-bit chunk (pigeonhole over 4
     chunks), so bucketing on (chunk_idx, chunk_value) has full recall.
     Verify with an exact popcount — ``bit_count`` is native in Spark.
+
+    Candidate generation goes through ``pairs_within_groups`` (the
+    bounded in-row core shared with the LSH/winnow paths), so a
+    degenerate chunk value — e.g. millions of empty docs hashing to
+    the same 16-bit chunk — yields at most max_bucket²/2 pairs, not a
+    quadratic self-join (a round-1 scale-killer: this was the one
+    dedup family with an uncapped bucket join). Capped buckets hold
+    near-identical docs the exact-dedup pass already collapses.
     """
-    # persist: the chunk self-join would otherwise run the UDF twice
+    # persist: the simhash UDF output is read by both the candidate
+    # pass and the verify joins
     sk = (
         simhash(docs, text_col)
         .select(F.col(id_col).alias("doc_id"), "simhash")
@@ -323,7 +333,6 @@ def simhash_duplicates(
     )
     chunks = sk.select(
         "doc_id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -333,19 +342,14 @@ def simhash_duplicates(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    left = chunks.select(
-        "chunk_idx", "chunk_val",
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"),
-    )
-    right = chunks.select(
-        "chunk_idx", "chunk_val",
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"),
-    )
+    cand = pairs_within_groups(
+        chunks, ["chunk_idx", "chunk_val"], "doc_id", max_group=max_bucket
+    ).dropDuplicates(["id_a", "id_b"])
+    sh_a = sk.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sh_b = sk.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
     return (
-        left.join(right, ["chunk_idx", "chunk_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )

@@ -2,17 +2,21 @@
 a search engine, pure DataFrame ops end to end.
 
 Plan shape (one pass over the corpus, two tiny shuffles):
-  tokenize → explode → filter to query terms (predicate BEFORE the
-  heavy aggregation — only query-term postings survive the explode)
-  → per-(doc, term) frequency → join the per-term document-frequency
-  dim (broadcast; |query| rows) → BM25 partial score per posting →
-  sum per doc → deterministic top-k.
+  tokenize → explode carrying the doc length dl alongside each term
+  (dl is functionally dependent on doc_id, so it rides the posting
+  rows and the (doc, term, dl) groupBy for free — no separate
+  per-doc lengths join) → filter to query terms (predicate BEFORE
+  the heavy aggregation — only query-term postings survive the
+  explode) → per-(doc, term) frequency → join the per-term
+  document-frequency dim (broadcast; |query| rows) → BM25 partial
+  score per posting → sum per doc → deterministic top-k.
 
-At 100 TB the doc-length and df statistics come from the same single
-aggregation pass; nothing is driver-side except the query terms
-themselves. Determinism for the oracle gate: scores are rounded
-before ranking and ties break on doc_id, so both engines select the
-same k rows (raw float ULP differences can't flip the cut)."""
+The ONLY broadcasts are |query|-sized (df_dim) and 1-row
+(n_docs/avgdl) — never O(corpus). (Round 1 broadcast a per-doc
+lengths table: correct answer, driver-OOM plan at 100 TB.)
+Determinism for the oracle gate: scores are rounded before ranking
+and ties break on doc_id, so both engines select the same k rows
+(raw float ULP differences can't flip the cut)."""
 
 from __future__ import annotations
 
@@ -39,17 +43,16 @@ def bm25_top_docs(
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         bpe_ish_tokens(F.col(text_col)).alias("toks"),
-    )
-    lengths = toks.select("doc_id", F.size("toks").alias("dl"))
-    n_and_avgdl = lengths.agg(
+    ).select("doc_id", F.size("toks").alias("dl"), "toks")
+    n_and_avgdl = toks.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
 
     postings = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(query_terms))
-        .groupBy("doc_id", "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_dim = postings.groupBy("term").agg(
@@ -58,7 +61,6 @@ def bm25_top_docs(
 
     scored = (
         postings.join(F.broadcast(df_dim), "term")
-        .join(F.broadcast(lengths), "doc_id")
         .crossJoin(F.broadcast(n_and_avgdl))
         .withColumn(
             "idf",

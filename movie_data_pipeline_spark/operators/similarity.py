@@ -215,23 +215,45 @@ def train_ivf_centroids(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    max_train_rows: int = 4096,
 ) -> np.ndarray:
-    """Train the coarse quantizer (k-means over the corpus, or at scale
-    over a sample of it) and return the (nlist × dim) centroid matrix.
+    """Train the coarse quantizer on a BOUNDED seeded sample and return
+    the (nlist × dim) centroid matrix.
 
     Index construction is a deliberate action — the analogue of
-    building an IVF index in Faiss. On a 100 TB corpus this trains on
-    `corpus.sample(...)`; the resulting centroid matrix is tiny and
-    ships to executors as a closure literal.
+    building an IVF index in Faiss, whose quantizer likewise trains on
+    a bounded sample, never the full corpus. The sample is capped at
+    ``max_train_rows`` regardless of corpus size (≤ a few MB), so
+    collecting it to the driver is O(1) in the corpus — NOT an
+    O(N) collect — and Lloyd's iterations run as in-memory numpy
+    matmuls instead of ``max_iter`` distributed jobs. Deterministic:
+    seeded sample, seeded init, no data-order dependence in the
+    updates beyond the sample itself.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feats = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    n = corpus.count()
+    frac = min(1.0, (max_train_rows * 1.3) / max(n, 1))
+    sample = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    rows = (
+        sample.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(max_train_rows)
+        .collect()
     )
-    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
-    return np.stack([np.asarray(c) for c in model.clusterCenters()])
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    k = min(nlist, len(x))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(max_iter):
+        d = (
+            (x**2).sum(axis=1)[:, None]
+            - 2.0 * (x @ cents.T)
+            + (cents**2).sum(axis=1)[None, :]
+        )
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return cents
 
 
 def _nearest_lists_udf(centroids: np.ndarray, nprobe: int):

@@ -525,11 +525,22 @@ GROUP BY r_name, n_name
 # the second approximate-similarity index family beside sign-LSH
 # ---------------------------------------------------------------------------
 
+# Trained quantizers are index state, not query state: train once per
+# (corpus, nlist) on a bounded sample and reuse — retraining inside
+# every query invocation was a round-1 scale-killer (an unbounded
+# iterative ML job per query at 100 TB).
+_IVF_CENTROIDS: dict = {}
+
+
 def ivf_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.similarity import ivf_knn, train_ivf_centroids
 
     emb = load_table(spark, sf, "embeddings")
-    centroids = train_ivf_centroids(emb, nlist=16)  # index-construction action
+    key = (sf, 16)
+    centroids = _IVF_CENTROIDS.get(key)
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, nlist=16)  # index construction
+        _IVF_CENTROIDS[key] = centroids
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_knn(emb, queries, centroids, k=5, nprobe=4).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")

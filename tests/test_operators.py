@@ -53,6 +53,19 @@ def test_simhash_duplicates(docs):
     assert hamm[(1, 2)] == 0
 
 
+def test_simhash_degenerate_corpus_bounded(spark):
+    # 1k identical docs: every simhash chunk lands in ONE bucket. The
+    # max_bucket cap must bound candidate fan-out (uncapped this is a
+    # ~1M-pair quadratic self-join; at corpus scale, a cluster-killer).
+    n, cap = 1000, 50
+    docs = spark.createDataFrame(
+        [(i, "same text every time") for i in range(n)], ["doc_id", "text"]
+    )
+    pairs = dedup.simhash_duplicates(docs, max_hamming=3, max_bucket=cap).collect()
+    assert 0 < len(pairs) <= 4 * cap * (cap - 1) // 2
+    assert all(r.hamming == 0 and r.id_a < r.id_b for r in pairs)
+
+
 def test_simhash_deterministic(docs):
     a = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     b = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}

@@ -43,6 +43,39 @@ def audit_plan(plan: str) -> dict[str, object]:
     }
 
 
+# An explicit F.broadcast() hint bypasses autoBroadcastJoinThreshold, so
+# an O(corpus) build side never fails planning — it fails the driver at
+# scale. Catch it from runtime evidence: any BroadcastExchange whose
+# numOutputRows exceeds this at the audit SF is corpus-shaped, not
+# dim-shaped (dims here are ≤ ~2k rows at sf0.01; facts are ≥ 15k).
+BCAST_WORRY_ROWS = 10_000
+
+
+def broadcast_row_counts(node) -> list[int]:
+    """numOutputRows of every BroadcastExchange in an EXECUTED plan,
+    descending through AQE and query-stage wrappers."""
+    out: list[int] = []
+    name = node.getClass().getSimpleName()
+    if "BroadcastExchange" in name:
+        try:
+            opt = node.metrics().get("numOutputRows")
+            if opt.isDefined():
+                out.append(opt.get().value())
+        except Exception:  # noqa: BLE001
+            pass
+    try:
+        if name == "AdaptiveSparkPlanExec":
+            return out + broadcast_row_counts(node.executedPlan())
+        if "QueryStage" in name:
+            return out + broadcast_row_counts(node.plan())
+    except Exception:  # noqa: BLE001
+        pass
+    it = node.children().iterator()
+    while it.hasNext():
+        out.extend(broadcast_row_counts(it.next()))
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -50,7 +83,8 @@ def main() -> int:
     spark = get_spark("explain_audit")
     header = (
         f"{'query':32s} {'BHJ':>3s} {'SMJ':>3s} {'BNLJ':>4s} {'xchg':>4s} "
-        f"{'expd':>4s} {'wscg':>4s} {'scan':>4s} {'push':>4s} {'py':>3s} {'cach':>4s}"
+        f"{'expd':>4s} {'wscg':>4s} {'scan':>4s} {'push':>4s} {'py':>3s} "
+        f"{'cach':>4s} {'bcast':>7s}"
     )
     print(header)
     print("-" * len(header))
@@ -60,11 +94,17 @@ def main() -> int:
             continue
         try:
             df = builder(spark, sf_dir)
-            # execute first: AQE rewrites joins/partitioning at runtime,
-            # so only the final plan (isFinalPlan=true) tells the truth
-            df.write.format("noop").mode("overwrite").save()
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            # execute via collect() on the df's OWN QueryExecution: a
+            # noop-sink write runs a separate QE, leaving this one's
+            # AQE rewrites un-finalized and its metrics at zero. Only
+            # the executed instance tells the truth (isFinalPlan=true
+            # and live numOutputRows on every BroadcastExchange).
+            df.collect()
+            qe = df._jdf.queryExecution()
+            plan = qe.executedPlan().toString()
             a = audit_plan(plan)
+            bcast = broadcast_row_counts(qe.executedPlan())
+            a["bcast_max"] = max(bcast) if bcast else 0
             spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             print(f"{name:32s} ERROR: {exc}")
@@ -73,12 +113,17 @@ def main() -> int:
         print(
             f"{name:32s} {a['bhj']:3d} {a['smj']:3d} {a['bnlj']:4d} "
             f"{a['exchanges']:4d} {a['expand']:4d} {a['codegen_spans']:4d} "
-            f"{a['scans']:4d} {a['pushed']:4d} {a['python_eval']:3d} {a['cached']:4d}"
+            f"{a['scans']:4d} {a['pushed']:4d} {a['python_eval']:3d} "
+            f"{a['cached']:4d} {a['bcast_max']:7d}"
         )
         if a["smj"] > 0:
             worries.append((name, f"{a['smj']} sort-merge join(s)"))
         if a["expand"] > 0:
             worries.append((name, f"{a['expand']} Expand node(s)"))
+        if a["bcast_max"] > BCAST_WORRY_ROWS:
+            worries.append(
+                (name, f"O(corpus)-sized broadcast: {a['bcast_max']} rows")
+            )
     if worries:
         print("\nworth a look (SMJ may be fine for fact-to-fact; Expand is"
               " expected for cube/rollup/multi-distinct):")
