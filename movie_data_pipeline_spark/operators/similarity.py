@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
+from .dedup import pairs_within_groups
 from .topk import top_k_per_group
 
 
@@ -168,30 +169,51 @@ def embedding_near_duplicates(
     corpus: DataFrame,
     dim: int,
     threshold: float = 0.95,
-    nbits: int = 12,
+    bands: int = 16,
+    band_bits: int = 4,
+    max_bucket: int = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Corpus-wide cosine near-dup pairs (id_a < id_b, cos ≥ τ).
+    """Corpus-wide cosine near-dup pairs (id_a < id_b, cos ≥ τ) via
+    banded sign-LSH: ``bands`` independent groups of ``band_bits``
+    sign bits each; a pair is a candidate if ANY band matches
+    (recall = 1 − (1 − p^r)^L for collision prob p = 1 − θ/π). Exact
+    cosine verifies every candidate, so precision is exactly 1.
 
-    Near-identical vectors land in the same sign-bucket with high
-    probability; the bucket self-join bounds the pair explosion to
-    per-bucket width. Exact cosine verifies every candidate.
+    Round 1 used a single 12-bit band — recall p^12, effectively zero
+    for any τ the data exhibits. Banding is the standard E2LSH recall
+    lever; r and L tune to the target τ. Candidate generation routes
+    through ``pairs_within_groups`` (one keyed shuffle, in-row pair
+    gen, max_bucket hot-key cap) — the same bounded core as the
+    minhash/winnow/simhash paths.
     """
+    nbits = bands * band_bits
+    mask = (1 << band_bits) - 1
     b = with_lsh_bucket(
         corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")),
         dim, nbits, "vec", seed,
     )
-    left = b.select(
-        F.col("bucket"), F.col("doc_id").alias("id_a"), F.col("vec").alias("vec_a")
+    banded = b.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("bucket", band_bits * i).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
     )
-    right = b.select(
-        F.col("bucket"), F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b")
-    )
+    cand = pairs_within_groups(
+        banded, ["band_idx", "band_val"], "doc_id", max_group=max_bucket
+    ).dropDuplicates(["id_a", "id_b"])
+    va = b.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = b.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn(
             "cos_sim",
             cosine(
@@ -201,7 +223,6 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
-        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -253,6 +274,23 @@ def train_ivf_centroids(
             members = x[assign == j]
             if len(members):
                 cents[j] = members.mean(axis=0)
+    return cents
+
+
+# Trained quantizers are index state, not query state: one training per
+# (corpus, nlist), reused by every query over that corpus. Retraining
+# inside each invocation was a round-1 scale-killer.
+_CENTROID_CACHE: dict = {}
+
+
+def get_ivf_centroids(
+    corpus: DataFrame, cache_key: str, nlist: int = 16, **train_kw
+) -> np.ndarray:
+    key = (cache_key, nlist)
+    cents = _CENTROID_CACHE.get(key)
+    if cents is None:
+        cents = train_ivf_centroids(corpus, nlist=nlist, **train_kw)
+        _CENTROID_CACHE[key] = cents
     return cents
 
 

@@ -681,7 +681,10 @@ def embedding_neardup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.similarity import embedding_near_duplicates
 
     emb = load_table(spark, sf, "embeddings")
-    return embedding_near_duplicates(emb, dim=64, threshold=0.95, nbits=12)
+    # τ = 0.45: this synthetic corpus's max pairwise cosine is ~0.5-0.6,
+    # so any higher threshold returns zero rows and verifies nothing
+    # (round-1 lesson). 16 bands × 4 bits targets ~0.9 recall at this τ.
+    return embedding_near_duplicates(emb, dim=64, threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
@@ -845,6 +848,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # multimodal). Imported at the bottom to reuse this module's helpers.
 from .analytics_ext import EXT_QUERIES  # noqa: E402
 from .analytics_ext3 import EXT3_QUERIES  # noqa: E402
+from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EXT3_QUERIES)
+QUERIES.update(VERIFY_QUERIES)

@@ -525,22 +525,12 @@ GROUP BY r_name, n_name
 # the second approximate-similarity index family beside sign-LSH
 # ---------------------------------------------------------------------------
 
-# Trained quantizers are index state, not query state: train once per
-# (corpus, nlist) on a bounded sample and reuse — retraining inside
-# every query invocation was a round-1 scale-killer (an unbounded
-# iterative ML job per query at 100 TB).
-_IVF_CENTROIDS: dict = {}
-
-
 def ivf_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.similarity import ivf_knn, train_ivf_centroids
+    from ..operators.similarity import get_ivf_centroids, ivf_knn
 
     emb = load_table(spark, sf, "embeddings")
-    key = (sf, 16)
-    centroids = _IVF_CENTROIDS.get(key)
-    if centroids is None:
-        centroids = train_ivf_centroids(emb, nlist=16)  # index construction
-        _IVF_CENTROIDS[key] = centroids
+    # index construction happens once per (corpus, nlist) — cached
+    centroids = get_ivf_centroids(emb, sf, nlist=16)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivf_knn(emb, queries, centroids, k=5, nprobe=4).select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
@@ -712,15 +702,20 @@ GROUP BY event_type
 
 
 # ---------------------------------------------------------------------------
-# Sketches: HyperLogLog approximate distinct (rows-only — Spark's HLL++
-# and DuckDB's approx sketch disagree by construction; the unit test
-# pins the relative error instead)
+# Sketches: HyperLogLog approximate distinct. Spark's HLL++ and
+# DuckDB's sketch disagree on the raw estimate by construction, so the
+# oracle-able output is the tolerance-predicate form: exact counts
+# (independently recomputed by DuckDB) + a within-tolerance boolean
+# whose expected value the oracle states as a literal. Spark's sketch
+# is deterministic, so the boolean is stable — the driver hash now
+# enforces sketch accuracy instead of recording a rows-only count.
 # ---------------------------------------------------------------------------
 
 def approx_distinct_summary(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct vs exact, side by side — the 100 TB path
+    """approx_count_distinct (rsd=0.02) vs exact — the 100 TB path
     replaces exact countDistinct with the sketch (one pass, constant
-    memory, no expand-based two-phase aggregation)."""
+    memory, no expand-based two-phase aggregation). Tolerance 0.05 =
+    2.5× the configured rsd."""
     li = load_table(spark, sf, "lineitem")
     # one agg per distinct column, stitched with 1-row cross joins —
     # multiple exact distincts in a single aggregate would force an
@@ -735,11 +730,34 @@ def approx_distinct_summary(spark: SparkSession, sf: str) -> DataFrame:
     exact_parts = li.select("l_partkey").distinct().agg(
         F.count(F.lit(1)).alias("exact_parts")
     )
+    tol = 0.05
     return (
         approx.crossJoin(exact_orders)
         .crossJoin(exact_parts)
-        .select("approx_orders", "exact_orders", "approx_parts", "exact_parts")
+        .select(
+            "exact_orders",
+            "exact_parts",
+            (
+                F.abs(
+                    F.col("approx_orders") / F.col("exact_orders") - 1.0
+                )
+                <= tol
+            ).alias("orders_within_tol"),
+            (
+                F.abs(F.col("approx_parts") / F.col("exact_parts") - 1.0)
+                <= tol
+            ).alias("parts_within_tol"),
+        )
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS orders_within_tol,
+       TRUE AS parts_within_tol
+FROM lineitem
+"""
 
 
 EXT_QUERIES = {
@@ -760,9 +778,11 @@ EXT_QUERIES = {
     "customer_balance_tiles": (customer_balance_tiles, CUSTOMER_TILES_SQL),
     "order_date_features": (order_date_features, ORDER_DATE_FEATURES_SQL),
     "supplier_volume_by_nation": (supplier_volume_by_nation, SUPPLIER_VOLUME_SQL),
-    # rows-only (binary chunking / sketch / ANN have no exact SQL twin)
+    "approx_distinct_summary": (approx_distinct_summary, APPROX_DISTINCT_SQL),
+    # rows-only: frame_samples decodes binary media (no SQL twin);
+    # ivf/winnow raw outputs are approximate/rolling-hash — their
+    # semantics are driver-gated via plans/verification.py check twins
     "frame_samples": (frame_samples, None),
-    "approx_distinct_summary": (approx_distinct_summary, None),
     "ivf_knn_embeddings": (ivf_knn_embeddings, None),
     "winnow_pairs": (winnow_pairs, None),
 }

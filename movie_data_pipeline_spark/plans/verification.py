@@ -1,0 +1,268 @@
+"""Driver-enforceable verification twins for the approximate operator
+families (minhash LSH, simhash, sign-LSH / IVF ANN, HLL sketches).
+
+The approximate algorithms are all deterministic (seeded hyperplanes,
+seeded samples, fixed hash permutations), so their outputs are fixed
+for a given corpus — but they are not SQL-expressible, which round 1
+left as weaker rows-only driver rows. These check queries close the
+gap with a tolerance-predicate pattern:
+
+- Spark side: run the approximate operator AND its exact brute-force
+  twin in one plan; emit the exact-computable measures (pair / query
+  counts) plus recall / precision PREDICATES as booleans.
+- Oracle side: DuckDB recomputes the exact measures independently and
+  states the predicates' expected values as literals.
+
+The driver's exact value-hash compare then enforces recall ≥ τ AND
+precision = 1 as a hard gate — not a rows-only count. Thresholds sit
+with margin below recall measured at sf{0.001,0.01,0.1} (deterministic
+per corpus; figures in each docstring).
+
+The brute-force twins are verification harnesses bounded to test scale
+factors (cartesian pair generation over ≤ a few thousand sketch/vector
+rows); the approximate operators remain the 100 TB path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..sources.catalog import load_table
+
+
+def _one_row(*dfs: DataFrame) -> DataFrame:
+    """Cross-join 1-row aggregates into a single row (all sides are
+    single rows — the joins are literal-sized)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.crossJoin(d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH vs exact n-gram Jaccard (recall ≥ 0.9, precision = 1)
+# ---------------------------------------------------------------------------
+
+def minhash_recall_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Measured recall at τ=0.7: 24/25 (sf0.01), 252/256 (sf0.1) —
+    banding misses only pairs hugging the threshold (catch prob
+    1−(1−j⁴)⁸ ≈ 0.89 at j=0.7, ≈ 1 at j≥0.9). Precision is exactly 1
+    by construction: every candidate is verified with the same exact
+    Jaccard the brute-force twin uses."""
+    from ..operators.dedup import minhash_lsh_duplicates
+    from .analytics import ngram_jaccard_exact
+
+    docs = load_table(spark, sf, "documents")
+    exact = ngram_jaccard_exact(spark, sf, threshold=0.7).select("id_a", "id_b")
+    lsh = minhash_lsh_duplicates(docs, threshold=0.7).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = exact.join(lsh, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    n_fp = lsh.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    return _one_row(n_exact, n_found, n_fp).select(
+        "n_exact",
+        (F.col("n_found") >= 0.9 * F.col("n_exact")).alias("recall_ok"),
+        (F.col("n_fp") == 0).alias("precision_ok"),
+    )
+
+
+MINHASH_RECALL_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shset
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+),
+e AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok, TRUE AS precision_ok
+FROM p
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding vs exact all-pairs Hamming (recall = 1 by pigeonhole,
+# precision = 1 by popcount verify)
+# ---------------------------------------------------------------------------
+
+def simhash_recall_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Hamming ≤ 3 over 4×16-bit chunks: ≤ 3 flipped bits touch ≤ 3
+    chunks, so every true pair shares a chunk — full recall is a
+    THEOREM, not a probability, as long as no candidate bucket
+    overflows max_bucket (none do at test SFs: the corpus has no
+    exact dups, so chunk buckets stay tiny). The exact twin is an
+    all-pairs popcount over the (doc_id, simhash) sketch table —
+    cartesian in pair count but over 8-byte sketches, fine at test
+    SFs, verification-only."""
+    from ..operators.dedup import simhash, simhash_duplicates
+
+    docs = load_table(spark, sf, "documents")
+    sk = simhash(docs).select("doc_id", "simhash")
+    a = sk.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sk.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3
+        )
+        .select("id_a", "id_b")
+    )
+    approx = simhash_duplicates(docs, max_hamming=3).select("id_a", "id_b")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_missed = exact.join(approx, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    n_fp = approx.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    return _one_row(n_docs, n_missed, n_fp).select(
+        "n_docs",
+        (F.col("n_missed") == 0).alias("recall_one"),
+        (F.col("n_fp") == 0).alias("precision_one"),
+    )
+
+
+SIMHASH_RECALL_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS recall_one, TRUE AS precision_one
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# LSH / IVF KNN vs exact brute-force top-k (recall@5)
+# ---------------------------------------------------------------------------
+
+def knn_recall_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Overall recall@5 across the 10 query vectors, approximate vs
+    exact. Check params are recall-tuned (they scan more than the
+    headline queries' scale-tuned params — that is the point of a
+    recall gate): LSH nbits=6/probe=3 measured 0.78/0.90/0.74 across
+    sf{0.001,0.01,0.1} → assert ≥ 0.7; IVF nprobe=10/16 lists
+    measured 0.84/0.90/0.86 → assert ≥ 0.8. This synthetic corpus is
+    near-uniform (max pairwise cosine ~0.5), the hardest regime for
+    ANN — on clustered real embeddings the same machinery clears the
+    bar with far less probing."""
+    from ..operators.similarity import (
+        brute_force_knn,
+        get_ivf_centroids,
+        ivf_knn,
+        lsh_knn,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_knn(emb, q, k=5).select("query_id", "neighbor_id")
+    lsh = lsh_knn(emb, q, dim=64, k=5, nbits=6, probe_hamming=3).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_knn(
+        emb, q, get_ivf_centroids(emb, sf, nlist=16), k=5, nprobe=10
+    ).select("query_id", "neighbor_id")
+
+    n_queries = q.agg(F.count(F.lit(1)).alias("n_queries"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    lsh_found = exact.join(lsh, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("lsh_found")
+    )
+    ivf_found = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("ivf_found")
+    )
+    return _one_row(n_queries, n_exact, lsh_found, ivf_found).select(
+        "n_queries",
+        (F.col("lsh_found") >= 0.7 * F.col("n_exact")).alias("lsh_recall_ok"),
+        (F.col("ivf_found") >= 0.8 * F.col("n_exact")).alias("ivf_recall_ok"),
+    )
+
+
+KNN_RECALL_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       TRUE AS lsh_recall_ok, TRUE AS ivf_recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Banded sign-LSH near-dup vs exact brute-force cosine pairs
+# ---------------------------------------------------------------------------
+
+def embedding_neardup_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact side restricted to vec_id < 500 on both ends so the
+    brute-force pair count stays bounded at every SF (≤ 125k pairs);
+    the banded operator runs on the same slice. Measured full-corpus
+    recall at τ=0.45: 6/7 (sf0.001), 14/14 (sf0.01), 142/144 (sf0.1)
+    → assert ≥ 0.8; precision is exactly 1 (exact-cosine verify).
+    n_exact is recomputed independently by DuckDB, which also
+    cross-checks the two engines' cosine threshold decisions."""
+    from ..operators.similarity import embedding_near_duplicates
+
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cs",
+            cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        )
+        .filter(F.col("cs") >= 0.45)
+        .select("id_a", "id_b")
+    )
+    approx = embedding_near_duplicates(emb, dim=64, threshold=0.45).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = exact.join(approx, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    n_fp = approx.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    return _one_row(n_exact, n_found, n_fp).select(
+        "n_exact",
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_found") >= 0.8 * F.col("n_exact"))
+        ).alias("recall_ok"),
+        (F.col("n_fp") == 0).alias("precision_ok"),
+    )
+
+
+EMBEDDING_NEARDUP_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok, TRUE AS precision_ok
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+VERIFY_QUERIES = {
+    "minhash_recall_check": (minhash_recall_check, MINHASH_RECALL_SQL),
+    "simhash_recall_check": (simhash_recall_check, SIMHASH_RECALL_SQL),
+    "knn_recall_check": (knn_recall_check, KNN_RECALL_SQL),
+    "embedding_neardup_check": (embedding_neardup_check, EMBEDDING_NEARDUP_CHECK_SQL),
+}
