@@ -335,32 +335,32 @@ def profile_customer(spark: SparkSession, sf: str) -> DataFrame:
 PROFILE_CUSTOMER_SQL = """
 SELECT * FROM (
     SELECT 'c_custkey' AS column_name, COUNT(*) AS n_rows,
-           SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(CASE WHEN c_custkey IS NULL THEN 1 END) AS n_nulls,
            COUNT(DISTINCT c_custkey) AS n_distinct,
            CAST(MIN(c_custkey) AS VARCHAR) AS min_value,
            CAST(MAX(c_custkey) AS VARCHAR) AS max_value
     FROM customer
     UNION ALL
     SELECT 'c_name', COUNT(*),
-           SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END),
+           COUNT(CASE WHEN c_name IS NULL THEN 1 END),
            COUNT(DISTINCT c_name),
            CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR)
     FROM customer
     UNION ALL
     SELECT 'c_nationkey', COUNT(*),
-           SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END),
+           COUNT(CASE WHEN c_nationkey IS NULL THEN 1 END),
            COUNT(DISTINCT c_nationkey),
            CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
     FROM customer
     UNION ALL
     SELECT 'c_acctbal', COUNT(*),
-           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+           COUNT(CASE WHEN c_acctbal IS NULL THEN 1 END),
            COUNT(DISTINCT c_acctbal),
            CAST(MIN(c_acctbal) AS VARCHAR), CAST(MAX(c_acctbal) AS VARCHAR)
     FROM customer
     UNION ALL
     SELECT 'c_mktsegment', COUNT(*),
-           SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END),
+           COUNT(CASE WHEN c_mktsegment IS NULL THEN 1 END),
            COUNT(DISTINCT c_mktsegment),
            CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR)
     FROM customer
@@ -386,22 +386,22 @@ def orders_expectations(spark: SparkSession, sf: str) -> DataFrame:
 ORDERS_EXPECTATIONS_SQL = """
 SELECT * FROM (
     SELECT 'custkey_not_null' AS rule,
-           SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS n_violations,
+           COUNT(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE) THEN 1 END) AS n_violations,
            COUNT(*) AS n_rows
     FROM orders
     UNION ALL
     SELECT 'orderdate_not_null',
-           SUM(CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 1 ELSE 0 END),
+           COUNT(CASE WHEN NOT COALESCE(o_orderdate IS NOT NULL, FALSE) THEN 1 END),
            COUNT(*)
     FROM orders
     UNION ALL
     SELECT 'status_in_domain',
-           SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 ELSE 0 END),
+           COUNT(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'), FALSE) THEN 1 END),
            COUNT(*)
     FROM orders
     UNION ALL
     SELECT 'totalprice_positive',
-           SUM(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END),
+           COUNT(CASE WHEN NOT COALESCE(o_totalprice > 0, FALSE) THEN 1 END),
            COUNT(*)
     FROM orders
 ) ORDER BY rule

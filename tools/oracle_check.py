@@ -19,6 +19,52 @@ from movie_data_pipeline_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from movie_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+# Spark simpleString ↔ DuckDB logical type names that hash identically
+# on the driver side. Anything outside these pairs is a WARN. Width
+# differences WITHIN int64 (Spark int vs DuckDB BIGINT) are
+# driver-verified safe (part_name_features et al. were hash-green in
+# round 1); HUGEINT is NOT (json_props_stats hash-failed on it —
+# int128 leaves the numpy fast path).
+_INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"}
+_TYPE_EQUIV = {
+    "tinyint": _INTS, "smallint": _INTS, "int": _INTS, "bigint": _INTS,
+    "float": {"FLOAT", "REAL"}, "double": {"DOUBLE"},
+    "boolean": {"BOOLEAN"}, "string": {"VARCHAR"},
+    "binary": {"BLOB"}, "date": {"DATE"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS"},
+}
+
+
+def dtype_audit(sdf, con, sql) -> list[str]:
+    """Advisory cross-engine dtype compare: the value-normalized hash
+    here masks type-level divergence (round 1: DuckDB HUGEINT vs Spark
+    BIGINT passed locally but failed the DRIVER's value hash). Compares
+    Spark schema types against DuckDB's logical result types (via
+    DESCRIBE, which exposes BIGINT vs HUGEINT etc. — the DB-API
+    description only yields generic NUMBER/STRING codes); WARNs on any
+    pair outside the known-safe equivalences."""
+    duck_types = {
+        r[0].lower(): str(r[1]).upper()
+        for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    warns = []
+    for f in sdf.schema.fields:
+        name = f.name.lower()
+        s = f.dataType.simpleString()
+        got = duck_types.get(name)
+        if got is None:
+            continue
+        if s.startswith("decimal"):
+            ok = got.startswith("DECIMAL")
+        elif s.startswith(("array", "map", "struct")):
+            ok = got.endswith("[]") or got.startswith(("MAP", "STRUCT"))
+        else:
+            ok = got in _TYPE_EQUIV.get(s, set())
+        if not ok:
+            warns.append(f"{name}: spark={s} vs duckdb={got}")
+    return warns
+
+
 def normalize(rows, ndigits=9):
     out = []
     for row in rows:
@@ -65,6 +111,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
+        try:
+            for w in dtype_audit(sdf, con, sql):
+                print(f"WARN {name}: dtype {w}")
+        except Exception as exc:  # noqa: BLE001 — advisory only
+            print(f"WARN {name}: dtype audit failed: {exc}")
 
         problems = []
         if spark_cols != duck_cols:
