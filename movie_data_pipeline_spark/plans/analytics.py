@@ -64,7 +64,7 @@ def q1_top_part(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_partkey", "p_name")
         .agg(
             _avg2(F.col("l_extendedprice")).alias("avg_price"),
@@ -99,7 +99,7 @@ def q2_top_regions(spark: SparkSession, sf: str) -> DataFrame:
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_regionkey", "r_name")
@@ -364,7 +364,7 @@ def top_orders_per_nation(spark: SparkSession, sf: str) -> DataFrame:
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        customer, orders.o_custkey == customer.c_custkey
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
     w = Window.partitionBy("n_name").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
@@ -398,7 +398,7 @@ def rollup_orders(spark: SparkSession, sf: str) -> DataFrame:
     customer = load_table(spark, sf, "customer")
     orders = load_table(spark, sf, "orders")
     joined = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )

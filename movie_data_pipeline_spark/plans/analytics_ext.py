@@ -137,7 +137,7 @@ def price_quantiles_by_segment(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
     q = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_mktsegment")
         .agg(q.alias("q"), F.count(F.lit(1)).alias("order_count"))
         .select(
@@ -461,7 +461,10 @@ def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
 # big-big join where shuffle strategy matters — both sides hash-
 # partition on the order key (sort-merge under AQE at scale; the
 # at-rest answer is co-bucketing both tables on the key, see
-# sinks.write_bucketed). Dims stay broadcast.
+# sinks.write_bucketed). Fixed-cardinality dims (nation=25, region=5)
+# keep explicit broadcast hints; SF-scaled tables (customer, supplier,
+# part) carry NO hint — AQE broadcasts them while they fit and flips
+# to shuffle joins when they don't, which a hint would forbid forever.
 # ---------------------------------------------------------------------------
 
 def shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
@@ -474,7 +477,7 @@ def shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .filter(
             (F.col("c_mktsegment") == "BUILDING")
             & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -514,7 +517,8 @@ LIMIT 10
 
 def supplier_volume_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q5 shape: revenue by supplier nation — the 6-table join
-    (two facts + four broadcast dims)."""
+    (two facts + four dims; nation/region hinted broadcast, supplier/
+    customer left to AQE — they scale with SF)."""
     region = load_table(spark, sf, "region")
     nation = load_table(spark, sf, "nation")
     supplier = load_table(spark, sf, "supplier")
@@ -525,7 +529,7 @@ def supplier_volume_by_nation(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")

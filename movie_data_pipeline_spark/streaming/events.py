@@ -186,10 +186,12 @@ def run_to_parquet(
 def enrich_stream(stream: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static join: attach slowly-changing user attributes to
     the event stream. The static side is re-planned per micro-batch
-    (so dim refreshes are picked up) and broadcast when small — the
-    standard streaming-enrichment shape; no watermark needed because
-    the static side never grows state."""
-    return stream.join(F.broadcast(user_dim), "user_id", "left")
+    (so dim refreshes are picked up) and carries NO broadcast hint —
+    ``user_dim`` is caller-supplied and may be corpus-scaled, so the
+    planner picks broadcast while it fits the auto threshold and a
+    shuffle join once it doesn't; no watermark needed because the
+    static side never grows state."""
+    return stream.join(user_dim, "user_id", "left")
 
 
 def purchases_after_clicks(

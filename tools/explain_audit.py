@@ -43,37 +43,46 @@ def audit_plan(plan: str) -> dict[str, object]:
     }
 
 
-# An explicit F.broadcast() hint bypasses autoBroadcastJoinThreshold, so
-# an O(corpus) build side never fails planning — it fails the driver at
-# scale. Catch it from runtime evidence: any BroadcastExchange whose
-# numOutputRows exceeds this at the audit SF is corpus-shaped, not
-# dim-shaped (dims here are ≤ ~2k rows at sf0.01; facts are ≥ 15k).
-BCAST_WORRY_ROWS = 10_000
+def broadcast_metrics(node) -> list[tuple[int, int]]:
+    """(numOutputRows, dataSize bytes) of every BroadcastExchange in an
+    EXECUTED plan, descending through AQE and query-stage wrappers.
 
-
-def broadcast_row_counts(node) -> list[int]:
-    """numOutputRows of every BroadcastExchange in an EXECUTED plan,
-    descending through AQE and query-stage wrappers."""
-    out: list[int] = []
+    Interpretation: an AQE/CBO-chosen broadcast is bounded by
+    autoBroadcastJoinThreshold by construction and flips to a shuffle
+    join at scale — adaptive behavior working as intended, even when
+    the build side is a corpus-derived key projection at a tiny test
+    SF. Only a broadcast whose dataSize EXCEEDS the threshold can have
+    come from an explicit hint on an unbounded relation — the true
+    driver-OOM-at-scale signature (round 1's BM25 lengths table)."""
+    out: list[tuple[int, int]] = []
     name = node.getClass().getSimpleName()
     if "BroadcastExchange" in name:
         try:
-            opt = node.metrics().get("numOutputRows")
-            if opt.isDefined():
-                out.append(opt.get().value())
+            m = node.metrics()
+            rows = m.get("numOutputRows")
+            size = m.get("dataSize")
+            out.append(
+                (
+                    rows.get().value() if rows.isDefined() else -1,
+                    size.get().value() if size.isDefined() else -1,
+                )
+            )
         except Exception:  # noqa: BLE001
             pass
     try:
         if name == "AdaptiveSparkPlanExec":
-            return out + broadcast_row_counts(node.executedPlan())
+            return out + broadcast_metrics(node.executedPlan())
         if "QueryStage" in name:
-            return out + broadcast_row_counts(node.plan())
+            return out + broadcast_metrics(node.plan())
     except Exception:  # noqa: BLE001
         pass
     it = node.children().iterator()
     while it.hasNext():
-        out.extend(broadcast_row_counts(it.next()))
+        out.extend(broadcast_metrics(it.next()))
     return out
+
+
+BCAST_WORRY_ROWS = 10_000
 
 
 def main() -> int:
@@ -84,7 +93,7 @@ def main() -> int:
     header = (
         f"{'query':32s} {'BHJ':>3s} {'SMJ':>3s} {'BNLJ':>4s} {'xchg':>4s} "
         f"{'expd':>4s} {'wscg':>4s} {'scan':>4s} {'push':>4s} {'py':>3s} "
-        f"{'cach':>4s} {'bcast':>7s}"
+        f"{'cach':>4s} {'bcast':>7s} {'hint':>4s}"
     )
     print(header)
     print("-" * len(header))
@@ -103,8 +112,9 @@ def main() -> int:
             qe = df._jdf.queryExecution()
             plan = qe.executedPlan().toString()
             a = audit_plan(plan)
-            bcast = broadcast_row_counts(qe.executedPlan())
-            a["bcast_max"] = max(bcast) if bcast else 0
+            bcast = broadcast_metrics(qe.executedPlan())
+            a["bcast_max"] = max((r for r, _ in bcast), default=0)
+            a["hints"] = qe.analyzed().toString().count("ResolvedHint")
             spark.catalog.clearCache()
         except Exception as exc:  # noqa: BLE001
             print(f"{name:32s} ERROR: {exc}")
@@ -114,15 +124,26 @@ def main() -> int:
             f"{name:32s} {a['bhj']:3d} {a['smj']:3d} {a['bnlj']:4d} "
             f"{a['exchanges']:4d} {a['expand']:4d} {a['codegen_spans']:4d} "
             f"{a['scans']:4d} {a['pushed']:4d} {a['python_eval']:3d} "
-            f"{a['cached']:4d} {a['bcast_max']:7d}"
+            f"{a['cached']:4d} {a['bcast_max']:7d} {a['hints']:4d}"
         )
         if a["smj"] > 0:
             worries.append((name, f"{a['smj']} sort-merge join(s)"))
         if a["expand"] > 0:
             worries.append((name, f"{a['expand']} Expand node(s)"))
-        if a["bcast_max"] > BCAST_WORRY_ROWS:
+        # An AQE/CBO-chosen broadcast (hints == 0) is bounded by
+        # autoBroadcastJoinThreshold and flips to a shuffle join at
+        # scale — adaptive behavior working as intended. An EXPLICIT
+        # F.broadcast() hint bypasses that bound forever, so a hinted
+        # query whose largest broadcast is corpus-shaped at the audit
+        # SF (facts here: ≥ 15k rows; dims: ≤ 2k) is the round-1
+        # BM25-lengths defect signature.
+        if a["hints"] > 0 and a["bcast_max"] > BCAST_WORRY_ROWS:
             worries.append(
-                (name, f"O(corpus)-sized broadcast: {a['bcast_max']} rows")
+                (
+                    name,
+                    f"broadcast-hinted query with {a['bcast_max']}-row "
+                    f"broadcast — verify the hinted side is bounded",
+                )
             )
     if worries:
         print("\nworth a look (SMJ may be fine for fact-to-fact; Expand is"
