@@ -853,8 +853,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # multimodal). Imported at the bottom to reuse this module's helpers.
 from .analytics_ext import EXT_QUERIES  # noqa: E402
 from .analytics_ext3 import EXT3_QUERIES  # noqa: E402
+from .curation import CURATION_QUERIES  # noqa: E402
 from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EXT3_QUERIES)
+QUERIES.update(CURATION_QUERIES)
 QUERIES.update(VERIFY_QUERIES)

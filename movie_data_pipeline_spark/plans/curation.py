@@ -1,0 +1,168 @@
+"""Corpus-curation queries: benchmark decontamination and Gopher-style
+repetition signals over the ``documents`` table.
+
+Both are additive training-data-pipeline operators (no reference
+analog — the reference is a movie-ETL workload; these extend the same
+additive surface as the dedup/ANN families). Both are oracled: the
+Spark side is pure JVM Column expressions, the DuckDB side mirrors the
+proven tokenizer twin from the minhash verification SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import bpe_ish_tokens
+from ..operators.decontam import benchmark_decontamination
+from ..operators.dedup import shingles
+from ..sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Decontamination: training docs sharing 8-gram spans with a pseudo
+# benchmark slice (doc_id % 50 == 0 stands in for a supplied eval set;
+# production callers pass any (id, text) table). n=8 keeps the check
+# non-empty yet bounded on the short synthetic docs; the operator
+# defaults to the industry-standard n=13.
+# ---------------------------------------------------------------------------
+
+def decontaminate_docs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return benchmark_decontamination(train, bench, n=8).orderBy(
+        "doc_id", "bench_id"
+    )
+
+
+DECONTAMINATE_SQL = r"""
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(toks) >= 8
+                THEN list_transform(range(1, len(toks) - 6),
+                                    i -> array_to_string(toks[i:i+7], ' '))
+                ELSE [array_to_string(toks, ' ')] END)) AS ng
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+),
+b AS (SELECT doc_id AS bench_id, ng FROM g WHERE doc_id % 50 = 0),
+tr AS (SELECT doc_id, ng FROM g WHERE doc_id % 50 != 0)
+SELECT tr.doc_id AS doc_id, b.bench_id AS bench_id,
+       COUNT(*) AS shared_ngrams
+FROM tr JOIN b USING (ng)
+GROUP BY tr.doc_id, b.bench_id
+HAVING COUNT(*) >= 1
+ORDER BY doc_id, bench_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filters): fraction of
+# repeated tokens and the weight of the single most frequent bigram.
+# High values mark boilerplate / degenerate generations that quality
+# filtering drops before training.
+#
+# Shape at scale: one narrow tokenize pass for the per-doc token
+# stats, one explode + (doc_id, bigram) partial-agg shuffle for the
+# bigram mode, then a doc_id-keyed join — everything partial-
+# aggregates map-side; no text is shuffled, only counts.
+# ---------------------------------------------------------------------------
+
+def doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", bpe_ish_tokens(F.col("text")).alias("toks")
+    )
+    tok_stats = base.select(
+        "doc_id",
+        # long, matching DuckDB len() (int size would hash-mismatch)
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.round(
+            F.when(
+                F.size("toks") > 0,
+                1.0 - F.size(F.array_distinct("toks")) / F.size("toks"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_token_frac"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.array_join(F.slice(F.col("toks"), i + 1, 2), " "),
+                ),
+            ).otherwise(F.array(F.array_join(F.col("toks"), " "))),
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("cnt").alias("top_cnt"),
+            F.sum("cnt").alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            F.round(F.col("top_cnt") / F.col("n_bigrams"), 4).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id")
+        .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac")
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         ROUND(CASE WHEN len(toks) > 0
+                    THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                    ELSE 0.0 END, 4) AS dup_token_frac
+  FROM t
+),
+bg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(1, len(toks)),
+                                         i -> array_to_string(toks[i:i+1], ' '))
+                     ELSE [array_to_string(toks, ' ')] END) AS bg
+  FROM t
+),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg
+),
+bgs AS (
+  SELECT doc_id,
+         ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_bigram_frac
+  FROM bgc GROUP BY doc_id
+)
+SELECT tok.doc_id AS doc_id, n_tokens, dup_token_frac, top_bigram_frac
+FROM tok JOIN bgs ON tok.doc_id = bgs.doc_id
+ORDER BY doc_id
+"""
+
+
+CURATION_QUERIES = {
+    "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
+    "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
+}

@@ -653,3 +653,60 @@ def test_bm25_ranking_semantics(spark):
     assert score[2] > score[3]  # length normalization penalizes doc 3
     # 'rare' (df=1) outscores single 'spark' (df=3) via IDF
     assert score[5] > score[2]
+
+
+def test_benchmark_decontamination_planted(spark):
+    from movie_data_pipeline_spark.operators.decontam import (
+        benchmark_decontamination,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lambda mu nu xi omicron")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            # reproduces a 13-token span from the bench doc → contaminated
+            (1, "intro words then alpha beta gamma delta epsilon zeta eta "
+                "theta iota kappa lambda mu nu closing remark"),
+            # shares only short runs (< 13 tokens) → clean
+            (2, "alpha beta gamma delta unrelated tail content here with "
+                "more filler words to pad length"),
+            (3, "completely disjoint vocabulary about distributed query "
+                "engines and shuffle planning at scale today ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = benchmark_decontamination(train, bench, n=13).collect()
+    assert {(r.doc_id, r.bench_id) for r in hits} == {(1, 100)}
+    # every hit counts at least one shared 13-gram
+    assert all(r.shared_ngrams >= 1 for r in hits)
+
+
+def test_doc_repetition_stats_planted(spark, tmp_path):
+    import pytest as _pytest
+
+    from movie_data_pipeline_spark.plans.curation import doc_repetition_stats
+
+    # write a miniature documents table the plan query can load
+    docs = spark.createDataFrame(
+        [
+            # 8 tokens, all distinct; top bigram appears once of 7
+            (0, "one two three four five six seven eight", "en", "s", 39),
+            # degenerate repetition: 1 unique token of 6; bigram "spam
+            # spam" fills all 5 slots
+            (1, "spam spam spam spam spam spam", "en", "s", 29),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in doc_repetition_stats(spark, str(tmp_path)).collect()
+    }
+    assert out[0].n_tokens == 8
+    assert out[0].dup_token_frac == 0.0
+    assert out[0].top_bigram_frac == _pytest.approx(round(1 / 7, 4))
+    assert out[1].dup_token_frac == _pytest.approx(round(1 - 1 / 6, 4))
+    assert out[1].top_bigram_frac == 1.0
