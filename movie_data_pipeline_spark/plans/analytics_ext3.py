@@ -545,6 +545,11 @@ EXT3_QUERIES.update(
 # ---------------------------------------------------------------------------
 
 def approx_quantiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-only (the 100 TB path: one pass, mergeable state, no
+    sort). Rows-only in the driver because sketch values depend on
+    merge order; the oracled accuracy gate is
+    ``quantile_sketch_check`` (plans/verification.py), which runs the
+    exact percentile next to the sketch and pins |Δ| ≤ 1%."""
     li = load_table(spark, sf, "lineitem")
     qs = [0.25, 0.5, 0.75, 0.99]
     return (
@@ -553,9 +558,6 @@ def approx_quantiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
             F.percentile_approx(
                 "l_extendedprice", qs, 10000
             ).alias("approx_price_quantiles"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))"
-            ).alias("exact_price_quantiles"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("l_returnflag")

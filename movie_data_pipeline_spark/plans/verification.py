@@ -1,5 +1,6 @@
-"""Driver-enforceable verification twins for the approximate operator
-families (minhash LSH, simhash, sign-LSH / IVF ANN, HLL sketches).
+"""Driver-enforceable verification twins for every rows-only operator
+family: minhash LSH, simhash, sign-LSH / IVF ANN, winnowing, quantile
+sketches, sequence packing, and iterative connected components.
 
 The approximate algorithms are all deterministic (seeded hyperplanes,
 seeded samples, fixed hash permutations), so their outputs are fixed
@@ -266,3 +267,205 @@ VERIFY_QUERIES = {
     "knn_recall_check": (knn_recall_check, KNN_RECALL_SQL),
     "embedding_neardup_check": (embedding_neardup_check, EMBEDDING_NEARDUP_CHECK_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing invariants (exact-measure oracle)
+# ---------------------------------------------------------------------------
+
+def packing_check(spark: SparkSession, sf: str) -> DataFrame:
+    """The greedy pack assignment itself is not SQL-derivable, but its
+    conservation laws are: every doc packed exactly once (Σ n_docs =
+    corpus count) and no token lost (Σ pack_tokens = Σ per-doc
+    whitespace tokens) — both EXACT values DuckDB recomputes
+    independently. budget_ok states the greedy invariant (a pack
+    exceeds the budget only when it holds a single oversized doc)."""
+    from ..operators.packing import pack_documents
+
+    docs = load_table(spark, sf, "documents")
+    packs = pack_documents(docs, budget=512)
+    return packs.agg(
+        F.sum("n_docs").alias("n_docs_packed"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        F.bool_and(
+            (F.col("pack_tokens") <= 512) | (F.col("n_docs") == 1)
+        ).alias("budget_ok"),
+    )
+
+
+PACKING_CHECK_SQL = r"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_packed,
+       CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                                x -> x != ''))) AS BIGINT) AS total_tokens,
+       TRUE AS budget_ok
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch vs exact percentiles (tolerance-predicate oracle)
+# ---------------------------------------------------------------------------
+
+def quantile_sketch_check(spark: SparkSession, sf: str) -> DataFrame:
+    """percentile_approx at accuracy 10000 lands within 1% of the
+    exact percentile at every test SF (rank error ≤ 1/accuracy); the
+    exact values themselves are not emitted because the two engines'
+    interpolation arithmetic differs in the last float bits — the
+    predicate is the stable cross-engine statement."""
+    li = load_table(spark, sf, "lineitem")
+    qs = "array(0.25D, 0.5D, 0.75D, 0.99D)"
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                f"percentile_approx(l_extendedprice, {qs}, 10000)"
+            ).alias("a"),
+            F.expr(f"percentile(l_extendedprice, {qs})").alias("e"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.forall(
+                F.zip_with(
+                    "a", "e", lambda a, e: F.abs(a - e) <= 0.01 * F.abs(e)
+                ),
+                lambda ok: ok,
+            ).alias("sketch_within_1pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUANTILE_SKETCH_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS sketch_within_1pct
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing guarantee (recall = 1 theorem vs exact char-23-gram pairs)
+# ---------------------------------------------------------------------------
+
+def winnow_guarantee_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Schleimer et al.'s guarantee: any shared substring of length
+    ≥ k + w − 1 (= 23 here) yields a shared fingerprint. The exact
+    twin is the set of doc pairs sharing a character 23-gram — every
+    such pair MUST appear among winnowing candidates when no
+    document-frequency cap drops fingerprints (check-tuned max_df;
+    the production cap trades exactly this tail for boundedness).
+    Hash collisions only ever ADD candidates, so recall is a theorem.
+    DuckDB recomputes n_exact independently."""
+    from ..operators.dedup import pairs_within_groups, winnow_shared_pairs
+
+    L = 23
+    docs = load_table(spark, sf, "documents").filter(F.length("text") >= L)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (L - 1)),
+                    lambda i: F.col("text").substr(i, F.lit(L)),
+                )
+            )
+        ).alias("g"),
+    )
+    exact = (
+        pairs_within_groups(grams, ["g"], "doc_id", 10**6)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    approx = winnow_shared_pairs(
+        docs, min_shared=1, max_df=10**9
+    ).select("id_a", "id_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_missed = exact.join(approx, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missed")
+    )
+    return _one_row(n_exact, n_missed).select(
+        "n_exact", (F.col("n_missed") == 0).alias("recall_one")
+    )
+
+
+WINNOW_GUARANTEE_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(range(1, length(text) - 21),
+                          i -> substr(text, i, 23)))) AS g
+  FROM documents WHERE length(text) >= 23
+),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_one FROM p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components vs DuckDB recursive-CTE closure (full-output
+# oracle: the one iterative operator, checked value-for-value)
+# ---------------------------------------------------------------------------
+
+def cluster_check(spark: SparkSession, sf: str) -> DataFrame:
+    """duplicate_clusters over SQL-derivable input (exact-Jaccard
+    pairs at τ=0.7) so the ENTIRE cluster assignment — every (doc_id,
+    cluster_id, is_canonical) row — is value-compared against DuckDB's
+    recursive-CTE transitive closure. Unlike the recall twins this is
+    a full-output equality check of an iterative algorithm."""
+    from ..operators.dedup import duplicate_clusters
+    from .analytics import ngram_jaccard_exact
+
+    pairs = ngram_jaccard_exact(spark, sf, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    return duplicate_clusters(pairs).orderBy("doc_id")
+
+
+CLUSTER_CHECK_SQL = r"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shset
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+),
+ex AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / (any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)) >= 0.7
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id,
+       node = MIN(r) AS is_canonical
+FROM reach GROUP BY node ORDER BY doc_id
+"""
+
+
+VERIFY_QUERIES.update(
+    {
+        "packing_check": (packing_check, PACKING_CHECK_SQL),
+        "quantile_sketch_check": (quantile_sketch_check, QUANTILE_SKETCH_SQL),
+        "winnow_guarantee_check": (winnow_guarantee_check, WINNOW_GUARANTEE_SQL),
+        "cluster_check": (cluster_check, CLUSTER_CHECK_SQL),
+    }
+)

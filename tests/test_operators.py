@@ -624,12 +624,14 @@ def test_write_zordered_clusters_minmax(spark, tmp_path):
 def test_approx_quantiles_within_tolerance(spark):
     from movie_data_pipeline_spark.plans.analytics import QUERIES
 
+    # sketch-only headline query produces 4 quantiles per return flag
     builder, _ = QUERIES["approx_quantiles_lineitem"]
-    for r in builder(spark, "/root/testdata/sf0.01").collect():
-        for approx, exact in zip(
-            r.approx_price_quantiles, r.exact_price_quantiles
-        ):
-            assert abs(approx - exact) <= max(0.02 * exact, 1.0), r
+    rows = builder(spark, "/root/testdata/sf0.01").collect()
+    assert rows and all(len(r.approx_price_quantiles) == 4 for r in rows)
+    # the sketch-vs-exact tolerance gate lives in the oracled twin
+    check, _ = QUERIES["quantile_sketch_check"]
+    for r in check(spark, "/root/testdata/sf0.01").collect():
+        assert r.sketch_within_1pct, r
 
 
 def test_bm25_ranking_semantics(spark):
