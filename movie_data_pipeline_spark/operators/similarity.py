@@ -191,10 +191,10 @@ def embedding_near_duplicates(
     """
     nbits = bands * band_bits
     mask = (1 << band_bits) - 1
-    b = with_lsh_bucket(
-        corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")),
-        dim, nbits, "vec", seed,
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec")
     )
+    b = with_lsh_bucket(base, dim, nbits, "vec", seed)
     banded = b.select(
         "doc_id",
         F.posexplode(
@@ -209,8 +209,10 @@ def embedding_near_duplicates(
     cand = pairs_within_groups(
         banded, ["band_idx", "band_val"], "doc_id", max_group=max_bucket
     ).dropDuplicates(["id_a", "id_b"])
-    va = b.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = b.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    # verify sides need only the raw vectors — joining from `base`
+    # (not `b`) keeps the hyperplane UDF to ONE corpus pass
+    va = base.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = base.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
