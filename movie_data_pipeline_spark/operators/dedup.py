@@ -65,7 +65,11 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(text: F.Column, n: int = 3) -> F.Column:
-    """Word n-gram shingles as strings — all native array functions.
+    """Word n-gram shingles as strings — the SEMANTIC REFERENCE the
+    DuckDB oracle twins mirror. Production paths use
+    ``with_hashed_shingles`` (identical set semantics, 8-byte keys);
+    this string form remains the readable definition and the one the
+    cross-engine SQL can express. All native array functions.
 
     slice+array_join beats per-element element_at lookups here: a
     lambda that references the token array k times re-embeds the whole
@@ -79,6 +83,40 @@ def shingles(text: F.Column, n: int = 3) -> F.Column:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array(F.array_join(toks, " ")))
+
+
+def with_hashed_shingles(
+    df: DataFrame, text_col: str = "text", n: int = 3, out: str = "sh"
+) -> DataFrame:
+    """Word n-gram shingles as ``array<long>`` xxhash64 folds — the
+    8-byte representation that replaces ~n·6-char gram strings in
+    every downstream shuffle, cache, and hash (measured 5× on the
+    decontamination path, see operators/decontam.py).
+
+    DataFrame-level (not a Column fn) because the per-token hashes
+    must be materialized as a REAL column first: expressions captured
+    inside HOF lambdas get no CSE, so hashing tokens inside the
+    per-position lambda would re-tokenize once per gram. Collisions
+    (~2⁻⁶⁴) can only merge two distinct grams — they never split one.
+    """
+
+    def fold(arr: F.Column) -> F.Column:
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: F.xxhash64(acc, x)
+        )
+
+    with_th = df.withColumn(
+        "_th",
+        F.transform(bpe_ish_tokens(F.col(text_col)), lambda t: F.xxhash64(t)),
+    )
+    grams = F.when(
+        F.size("_th") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_th") - n),
+            lambda i: fold(F.slice(F.col("_th"), i + 1, n)),
+        ),
+    ).otherwise(F.array(fold(F.col("_th"))))
+    return with_th.withColumn(out, grams).drop("_th")
 
 
 def minhash_signature(shingle_col: F.Column, num_perm: int = 32) -> F.Column:
@@ -198,10 +236,10 @@ def minhash_lsh_duplicates(
     # shuffle of raw text, amortized across everything downstream).
     par = docs.sparkSession.sparkContext.defaultParallelism
     sh_tbl = (
-        docs.repartition(par)
-        .select(
-            F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+        with_hashed_shingles(
+            docs.repartition(par), text_col, n, out="sh"
         )
+        .select(F.col(id_col).alias("doc_id"), "sh")
         .persist()  # feeds banding once + both verify sides
     )
 

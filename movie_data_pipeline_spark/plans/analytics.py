@@ -571,18 +571,22 @@ def ngram_jaccard_exact(
     join), and the LSH families (minhash_dedup_pairs) are the
     sub-quadratic path.
     """
-    from ..operators.dedup import shingles
+    from ..operators.dedup import with_hashed_shingles
 
     docs = load_table(spark, sf, "documents")
     # repartition: single-file sources otherwise shingle on one core.
     # Cache BEFORE the explode: 5k array rows compress into the
-    # columnar cache ~2× faster than 260k exploded string rows, and
+    # columnar cache ~2× faster than 260k exploded rows, and
     # re-exploding from cache is a cheap narrow op per join side.
+    # Grams are 8-byte xxhash64 folds, not strings (dedup.py::
+    # with_hashed_shingles) — set semantics identical modulo 2⁻⁶⁴
+    # collisions; the string-n-gram DuckDB oracle pins equivalence.
     sh0 = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(
-            "doc_id", F.array_distinct(shingles(F.col("text"), 3)).alias("sh")
+        with_hashed_shingles(
+            docs.repartition(spark.sparkContext.defaultParallelism),
+            "text", 3, out="sh_raw",
         )
+        .select("doc_id", F.array_distinct("sh_raw").alias("sh"))
         .withColumn("n_sh", F.size("sh"))
         .persist()
     )

@@ -15,7 +15,6 @@ from pyspark.sql import functions as F
 
 from ..functions.text import bpe_ish_tokens
 from ..operators.decontam import benchmark_decontamination
-from ..operators.dedup import shingles
 from ..sources.catalog import load_table
 
 
