@@ -535,10 +535,11 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint()
     )
+    # initialize at min(self, neighbors) — the first propagation round
+    # folded into a single groupBy over the (symmetric) edge list
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.first("src"), F.min("dst")).alias("label"))
         .localCheckpoint()
     )
     for _ in range(max_iters):
