@@ -797,3 +797,34 @@ ORDER BY label, dim
 """
 
 EXT3_QUERIES.update({"embedding_dim_means": (embedding_dim_means, EMBEDDING_DIM_MEANS_SQL)})
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation, driver-verified: the two-level (key, salt) →
+# key combine from operators/skew.py, oracled against the plain
+# GROUP BY. The salted plan is the 100 TB answer to a hot grouping
+# key (one reducer owning a whole key); the oracle row proves the
+# decomposition is EXACT — same counts, same decimal-disciplined sum —
+# not an approximation. l_returnflag has only 3 values over all of
+# lineitem, the canonical few-hot-keys shape.
+# ---------------------------------------------------------------------------
+
+def salted_quantity_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.skew import salted_count_sum
+
+    li = load_table(spark, sf, "lineitem")
+    return salted_count_sum(
+        li.select("l_returnflag", "l_quantity"), ["l_returnflag"], "l_quantity"
+    ).orderBy("l_returnflag")
+
+
+SALTED_QUANTITY_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS row_count,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS value_sum
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+EXT3_QUERIES.update({"salted_quantity_stats": (salted_quantity_stats, SALTED_QUANTITY_SQL)})

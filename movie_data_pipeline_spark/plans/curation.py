@@ -161,7 +161,26 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup over the embeddings table: k-means
+# clusters (the shared IVF quantizer — trained once per corpus on a
+# bounded sample, cached) block the corpus, exact cosine verifies, and
+# greedy min-id picks survivors. Rows-only here (the k-means blocking
+# is not SQL-expressible); `semantic_dedup_check` in verification.py is
+# the oracled recall/precision gate for this family.
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.similarity import get_ivf_centroids, semantic_dedup, sqrt_nlist
+
+    emb = load_table(spark, sf, "embeddings")
+    nlist = sqrt_nlist(emb)
+    centroids = get_ivf_centroids(emb, sf, nlist=nlist)
+    return semantic_dedup(emb, centroids, threshold=0.45).orderBy("doc_id")
+
+
 CURATION_QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
+    "semantic_dedup_docs": (semantic_dedup_docs, None),
 }

@@ -261,11 +261,74 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup k-means blocking vs exact brute-force cosine pairs
+# ---------------------------------------------------------------------------
+
+def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Same bounded slice (vec_id < 500) and τ=0.45 as the sign-LSH
+    check above, but candidates come from the k-means soft-assignment
+    blocking (nlist=⌈√N⌉, nprobe=4) that `semantic_dedup_docs` uses.
+    Measured slice recall: 7/7 (sf0.001), 13/14 (sf0.01), 13/13
+    (sf0.1) → assert ≥ 0.8; precision exactly 1 (exact-cosine verify).
+    Centroids train on the slice itself (seeded, deterministic) so the
+    check is self-contained."""
+    from ..operators.similarity import (
+        get_ivf_centroids,
+        semantic_dup_pairs,
+        sqrt_nlist,
+    )
+
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 500)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cs",
+            cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        )
+        .filter(F.col("cs") >= 0.45)
+        .select("id_a", "id_b")
+    )
+    centroids = get_ivf_centroids(emb, f"slice500:{sf}", nlist=sqrt_nlist(emb))
+    approx = semantic_dup_pairs(emb, centroids, threshold=0.45).select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = exact.join(approx, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    n_fp = approx.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    return _one_row(n_exact, n_found, n_fp).select(
+        "n_exact",
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_found") >= 0.8 * F.col("n_exact"))
+        ).alias("recall_ok"),
+        (F.col("n_fp") == 0).alias("precision_ok"),
+    )
+
+
+SEMANTIC_DEDUP_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok, TRUE AS precision_ok
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
 VERIFY_QUERIES = {
     "minhash_recall_check": (minhash_recall_check, MINHASH_RECALL_SQL),
     "simhash_recall_check": (simhash_recall_check, SIMHASH_RECALL_SQL),
     "knn_recall_check": (knn_recall_check, KNN_RECALL_SQL),
     "embedding_neardup_check": (embedding_neardup_check, EMBEDDING_NEARDUP_CHECK_SQL),
+    "semantic_dedup_check": (semantic_dedup_check, SEMANTIC_DEDUP_CHECK_SQL),
 }
 
 

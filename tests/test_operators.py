@@ -117,6 +117,24 @@ def test_embedding_near_duplicates(embeddings):
     assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
 
 
+def test_semantic_dedup_planted(embeddings):
+    cents = similarity.train_ivf_centroids(embeddings, nlist=4)
+    pairs = similarity.semantic_dup_pairs(
+        embeddings, cents, threshold=0.95, nprobe=2
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(0, 1)}
+    dropped = similarity.semantic_dedup(
+        embeddings, cents, threshold=0.95, nprobe=2
+    ).collect()
+    assert [(r.doc_id, r.kept_id) for r in dropped] == [(1, 0)]
+    # survivors = everything not in the drop list; the chain minimum stays
+    assert embeddings.join(
+        similarity.semantic_dedup(embeddings, cents, threshold=0.95, nprobe=2),
+        embeddings.vec_id == F.col("doc_id"),
+        "left_anti",
+    ).count() == 19
+
+
 def test_enrichment_fallback_priority(spark):
     movies = spark.createDataFrame(
         [
