@@ -212,6 +212,58 @@ def pairs_within_groups(
     )
 
 
+def pairs_within_groups_payload(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    payload_col: str,
+    max_group: int,
+) -> DataFrame:
+    """`pairs_within_groups` that carries a per-id payload column into
+    the pair rows: (id_a, id_b, payload_a, payload_b), id_a < id_b.
+
+    Exists so a verify predicate (e.g. cosine ≥ τ) can run IN-ROW on
+    the exploded pair before anything is shuffled again — the join-back
+    formulation materializes every candidate pair through two payload
+    joins first, which at 100 TB means shuffling candidate_count ×
+    payload_size twice; this shape shuffles each payload once (inside
+    the single keyed groupBy) and lets the filter collapse candidates
+    to survivors before the next exchange. Group rows hold ≤ max_group
+    payloads (cap payload size × max_group to executor-comfortable
+    sizes — 4096 × 64 doubles ≈ 2 MB).
+
+    Ids must be unique within a group (payload rides in a struct whose
+    first field is the id, so array_sort orders by id; duplicate ids
+    would compare payloads — arrays, which Spark cannot compare)."""
+    item = F.struct(F.col(id_col).alias("i"), F.col(payload_col).alias("p"))
+    groups = (
+        keyed.groupBy(*key_cols)
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, max_group).alias("its"))
+        .filter(F.size("its") >= 2)
+    )
+    return (
+        groups.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "its",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("its"), i + 2, F.size("its")),
+                            lambda y: F.struct(
+                                x["i"].alias("id_a"),
+                                y["i"].alias("id_b"),
+                                x["p"].alias("payload_a"),
+                                y["p"].alias("payload_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("pair")
+        )
+        .select("pair.id_a", "pair.id_b", "pair.payload_a", "pair.payload_b")
+    )
+
+
 def minhash_lsh_duplicates(
     docs: DataFrame,
     text_col: str = "text",

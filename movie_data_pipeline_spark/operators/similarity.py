@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot
 from ..functions.vectors import norm as norm_col
-from .dedup import pairs_within_groups
+from .dedup import pairs_within_groups, pairs_within_groups_payload
 from .topk import top_k_per_group
 
 
@@ -210,20 +210,23 @@ def embedding_near_duplicates(
     cand = pairs_within_groups(
         banded, ["band_idx", "band_val"], "doc_id", max_group=max_bucket
     ).dropDuplicates(["id_a", "id_b"])
-    # verify sides need only the raw vectors — joining from `base`
-    # (not `b`) keeps the hyperplane UDF to ONE corpus pass
-    va = base.select(F.col("doc_id").alias("id_a"), F.col("vec").alias("vec_a"))
-    vb = base.select(F.col("doc_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    # verify sides need only the vectors — joining from `base` (not
+    # `b`) keeps the hyperplane UDF to ONE corpus pass; normalizing
+    # once per doc makes the per-pair verify a single dot product
+    normed = (
+        base.withColumn("_c", F.col("vec").cast("array<double>"))
+        .withColumn("_n", norm_col(F.col("_c")))
+        .select(
+            "doc_id",
+            F.transform("_c", lambda x: x / F.col("_n")).alias("vecn"),
+        )
+    )
+    va = normed.select(F.col("doc_id").alias("id_a"), F.col("vecn").alias("vn_a"))
+    vb = normed.select(F.col("doc_id").alias("id_b"), F.col("vecn").alias("vn_b"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn(
-            "cos_sim",
-            cosine(
-                F.col("vec_a").cast("array<double>"),
-                F.col("vec_b").cast("array<double>"),
-            ),
-        )
+        .withColumn("cos_sim", dot(F.col("vn_a"), F.col("vn_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
@@ -265,35 +268,31 @@ def semantic_dup_pairs(
     ``sqrt_nlist`` so the volume grows as N^1.5·nprobe², exactly how
     IVF indexes size nlist.
     """
+    # normalize ONCE per doc and carry the normalized vector INTO the
+    # pair rows (pairs_within_groups_payload), so the verify is a
+    # single in-row dot product — cos(a, b) = dot(a/|a|, b/|b|) — and
+    # the ≥ τ filter collapses candidates to survivors BEFORE any
+    # further shuffle. No join-back of vectors onto candidate pairs.
     base = corpus.select(F.col(id_col).alias("doc_id"), F.col(vec_col).alias("vec"))
-    assigned = base.select(
-        "doc_id",
-        F.explode(_nearest_lists_udf(centroids, nprobe)(F.col("vec"))).alias(
-            "cluster_id"
-        ),
-    )
-    cand = pairs_within_groups(
-        assigned, ["cluster_id"], "doc_id", max_group=max_cluster
-    ).dropDuplicates(["id_a", "id_b"])
-    # normalize ONCE per doc (each doc joins many candidate pairs), so
-    # the per-pair verify is a single dot product instead of the full
-    # dot + two norms — cos(a, b) = dot(a/|a|, b/|b|)
-    normed = (
+    assigned = (
         base.withColumn("_c", F.col("vec").cast("array<double>"))
         .withColumn("_n", norm_col(F.col("_c")))
         .select(
             "doc_id",
             F.transform("_c", lambda x: x / F.col("_n")).alias("vecn"),
+            F.explode(_nearest_lists_udf(centroids, nprobe)(F.col("vec"))).alias(
+                "cluster_id"
+            ),
         )
     )
-    va = normed.select(F.col("doc_id").alias("id_a"), F.col("vecn").alias("vn_a"))
-    vb = normed.select(F.col("doc_id").alias("id_b"), F.col("vecn").alias("vn_b"))
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_sim", dot(F.col("vn_a"), F.col("vn_b")))
+        pairs_within_groups_payload(
+            assigned, ["cluster_id"], "doc_id", "vecn", max_group=max_cluster
+        )
+        .withColumn("cos_sim", dot(F.col("payload_a"), F.col("payload_b")))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
