@@ -36,17 +36,33 @@ def _dec_sum(col: F.Column, scale: int = 4) -> F.Column:
 
 
 def load_events(spark: SparkSession, sf: str) -> DataFrame:
-    """events carries parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    by default; read it as raw nanos (LongType ``ts``) and derive
-    microsecond/second columns with integer DIV (ns epochs exceed
-    2^53 — double math would corrupt them). The µs value matches what
-    DuckDB sees after its silent ns→µs truncation, so cross-engine
-    ordering is exact."""
+    """Load events with epoch columns, adapting to whatever physical
+    type ``ts`` carries — the driver testdata has shipped it as both
+    parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS):
+
+    - TIMESTAMP(NANOS): Spark 4 rejects it by default; read as raw
+      nanos (LongType) and derive µs/sec with integer DIV (ns epochs
+      exceed 2^53 — double math would corrupt them).
+    - TIMESTAMP(MICROS) as TIMESTAMP_NTZ: ``timestampdiff`` from the
+      NTZ epoch is timezone-independent wall-clock-as-UTC micros —
+      exactly DuckDB's ``epoch_us(ts)``.
+    - TIMESTAMP (session-tz): ``unix_micros`` directly.
+
+    All downstream event queries consume ``ts_us``/``ts_sec`` only,
+    never raw ``ts``, so the physical type is contained here."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return (
-        load_table(spark, sf, "events")
-        .withColumn("ts_us", F.expr("ts DIV 1000"))
-        .withColumn("ts_sec", F.expr("ts DIV 1000000000"))
+    df = load_table(spark, sf, "events")
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+            "ts_sec", F.expr("ts DIV 1000000000")
+        )
+    if ts_type == "timestamp_ntz":
+        us = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+    else:
+        us = F.expr("unix_micros(ts)")
+    return df.withColumn("ts_us", us).withColumn(
+        "ts_sec", F.expr("ts_us DIV 1000000")
     )
 
 
@@ -737,7 +753,7 @@ def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     events = load_events(spark, sf)
     return (
         events.groupBy(
-            (F.expr("ts DIV 3600000000000") * 3600).alias("hour_epoch"),
+            (F.expr("ts_us DIV 3600000000") * 3600).alias("hour_epoch"),
             "event_type",
         )
         .agg(

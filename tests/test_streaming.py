@@ -14,13 +14,17 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def staged_events_dir(spark, tmp_path_factory):
-    """Re-stage the ns-timestamp events as µs timestamps (streaming
-    file source needs a Spark-readable TimestampType)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """Re-stage the events as µs timestamps (streaming file source
+    needs a Spark-readable TimestampType). Goes through load_events so
+    the physical ts type (ns-long vs timestamp) is handled once."""
+    from movie_data_pipeline_spark.plans.analytics import load_events
+
     out = str(tmp_path_factory.mktemp("events_stream"))
     (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_events(spark, SF)
+        .drop("ts")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us", "ts_sec")
         # range-partition by time so micro-batches arrive roughly in
         # event-time order (like a real stream) — otherwise the
         # watermark legitimately drops whole out-of-order files
@@ -158,8 +162,13 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     chk = str(tmp_path / "chk")
     src.mkdir()
 
-    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    from movie_data_pipeline_spark.plans.analytics import load_events
+
+    base = (
+        load_events(spark, "/root/testdata/sf0.001")
+        .drop("ts")
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .drop("ts_us", "ts_sec")
     )
     base.filter("event_id < 500").coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "stage1")
