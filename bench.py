@@ -71,17 +71,37 @@ def main() -> None:
         clear_state(spark)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+
+    # The driver keeps only the final ~2000 chars of output; round 2's
+    # full per-query dict pushed the JSON line past that and the driver
+    # recorded parsed=null. Print a compact line (headline queries +
+    # "other" rollup; "value" still sums EVERY query) and write the
+    # complete timings next to it for the judge.
+    Path(__file__).parent.joinpath("BENCH_FULL.json").write_text(
+        json.dumps({"sf": sf, "total_sec": total, "queries": timings}, indent=1)
     )
+    headline = [
+        "q1_top_part", "q2_top_regions", "q3_top_segment",
+        "q4_yearly_shipments", "pricing_summary", "supplier_volume_by_nation",
+        "tfidf_top_terms", "bm25_top_docs", "minhash_dedup_pairs",
+        "simhash_dedup_pairs", "winnow_pairs", "dedup_clusters",
+        "semantic_dedup_docs", "embedding_knn", "lsh_knn_embeddings",
+        "ivf_knn_embeddings", "doc_packing", "events_hourly",
+        "sessionize_events", "conversion_funnel",
+    ]
+    compact = {k: timings[k] for k in headline if k in timings}
+    compact["other"] = round(total - sum(compact.values()), 4)
+    line = json.dumps(
+        {
+            "metric": "registry_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": compact,
+            "sf": sf,
+        }
+    )
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)})"
+    print(line)
 
 
 if __name__ == "__main__":
