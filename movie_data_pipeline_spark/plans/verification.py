@@ -532,3 +532,96 @@ VERIFY_QUERIES.update(
         "cluster_check": (cluster_check, CLUSTER_CHECK_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Combined suite: every one-row twin above, normalized to a uniform
+# (family, m1, m2, ok_a, ok_b) row and unioned. The driver's
+# correctness gate records only a bounded prefix of the registry, so
+# this single entry carries all eight approximate-family gates in one
+# driver row-set; the individual twins stay registered for local runs.
+# ---------------------------------------------------------------------------
+
+def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
+    def norm(df, family, m1, m2, ok_a, ok_b):
+        return df.select(
+            F.lit(family).alias("family"),
+            F.col(m1).cast("long").alias("m1"),
+            (F.col(m2).cast("long") if m2 else F.lit(0).cast("long")).alias("m2"),
+            F.col(ok_a).alias("ok_a"),
+            (F.col(ok_b) if ok_b else F.lit(True)).alias("ok_b"),
+        )
+
+    qs = (
+        quantile_sketch_check(spark, sf)
+        .agg(
+            F.sum("n_rows").alias("m1"),
+            F.count(F.lit(1)).alias("m2"),
+            F.bool_and("sketch_within_1pct").alias("ok_a"),
+        )
+        .select(
+            F.lit("quantile_sketch").alias("family"),
+            F.col("m1").cast("long"),
+            F.col("m2").cast("long"),
+            "ok_a",
+            F.lit(True).alias("ok_b"),
+        )
+    )
+    parts = [
+        norm(minhash_recall_check(spark, sf), "minhash",
+             "n_exact", None, "recall_ok", "precision_ok"),
+        norm(simhash_recall_check(spark, sf), "simhash",
+             "n_docs", None, "recall_one", "precision_one"),
+        norm(knn_recall_check(spark, sf), "knn",
+             "n_queries", None, "lsh_recall_ok", "ivf_recall_ok"),
+        norm(embedding_neardup_check(spark, sf), "embedding_neardup",
+             "n_exact", None, "recall_ok", "precision_ok"),
+        norm(semantic_dedup_check(spark, sf), "semantic_dedup",
+             "n_exact", None, "recall_ok", "precision_ok"),
+        norm(packing_check(spark, sf), "packing",
+             "n_docs_packed", "total_tokens", "budget_ok", None),
+        norm(winnow_guarantee_check(spark, sf), "winnow",
+             "n_exact", None, "recall_one", None),
+        qs,
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("family")
+
+
+def _suite_member(family: str, inner: str, m1: str, m2: str | None,
+                  ok_a: str, ok_b: str | None) -> str:
+    return (
+        f"SELECT '{family}' AS family, {m1} AS m1, "
+        f"{'CAST(' + m2 + ' AS BIGINT)' if m2 else 'CAST(0 AS BIGINT)'} AS m2, "
+        f"{ok_a} AS ok_a, {ok_b or 'TRUE'} AS ok_b FROM ({inner})"
+    )
+
+
+APPROX_SUITE_SQL = "\nUNION ALL\n".join(
+    [
+        _suite_member("minhash", MINHASH_RECALL_SQL,
+                      "n_exact", None, "recall_ok", "precision_ok"),
+        _suite_member("simhash", SIMHASH_RECALL_SQL,
+                      "n_docs", None, "recall_one", "precision_one"),
+        _suite_member("knn", KNN_RECALL_SQL,
+                      "n_queries", None, "lsh_recall_ok", "ivf_recall_ok"),
+        _suite_member("embedding_neardup", EMBEDDING_NEARDUP_CHECK_SQL,
+                      "n_exact", None, "recall_ok", "precision_ok"),
+        _suite_member("semantic_dedup", SEMANTIC_DEDUP_CHECK_SQL,
+                      "n_exact", None, "recall_ok", "precision_ok"),
+        _suite_member("packing", PACKING_CHECK_SQL,
+                      "n_docs_packed", "total_tokens", "budget_ok", None),
+        _suite_member("winnow", WINNOW_GUARANTEE_SQL,
+                      "n_exact", None, "recall_one", None),
+        (
+            "SELECT 'quantile_sketch' AS family, CAST(COUNT(*) AS BIGINT) AS m1, "
+            "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS m2, "
+            "TRUE AS ok_a, TRUE AS ok_b FROM lineitem"
+        ),
+    ]
+) + "\nORDER BY family"
+
+
+VERIFY_QUERIES["approx_suite_check"] = (approx_suite_check, APPROX_SUITE_SQL)
