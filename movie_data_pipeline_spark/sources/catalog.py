@@ -16,7 +16,27 @@ from ..schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one testdata table, normalizing the physical types the
+    driver corpus has drifted on across rounds (events.ts changed
+    nanos→micros in round 3; guard the other likely drifts the same
+    way so every operator sees one stable logical schema):
+
+    - ``embeddings.embedding`` → ``array<float>`` (the ANN family's
+      expected element type; a future array<double> shipment would
+      silently change cosine math otherwise),
+    - ``embeddings.label`` → ``int`` kept as shipped (int32) — only
+      the vector element type matters downstream.
+
+    ``events.ts`` is intentionally NOT normalized here: epoch-unit
+    conversion needs type-specific integer math, which
+    ``plans/analytics.py::load_events`` owns."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "embeddings" and dict(df.dtypes).get("embedding") not in (
+        None,
+        "array<float>",
+    ):
+        df = df.withColumn("embedding", df["embedding"].cast("array<float>"))
+    return df
 
 
 def register_views(
