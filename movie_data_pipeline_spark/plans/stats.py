@@ -1,0 +1,112 @@
+"""Numeric statistics families: exact-decimal Pearson correlation and
+equi-width histograms.
+
+``F.corr`` (and DuckDB's ``corr``) accumulate doubles in partition
+order, so their low bits are not reproducible cross-engine — the same
+class of flake the module-wide DECIMAL-sum discipline exists to kill
+(plans/analytics.py determinism rules). Correlation here is assembled
+from five exact DECIMAL sums (Σx, Σy, Σxy, Σx², Σy²): per-row double
+products are IEEE-identical in both engines, the decimal sums are
+order-independent, and the final closed-form division/sqrt runs on
+bit-identical inputs. One aggregation pass, no window, no shuffle
+beyond the single partial/final agg — the same shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .analytics import _dec_sum
+
+
+def price_discount_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation of l_extendedprice vs l_discount per
+    returnflag, from exact decimal moments (see module docstring)."""
+    li = load_table(spark, sf, "lineitem")
+    x, y = F.col("l_extendedprice"), F.col("l_discount")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dec_sum(x, 8).alias("sx"),
+        _dec_sum(y, 8).alias("sy"),
+        F.sum((x * y).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        (F.round(corr, 6) + 0.0).alias("price_discount_corr"),
+    ).orderBy("l_returnflag")
+
+
+PRICE_DISCOUNT_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS sx,
+         SUM(CAST(l_discount AS DECIMAL(30,8))) AS sy,
+         SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS sxy,
+         SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS sxx,
+         SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n AS n_rows,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       + 0.0 AS price_discount_corr
+FROM m ORDER BY l_returnflag
+"""
+
+
+def price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (width 5000): bin id,
+    row count, and exact-decimal bin revenue. Integer bin assignment
+    (both engines floor the same IEEE division) keeps the group keys
+    deterministic; empty bins are simply absent (gap-filling a
+    histogram is events_gapfill_locf's pattern)."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 5000).alias("price_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(_dec_sum(F.col("l_extendedprice")).cast("double"), 2).alias(
+                "bin_revenue"
+            ),
+        )
+        .orderBy("price_bin")
+    )
+
+
+PRICE_HISTOGRAM_SQL = """
+SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS price_bin,
+       COUNT(*) AS n_rows,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE), 2)
+         AS bin_revenue
+FROM lineitem
+GROUP BY 1 ORDER BY 1
+"""
+
+
+STATS_QUERIES = {
+    "price_discount_corr": (price_discount_corr, PRICE_DISCOUNT_CORR_SQL),
+    "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
+}
