@@ -779,3 +779,20 @@ def test_events_gapfill_locf_fills_and_carries(spark):
     assert rows[("a", 3)].observed and rows[("a", 3)].value_locf == 9.0
     assert rows[("b", 1)].observed and rows[("b", 1)].value_locf == 5.0
     assert len(rows) == 5
+
+
+def test_flagship_plans_broadcast_and_topk(spark):
+    """Q1/Q2 must keep their scale shapes: dimension joins as
+    BroadcastHashJoin (never a shuffled SortMergeJoin of a dim) and
+    LIMIT compiling to TakeOrderedAndProject (never a global Sort).
+    These are the plans BASELINE.md's 100 TB argument rests on."""
+    from movie_data_pipeline_spark.plans.analytics import QUERIES
+
+    for name in ("q1_top_part", "q2_top_regions"):
+        df = QUERIES[name][0](spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
