@@ -796,3 +796,88 @@ def test_flagship_plans_broadcast_and_topk(spark):
         assert "SortMergeJoin" not in plan, name
         assert "TakeOrderedAndProject" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized equivalence: asof_join vs pandas.merge_asof on a
+    seeded corpus (50 keys, duplicate timestamps included via a small
+    value range). Right rows are pre-deduped per (key, ts) — the
+    operator's documented determinism contract."""
+    import numpy as np
+    import pandas as pd
+    from movie_data_pipeline_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(7)
+    left_pd = pd.DataFrame(
+        {
+            "key": rng.integers(0, 50, 400).astype(str),
+            "lts": rng.integers(0, 200, 400),
+            "lid": np.arange(400),
+        }
+    )
+    right_pd = (
+        pd.DataFrame(
+            {
+                "key": rng.integers(0, 50, 300).astype(str),
+                "rts": rng.integers(0, 200, 300),
+                "rval": rng.integers(0, 10**6, 300),
+            }
+        )
+        .sort_values("rval")
+        .drop_duplicates(["key", "rts"], keep="last")
+    )
+    for direction in ("backward", "forward"):
+        expected = pd.merge_asof(
+            left_pd.sort_values("lts", kind="stable"),
+            right_pd.sort_values("rts", kind="stable"),
+            left_on="lts",
+            right_on="rts",
+            by="key",
+            direction=direction,
+        ).set_index("lid")["rval"]
+        got = {
+            r.lid: r.rval
+            for r in asof_join(
+                spark.createDataFrame(left_pd),
+                spark.createDataFrame(right_pd),
+                on=["key"],
+                left_ts="lts",
+                right_ts="rts",
+                value_cols=["rval"],
+                direction=direction,
+            ).collect()
+        }
+        for lid, exp in expected.items():
+            g = got[lid]
+            assert (pd.isna(exp) and g is None) or g == exp, (
+                direction, lid, exp, g,
+            )
+
+
+def test_title_candidates_properties():
+    """Hypothesis property test on the pure candidate generator:
+    total (no exception on arbitrary unicode), string-typed, and
+    order-preserving-deduped — the enrichment join's input contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from movie_data_pipeline_spark.functions.titles import _candidates_py
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("L", "N", "P", "Zs"), max_codepoint=0x2FF
+            ),
+            min_size=0,
+            max_size=60,
+        )
+    )
+    def prop(title):
+        cands = _candidates_py(title)
+        assert isinstance(cands, list)
+        assert len(cands) == len(set(cands)), "candidates must be deduped"
+        for c in cands:
+            assert isinstance(c, str)
+
+    prop()
