@@ -232,13 +232,23 @@ def embedding_near_duplicates(
     )
 
 
+_NLIST_CACHE: dict[str, int] = {}
+
+
 def sqrt_nlist(corpus: DataFrame, floor: int = 16, cap: int = 65536) -> int:
     """IVF-standard cluster count: nlist = ⌈√N⌉, clamped. Keeps mean
     cluster size (and the within-cluster pair fan-out of the semantic
     dedup blocking, ≈ N²·nprobe²/nlist) growing as N^1.5 instead of N²
     while the centroid matrix stays driver-sized (≤ cap × dim floats).
-    The count is a parquet-metadata action — O(files), not O(rows)."""
+    The count is a parquet-metadata action — O(files), not O(rows) —
+    and is memoized per source file set (index sizing is corpus-stable,
+    same lifetime as the cached centroids it parameterizes)."""
+    key = ";".join(sorted(corpus.inputFiles())) or None
+    if key is not None and key in _NLIST_CACHE:
+        return max(floor, min(cap, _NLIST_CACHE[key]))
     n = corpus.count()
+    if key is not None:
+        _NLIST_CACHE[key] = int(n**0.5)
     return max(floor, min(cap, int(n**0.5)))
 
 
