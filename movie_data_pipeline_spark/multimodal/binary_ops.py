@@ -167,3 +167,53 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
             )
 
     return df.select("media_id", "payload").mapInPandas(op, RESIZED_SCHEMA)
+
+
+AUDIO_WINDOW_SCHEMA = (
+    "media_id long, window_idx int, n_samples int, rms double, peak int"
+)
+
+
+def window_audio(
+    df: DataFrame, window_samples: int = 2048, fake: bool = False
+) -> DataFrame:
+    """Fixed-length PCM windowing for audio payloads: one row per
+    window with sample count, RMS energy, and peak amplitude — the
+    standard front end for VAD / loudness filtering in an audio
+    training pipeline. Under the fake codec the payload bytes act as
+    8-bit unsigned PCM; a real decoder slots into the same mapInPandas
+    batch shape (Arrow in, Arrow out, no driver involvement)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "real audio decode requires soundfile/ffmpeg (not in "
+                        "container); pass fake=True for the deterministic stand-in"
+                    )
+                pcm = _fake_decode_bytes(bytes(payload)).astype(np.float64)
+                # center on 0 like signed PCM so RMS measures energy
+                pcm -= 128.0
+                for idx in range(0, max(len(pcm), 1), window_samples):
+                    w = pcm[idx : idx + window_samples]
+                    if len(w) == 0:
+                        continue
+                    rows.append(
+                        (
+                            media_id,
+                            idx // window_samples,
+                            int(len(w)),
+                            float(np.sqrt((w * w).mean())),
+                            int(np.abs(w).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "window_idx", "n_samples", "rms", "peak"],
+            )
+
+    return df.select("media_id", "payload").mapInPandas(op, AUDIO_WINDOW_SCHEMA)

@@ -456,6 +456,39 @@ def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
     return sample_frames(media, every_n_bytes=256, fake=True)
 
 
+def audio_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-shaped path: fixed-length PCM windowing (window_audio)
+    over binary payloads. Unlike frame_samples this one is oracled:
+    under the fake codec the window STRUCTURE (index, sample count) is
+    a pure function of payload byte length, which DuckDB derives from
+    octet_length — so the mapInPandas batch shape, skip-empty
+    semantics, and tail-window arithmetic are all value-checked. The
+    energy features (rms/peak) are pinned separately by unit test."""
+    from ..multimodal.binary_ops import window_audio
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return (
+        window_audio(media, window_samples=2048, fake=True)
+        .select("media_id", "window_idx", "n_samples")
+        .orderBy("media_id", "window_idx")
+    )
+
+
+AUDIO_WINDOWS_SQL = """
+WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+w AS (SELECT doc_id, n,
+             unnest(range(CAST(ceil(n / 2048.0) AS BIGINT))) AS i
+      FROM b WHERE n > 0)
+SELECT doc_id AS media_id, CAST(i AS INT) AS window_idx,
+       CAST(LEAST(2048, n - i * 2048) AS INT) AS n_samples
+FROM w ORDER BY media_id, window_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # Fact-to-fact joins (TPC-H Q3/Q5 shapes): orders ⋈ lineitem is the
 # big-big join where shuffle strategy matters — both sides hash-
@@ -818,6 +851,7 @@ EXT_QUERIES = {
     # ivf/winnow raw outputs are approximate/rolling-hash — their
     # semantics are driver-gated via plans/verification.py check twins
     "frame_samples": (frame_samples, None),
+    "audio_windows": (audio_windows, AUDIO_WINDOWS_SQL),
     "ivf_knn_embeddings": (ivf_knn_embeddings, None),
     "winnow_pairs": (winnow_pairs, None),
 }

@@ -881,3 +881,26 @@ def test_title_candidates_properties():
             assert isinstance(c, str)
 
     prop()
+
+
+def test_window_audio_fake_codec(spark):
+    from movie_data_pipeline_spark.multimodal import binary_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "audio", bytearray(bytes(range(256)) * 20), (None, None, None, 5120, 16000)),
+            (2, "audio", None, (None, None, None, None, None)),
+        ],
+        binary_ops.MEDIA_SCHEMA,
+    )
+    rows = binary_ops.window_audio(df, window_samples=2048, fake=True).collect()
+    by_idx = {(r.media_id, r.window_idx): r for r in rows}
+    # 5120 bytes → 2 full windows + 1 of 1024
+    assert len(rows) == 3 and (1, 2) in by_idx
+    assert by_idx[(1, 0)].n_samples == 2048
+    assert by_idx[(1, 2)].n_samples == 1024
+    # bytes 0..255 centered on 128 → peak |w| = 128
+    assert by_idx[(1, 0)].peak == 128
+    assert abs(by_idx[(1, 0)].rms - 73.9) < 1.0  # uniform over [-128,127]
+    with pytest.raises(Exception):
+        binary_ops.window_audio(df, fake=False).collect()
