@@ -49,3 +49,15 @@ def test_oracle_match(spark, duck, name):
     assert [c.lower() for c in sdf.columns] == duck_cols
     assert len(spark_rows) == len(duck_rows)
     assert _normalize(spark_rows) == _normalize(duck_rows)
+
+
+def test_driver_slot_invariants():
+    """The driver records only the first 50 registry entries; those
+    slots must stay exactly the curated list, every one oracled."""
+    from movie_data_pipeline_spark.plans.analytics import _DRIVER_SLOTS, QUERIES
+
+    first50 = list(QUERIES)[:50]
+    assert len(_DRIVER_SLOTS) == 50
+    assert first50 == _DRIVER_SLOTS
+    missing_oracle = [n for n in first50 if QUERIES[n][1] is None]
+    assert not missing_oracle, missing_oracle
