@@ -62,9 +62,14 @@ def main() -> None:
     # drop data caches so per-query numbers don't ride earlier persists
     clear_state(spark)
 
-    # pass 2 (timed, warm engine — BASELINE.md's comparison basis)
+    # pass 2 (timed, warm engine — BASELINE.md's comparison basis).
+    # Nudge the JVM collector between queries: without it, garbage from
+    # earlier queries gets collected mid-measurement and bills a
+    # multi-second stall to whichever query it lands on (observed: an
+    # 0.8 s query recorded at 8.6 s).
     timings: dict[str, float] = {}
     for name, (builder, _) in bench_queries.items():
+        spark.sparkContext._jvm.System.gc()
         start = time.perf_counter()
         builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
