@@ -179,8 +179,96 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return semantic_dedup(emb, centroids, threshold=0.45).orderBy("doc_id")
 
 
+def curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end corpus curation as ONE declarative plan — the
+    composition a training-data pipeline actually runs: language gate
+    (metadata lang) → quality threshold (composite score ≥ 0.5) →
+    exact dedup (min doc_id per md5 content hash) → per-source corpus
+    stats. Each stage is an already-verified registry operator
+    (lang_id_docs / doc_quality / dedup_exact_docs / doc_token_stats);
+    this entry verifies their COMPOSITION end-to-end against one
+    nested-CTE oracle. Single plan: filters fuse into the scan, the
+    dedup window and the final agg are the only shuffles."""
+    from pyspark.sql import Window
+
+    from ..functions import text as TX
+    from .analytics import _dec_sum
+
+    docs = load_table(spark, sf, "documents")
+    gated = (
+        docs.filter(F.col("lang") == "en")
+        .withColumn("_ws", TX.tokens(F.col("text")))
+        .withColumn("_bpe", TX.bpe_ish_tokens(F.col("text")))
+        .withColumn(
+            "quality",
+            TX.quality_score_from(F.col("_ws"), F.col("_bpe"), F.col("text")),
+        )
+        .filter(F.col("quality") >= 0.5)
+        .withColumn("h", TX.content_hash(F.col("text")))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    kept = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("_ws")).alias("total_tokens"),
+            (
+                F.round(
+                    _dec_sum(F.col("quality"), 6).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + 0.0
+            ).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+CURATION_PIPELINE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x != '')) AS n_tokens,
+         list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                     x -> x != '') AS toks,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[\w\s]', '', 'g'))
+                   / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents WHERE lang = 'en'
+),
+s AS (
+  SELECT doc_id, source, text, n_tokens,
+         ROUND((least(n_tokens / 100.0, 1.0)
+              + (1.0 - least(punct_ratio * 5.0, 1.0))
+              + (1.0 - least(abs(
+                    CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, x -> x IN
+                              ('the','and','of','to','in','is','that',
+                               'it','for','with'))) / len(toks)
+                         ELSE 0.0 END - 0.4) * 2.0, 1.0))) / 3.0, 6)
+           AS quality
+  FROM t
+),
+d AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                               ORDER BY doc_id) AS rn
+  FROM s WHERE quality >= 0.5
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*), 4) + 0.0 AS avg_quality
+FROM d WHERE rn = 1
+GROUP BY source ORDER BY source
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "semantic_dedup_docs": (semantic_dedup_docs, None),
+    "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_SQL),
 }
