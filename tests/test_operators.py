@@ -904,3 +904,72 @@ def test_window_audio_fake_codec(spark):
     assert abs(by_idx[(1, 0)].rms - 73.9) < 1.0  # uniform over [-128,127]
     with pytest.raises(Exception):
         binary_ops.window_audio(df, fake=False).collect()
+
+
+def test_pairs_within_groups_equals_bruteforce(spark):
+    """Randomized equivalence on the shared pair-generation core: for
+    a seeded keyed corpus under the cap, the output must be EXACTLY
+    the set of within-key (id_a < id_b) pairs a brute-force self-join
+    produces — including cross-key dedup behavior (a pair sharing two
+    keys appears once per key, distinct() collapses it). Over the cap:
+    keep-first truncates to the smallest max_group ids per key,
+    drop_oversize discards the key wholesale."""
+    import itertools
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(k), int(i))
+        for k, i in zip(rng.integers(0, 12, 300), rng.integers(0, 60, 300))
+    ]
+    # dedup (key, id) duplicates like the callers' explode→distinct do
+    rows = sorted(set(rows))
+    df = spark.createDataFrame(rows, ["k", "doc_id"])
+
+    by_key = {}
+    for k, i in rows:
+        by_key.setdefault(k, []).append(i)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.pairs_within_groups(df, ["k"], "doc_id", 10**6)
+        .distinct()
+        .collect()
+    }
+    expected = {
+        pair
+        for ids in by_key.values()
+        for pair in itertools.combinations(sorted(ids), 2)
+    }
+    assert got == expected
+
+    cap = 5
+    got_capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.pairs_within_groups(df, ["k"], "doc_id", cap)
+        .distinct()
+        .collect()
+    }
+    expected_capped = {
+        pair
+        for ids in by_key.values()
+        for pair in itertools.combinations(sorted(ids)[:cap], 2)
+    }
+    assert got_capped == expected_capped
+
+    got_dropped = {
+        (r.id_a, r.id_b)
+        for r in dedup.pairs_within_groups(
+            df, ["k"], "doc_id", cap, drop_oversize=True
+        )
+        .distinct()
+        .collect()
+    }
+    expected_dropped = {
+        pair
+        for ids in by_key.values()
+        if 2 <= len(ids) <= cap
+        for pair in itertools.combinations(sorted(ids), 2)
+    }
+    assert got_dropped == expected_dropped
