@@ -235,20 +235,30 @@ def embedding_near_duplicates(
 _NLIST_CACHE: dict[str, int] = {}
 
 
-def sqrt_nlist(corpus: DataFrame, floor: int = 16, cap: int = 65536) -> int:
+def sqrt_nlist(
+    corpus: DataFrame,
+    floor: int = 16,
+    cap: int = 65536,
+    cache_key: str | None = None,
+) -> int:
     """IVF-standard cluster count: nlist = ⌈√N⌉, clamped. Keeps mean
     cluster size (and the within-cluster pair fan-out of the semantic
     dedup blocking, ≈ N²·nprobe²/nlist) growing as N^1.5 instead of N²
     while the centroid matrix stays driver-sized (≤ cap × dim floats).
-    The count is a parquet-metadata action — O(files), not O(rows) —
-    and is memoized per source file set (index sizing is corpus-stable,
-    same lifetime as the cached centroids it parameterizes)."""
-    key = ";".join(sorted(corpus.inputFiles())) or None
-    if key is not None and key in _NLIST_CACHE:
-        return max(floor, min(cap, _NLIST_CACHE[key]))
+
+    Memoized per caller-supplied LOGICAL-corpus key — the same key
+    discipline as ``get_ivf_centroids``. The source file set alone is
+    NOT a valid key: different logical corpora (the full embeddings
+    table vs its ``vec_id < 500`` gate slice) read the same parquet
+    files, and a file-keyed cache made the computed nlist depend on
+    which caller ran first in the process. With no key the count runs
+    every call (a metadata-only action on an unfiltered parquet scan).
+    """
+    if cache_key is not None and cache_key in _NLIST_CACHE:
+        return max(floor, min(cap, _NLIST_CACHE[cache_key]))
     n = corpus.count()
-    if key is not None:
-        _NLIST_CACHE[key] = int(n**0.5)
+    if cache_key is not None:
+        _NLIST_CACHE[cache_key] = int(n**0.5)
     return max(floor, min(cap, int(n**0.5)))
 
 

@@ -292,7 +292,9 @@ def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("cs") >= 0.45)
         .select("id_a", "id_b")
     )
-    centroids = get_ivf_centroids(emb, f"slice500:{sf}", nlist=sqrt_nlist(emb))
+    centroids = get_ivf_centroids(
+        emb, f"slice500:{sf}", nlist=sqrt_nlist(emb, cache_key=f"slice500:{sf}")
+    )
     approx = semantic_dup_pairs(emb, centroids, threshold=0.45).select(
         "id_a", "id_b"
     )

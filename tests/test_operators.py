@@ -135,6 +135,27 @@ def test_semantic_dedup_planted(embeddings):
     ).count() == 19
 
 
+def test_sqrt_nlist_logical_corpus_keys(spark, tmp_path):
+    """Regression: nlist sizing must distinguish logical corpora that
+    read the SAME parquet files (full table vs a filtered slice). The
+    old file-set-keyed cache made the result depend on which caller
+    ran first in the process."""
+    path = str(tmp_path / "emb")
+    spark.range(400).selectExpr("id AS vec_id").write.parquet(path)
+    full = spark.read.parquet(path)
+    sliced = full.filter(F.col("vec_id") < 100)
+    # check-first order (the poisoning direction ADVICE flagged)
+    n_slice = similarity.sqrt_nlist(sliced, floor=1, cache_key="t:slice")
+    n_full = similarity.sqrt_nlist(full, floor=1, cache_key="t:full")
+    assert n_slice == 10 and n_full == 20
+    # opposite order, fresh keys — same answers
+    assert similarity.sqrt_nlist(full, floor=1, cache_key="t2:full") == 20
+    assert similarity.sqrt_nlist(sliced, floor=1, cache_key="t2:slice") == 10
+    # cached keys return the memoized value, unkeyed calls recount
+    assert similarity.sqrt_nlist(sliced, floor=1, cache_key="t:slice") == 10
+    assert similarity.sqrt_nlist(sliced, floor=1) == 10
+
+
 def test_enrichment_fallback_priority(spark):
     movies = spark.createDataFrame(
         [
