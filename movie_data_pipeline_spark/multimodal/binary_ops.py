@@ -61,6 +61,21 @@ def _fake_decode_bytes(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload, dtype=np.uint8)
 
 
+def _require_codec(fake: bool, what: str, dep: str) -> None:
+    """Fail fast on the DRIVER at plan-build time. The real codecs are
+    not in this container, so ``fake=False`` can never succeed — and a
+    raise deferred into the per-row executor loop would surface only
+    at action time, or never on an empty / all-null-payload input
+    (silently returning an empty result instead of erroring). This is
+    how a missing codec dependency should fail: once, immediately,
+    where the op is built."""
+    if not fake:
+        raise NotImplementedError(
+            f"real {what} requires {dep} (not in container); "
+            "pass fake=True for the deterministic stand-in"
+        )
+
+
 def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Per-image features via mapInPandas (Arrow batches of payloads).
 
@@ -68,6 +83,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     computes the same-shaped features from raw bytes so the plan,
     schema, and batch handling are fully exercised.
     """
+    _require_codec(fake, "image decode", "PIL/opencv")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,11 +92,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                 if payload is None:
                     rows.append((media_id, 0, None, 0.0, [0] * 16))
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/opencv (not in container); "
-                        "pass fake=True for the deterministic stand-in"
-                    )
+                # real codec slots in here, replacing _fake_decode_bytes
                 arr = _fake_decode_bytes(bytes(payload))
                 hist = np.bincount(arr >> 4, minlength=16).astype("int64")
                 rows.append(
@@ -102,6 +114,7 @@ def extract_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 def sample_frames(df: DataFrame, every_n_bytes: int = 1024, fake: bool = False) -> DataFrame:
     """Frame sampling for video payloads: emit one row per sampled
     'frame' (fixed-stride byte slices under the fake codec)."""
+    _require_codec(fake, "video decode", "ffmpeg bindings")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -109,11 +122,7 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 1024, fake: bool = False) 
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real video decode requires ffmpeg bindings (not in "
-                        "container); pass fake=True for the deterministic stand-in"
-                    )
+                # real codec slots in here, replacing the byte striding
                 data = bytes(payload)
                 for idx, off in enumerate(range(0, len(data), every_n_bytes)):
                     chunk = data[off : off + every_n_bytes]
@@ -146,6 +155,7 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
     as a new binary column (the real pipeline would decode pixels and
     bilinear-resample; the fake codec strides the byte array). Shape,
     batch handling, and output schema are the production ones."""
+    _require_codec(fake, "resize", "an image library")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -154,11 +164,7 @@ def resize_media(df: DataFrame, factor: int = 4, fake: bool = False) -> DataFram
                 if payload is None:
                     rows.append((media_id, None, 0))
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real resize requires an image library (not in "
-                        "container); pass fake=True for the byte-stride stand-in"
-                    )
+                # real codec slots in here, replacing the byte stride
                 arr = _fake_decode_bytes(bytes(payload))[::factor]
                 out = arr.tobytes()
                 rows.append((media_id, bytearray(out), len(out)))
@@ -183,6 +189,7 @@ def window_audio(
     training pipeline. Under the fake codec the payload bytes act as
     8-bit unsigned PCM; a real decoder slots into the same mapInPandas
     batch shape (Arrow in, Arrow out, no driver involvement)."""
+    _require_codec(fake, "audio decode", "soundfile/ffmpeg")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -190,11 +197,7 @@ def window_audio(
             for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "real audio decode requires soundfile/ffmpeg (not in "
-                        "container); pass fake=True for the deterministic stand-in"
-                    )
+                # real codec slots in here, replacing byte-as-PCM
                 pcm = _fake_decode_bytes(bytes(payload)).astype(np.float64)
                 # center on 0 like signed PCM so RMS measures energy
                 pcm -= 128.0

@@ -444,8 +444,15 @@ def winnow_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
-    """Rows-only: fixed-stride 'frame' sampling over binary payloads
-    (video-shaped path; byte-slice chunks under the fake codec)."""
+    """Fixed-stride 'frame' sampling over binary payloads (video-shaped
+    path; byte-slice chunks under the fake codec). Fully oracled — the
+    fake frame IS a byte slice of the UTF-8 payload, so DuckDB derives
+    frame count/index from octet_length and the content hash itself
+    via sha256(substring(text, …)). Precondition (checked at all
+    shipped SFs): the documents corpus is pure ASCII, so DuckDB's
+    character slicing equals the engine's byte slicing; a non-ASCII
+    corpus drift would flag this row loudly rather than silently
+    diverge."""
     from ..multimodal.binary_ops import sample_frames
 
     docs = load_table(spark, sf, "documents")
@@ -453,7 +460,20 @@ def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
-    return sample_frames(media, every_n_bytes=256, fake=True)
+    return sample_frames(media, every_n_bytes=256, fake=True).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+FRAME_SAMPLES_SQL = """
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+w AS (SELECT doc_id, text, n,
+             unnest(range(CAST(ceil(n / 256.0) AS BIGINT))) AS i
+      FROM b WHERE n > 0)
+SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+       sha256(substring(text, CAST(i * 256 + 1 AS BIGINT), 256)) AS frame_sha256
+FROM w ORDER BY media_id, frame_idx
+"""
 
 
 def audio_windows(spark: SparkSession, sf: str) -> DataFrame:
@@ -847,10 +867,9 @@ EXT_QUERIES = {
     "order_date_features": (order_date_features, ORDER_DATE_FEATURES_SQL),
     "supplier_volume_by_nation": (supplier_volume_by_nation, SUPPLIER_VOLUME_SQL),
     "approx_distinct_summary": (approx_distinct_summary, APPROX_DISTINCT_SQL),
-    # rows-only: frame_samples decodes binary media (no SQL twin);
-    # ivf/winnow raw outputs are approximate/rolling-hash — their
-    # semantics are driver-gated via plans/verification.py check twins
-    "frame_samples": (frame_samples, None),
+    # rows-only: ivf/winnow raw outputs are approximate/rolling-hash —
+    # their semantics are driver-gated via verification.py check twins
+    "frame_samples": (frame_samples, FRAME_SAMPLES_SQL),
     "audio_windows": (audio_windows, AUDIO_WINDOWS_SQL),
     "ivf_knn_embeddings": (ivf_knn_embeddings, None),
     "winnow_pairs": (winnow_pairs, None),

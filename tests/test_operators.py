@@ -245,6 +245,70 @@ def test_sql_splitter_quote_aware():
     assert "'it''s'" in stmts[2]
 
 
+def test_snapshot_publish_atomic_across_tables(spark, tmp_path):
+    """The reference's one-transaction load (etl.py:236-276): a failure
+    between table writes must leave the PREVIOUS multi-table snapshot
+    fully readable — no partial set ever visible."""
+    from movie_data_pipeline_spark.sources import snapshot
+
+    root = str(tmp_path / "cat")
+    v1 = {
+        "movies": spark.createDataFrame([(1, "Toy Story")], ["movie_id", "title"]),
+        "genres": spark.createDataFrame([(1, "Animation")], ["genre_id", "name"]),
+        "movie_genres": spark.createDataFrame([(1, 1)], ["movie_id", "genre_id"]),
+        "ratings": spark.createDataFrame([(1, 1, 4.0)], ["user_id", "movie_id", "rating"]),
+    }
+    assert snapshot.publish_snapshot(root, v1) == 1
+
+    class _Dies:  # a table whose write fails mid-publish ("kill")
+        @property
+        def write(self):
+            raise RuntimeError("killed between table writes")
+
+    v2_partial = {
+        "movies": spark.createDataFrame([(2, "Jumanji")], ["movie_id", "title"]),
+        "genres": _Dies(),  # second of four: movies already rewritten
+        "movie_genres": v1["movie_genres"],
+        "ratings": v1["ratings"],
+    }
+    with pytest.raises(RuntimeError):
+        snapshot.publish_snapshot(root, v2_partial)
+    # previous snapshot still live and complete
+    assert snapshot.snapshot_version(root) == 1
+    for name in v1:
+        got = snapshot.read_snapshot_table(spark, root, name)
+        assert got.count() == 1
+    assert snapshot.read_snapshot_table(spark, root, "movies").first().title == "Toy Story"
+
+    # a later full publish commits and prunes everything pre-window
+    v2 = dict(v1, movies=spark.createDataFrame(
+        [(1, "Toy Story"), (2, "Jumanji")], ["movie_id", "title"]))
+    assert snapshot.publish_snapshot(root, v2) == 2
+    assert snapshot.read_snapshot_table(spark, root, "movies").count() == 2
+    import os
+    assert not os.path.exists(os.path.join(root, "v1"))  # pruned
+    assert snapshot.snapshot_version(root) == 2
+
+
+def test_sql_runner_row_cap(spark, capsys):
+    from movie_data_pipeline_spark.sources.sql_runner import run_script
+
+    run_script(
+        spark,
+        "SELECT id, IF(id = 2, NULL, id * 10) AS v FROM RANGE(5) ORDER BY id",
+        print_results=True,
+        max_rows=3,
+    )
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines[0] == "id\tv"
+    assert lines[1:4] == ["0\t0", "1\t10", "2\tNULL"]  # NULL contract kept
+    assert lines[4] == "-- truncated at 3 rows" and len(lines) == 5
+    # uncapped path: full result, streamed
+    run_script(spark, "SELECT id FROM RANGE(4) ORDER BY id", print_results=True)
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert lines == ["id", "0", "1", "2", "3"]
+
+
 def test_multimodal_fake_decode(spark):
     from movie_data_pipeline_spark.multimodal import binary_ops
 
@@ -271,8 +335,19 @@ def test_multimodal_real_decode_is_stubbed(spark):
         [(1, "image", bytearray(b"xx"), (None, None, None, None, None))],
         binary_ops.MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception):  # NotImplementedError inside the UDF
-        binary_ops.extract_image_features(df, fake=False).collect()
+    # fail-fast contract: the missing-codec error surfaces on the
+    # driver at plan-BUILD time (no action needed) — an all-null or
+    # empty input must not silently return an empty result
+    for fn in (
+        binary_ops.extract_image_features,
+        binary_ops.sample_frames,
+        binary_ops.resize_media,
+        binary_ops.window_audio,
+    ):
+        with pytest.raises(NotImplementedError):
+            fn(df, fake=False)
+        with pytest.raises(NotImplementedError):
+            fn(df.filter("media_id < 0"), fake=False)  # empty input
 
 
 def test_asof_join_backward_and_forward(spark):
@@ -532,6 +607,132 @@ def test_duplicate_clusters_transitive(spark):
         clusters.setdefault(r.cluster_id, set()).add(r.doc_id)
         assert r.is_canonical == (r.doc_id == r.cluster_id)
     assert clusters == {1: {1, 2, 3, 4}, 10: {10, 11}, 20: {20, 21, 22}}
+
+
+def test_duplicate_clusters_star_equals_propagate(spark):
+    """Property: the large-star/small-star contraction and min-label
+    propagation must produce identical clusterings on random graphs
+    (including forests, cycles, and dense blobs)."""
+    import random
+
+    from movie_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    rnd = random.Random(11)
+    for trial in range(3):
+        pairs = set()
+        for _ in range(40 + trial * 60):
+            a, b = rnd.randrange(80), rnd.randrange(80)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        df = spark.createDataFrame(sorted(pairs), "id_a long, id_b long")
+        star = {tuple(r) for r in duplicate_clusters(df, method="star").collect()}
+        prop = {tuple(r) for r in duplicate_clusters(df, method="propagate").collect()}
+        assert star == prop
+
+
+def test_duplicate_clusters_star_converges_logarithmically(spark):
+    """A planted 64-link chain (diameter 64): star contraction must
+    fully converge within 8 rounds (O(log n)), while propagation at
+    the same round budget provably cannot reach the far end."""
+    from movie_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    rows = duplicate_clusters(chain, max_iters=8, method="star").collect()
+    assert len(rows) == 65
+    assert all(r.cluster_id == 0 for r in rows)
+    partial = duplicate_clusters(chain, max_iters=8, method="propagate").collect()
+    assert any(r.cluster_id != 0 for r in partial)
+
+
+def test_omdb_datasource_live_http_loopback(spark, tmp_path):
+    """mode=http against a 127.0.0.1 http.server — the reference's
+    fetch semantics (etl.py:116-152) exercised with zero network:
+    retry ×2 with backoff on a bad response, per-request pacing,
+    request timeout, and miss (Response!=True) yielding no row (the
+    enrichment join applies the default record downstream)."""
+    import json as _json
+    import threading
+    import time as _time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    from movie_data_pipeline_spark.sources import omdb_datasource
+
+    log: list[tuple[str, float]] = []
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            q = parse_qs(urlparse(self.path).query)
+            title = q.get("t", [""])[0]
+            with lock:
+                log.append((title, _time.monotonic()))
+                n = sum(1 for t, _ in log if t == title)
+            if title == "Hang":  # longer than the client's timeout
+                _time.sleep(0.5)
+            if title == "Flaky" and n == 1:
+                body = b"not json"  # resp.json() raises -> retry
+            elif title == "Missing":
+                body = _json.dumps(
+                    {"Response": "False", "Error": "Movie not found!"}
+                ).encode()
+            else:
+                body = _json.dumps({
+                    "Response": "True", "imdbID": f"tt-{title}",
+                    "Plot": f"Plot {title}", "Director": "D",
+                    "BoxOffice": "$1,000", "Runtime": "90 min",
+                    "imdbRating": "7.5",
+                }).encode()
+            try:
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client timed out mid-response (the Hang probe)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        csv_path = tmp_path / "movies.csv"
+        csv_path.write_text(
+            "movieId,title,genres\n1,Flaky,Drama\n2,Hang,Drama\n3,Missing,Drama\n"
+        )
+        omdb_datasource.register(spark)
+        rows = (
+            spark.read.format("omdb_lookup")
+            .option("path", str(csv_path))
+            .option("mode", "http")
+            .option("api_key", "test-key")
+            .option("base_url", f"http://127.0.0.1:{srv.server_address[1]}/")
+            .option("numPartitions", 1)  # sequential: timing assertable
+            .option("rateLimitS", 0.2)
+            .option("backoffS", 0.3)
+            .option("timeoutS", 0.2)
+            .load()
+            .collect()
+        )
+    finally:
+        srv.shutdown()
+
+    got = {r.lookup_title: r for r in rows}
+    # retry ×2 recovered the flaky title; miss and timeout yield no row
+    assert set(got) == {"Flaky"}
+    assert got["Flaky"].imdb_id == "tt-Flaky"
+    assert got["Flaky"].imdb_rating == 7.5
+    counts = {t: sum(1 for x, _ in log if x == t) for t, _ in log}
+    assert counts == {"Flaky": 2, "Hang": 2, "Missing": 1}
+    times = [when for t, when in log if t == "Flaky"]
+    assert times[1] - times[0] >= 0.28  # backoff before the retry
+    first_missing = next(when for t, when in log if t == "Missing")
+    last_hang = max(when for t, when in log if t == "Hang")
+    assert first_missing - last_hang >= 0.18  # per-request pacing
 
 
 def test_omdb_datasource_stub(spark, movies_csv):
@@ -923,8 +1124,8 @@ def test_window_audio_fake_codec(spark):
     # bytes 0..255 centered on 128 → peak |w| = 128
     assert by_idx[(1, 0)].peak == 128
     assert abs(by_idx[(1, 0)].rms - 73.9) < 1.0  # uniform over [-128,127]
-    with pytest.raises(Exception):
-        binary_ops.window_audio(df, fake=False).collect()
+    with pytest.raises(NotImplementedError):  # driver-side, plan-build time
+        binary_ops.window_audio(df, fake=False)
 
 
 def test_pairs_within_groups_equals_bruteforce(spark):
