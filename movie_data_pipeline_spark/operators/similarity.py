@@ -240,6 +240,7 @@ def sqrt_nlist(
     floor: int = 16,
     cap: int = 65536,
     cache_key: str | None = None,
+    mult: float = 1.0,
 ) -> int:
     """IVF-standard cluster count: nlist = ⌈√N⌉, clamped. Keeps mean
     cluster size (and the within-cluster pair fan-out of the semantic
@@ -255,18 +256,18 @@ def sqrt_nlist(
     every call (a metadata-only action on an unfiltered parquet scan).
     """
     if cache_key is not None and cache_key in _NLIST_CACHE:
-        return max(floor, min(cap, _NLIST_CACHE[cache_key]))
+        return max(floor, min(cap, int(mult * _NLIST_CACHE[cache_key])))
     n = corpus.count()
     if cache_key is not None:
         _NLIST_CACHE[cache_key] = int(n**0.5)
-    return max(floor, min(cap, int(n**0.5)))
+    return max(floor, min(cap, int(mult * n**0.5)))
 
 
 def semantic_dup_pairs(
     corpus: DataFrame,
     centroids: np.ndarray,
     threshold: float = 0.45,
-    nprobe: int = 4,
+    nprobe: int = 6,
     max_cluster: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -276,10 +277,14 @@ def semantic_dup_pairs(
 
     Each vector joins its ``nprobe`` nearest clusters (soft
     assignment) — a pair is a candidate when any probed cluster
-    overlaps, the same recall lever as IVF multi-probe. Measured at
-    nlist=⌈√N⌉ (``sqrt_nlist``)/nprobe=4, τ=0.45: recall 1.0
-    (sf0.001), 0.929 (sf0.01), 0.854 (sf0.1) vs brute force;
-    precision exactly 1 (every candidate exact-verified).
+    overlaps, the same recall lever as IVF multi-probe. Operating
+    point (callers size via ``sqrt_nlist(mult=2)``): nlist=2√N,
+    nprobe=6, τ=0.45 — measured recall vs brute force 1.0 (sf0.001),
+    1.0 (sf0.01), 0.938 (sf0.1); precision exactly 1 (every candidate
+    exact-verified). The tuning sweep at sf0.1: (√N, 4)→0.854,
+    (√N, 6)→0.972 at 1.8× the wall, (2√N, 5)→0.889, (2√N, 6)→0.938
+    at the old wall — nprobe² buys recall, nlist sells it back for
+    candidate volume; 2√N/6 is the knee.
 
     Scale shape: cluster assignment is one Arrow matmul pass; candidate
     generation routes through ``pairs_within_groups`` (single keyed
@@ -320,7 +325,7 @@ def semantic_dedup(
     corpus: DataFrame,
     centroids: np.ndarray,
     threshold: float = 0.45,
-    nprobe: int = 4,
+    nprobe: int = 6,
     max_cluster: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -727,8 +727,17 @@ def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EMBEDDING_KNN_SQL = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+-- embeddings funnel through FLOAT[] before DOUBLE[] to mirror the
+-- engine's load_table normalization (Spark stores array<float>, then
+-- computes cosine in double): if the driver corpus ever ships
+-- array<double>, both engines must see the same float-rounded vectors
+-- or borderline top-k ranks diverge.
+WITH q AS (SELECT vec_id AS query_id,
+                  CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS q_vec
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id,
+             CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]) AS c_vec
+      FROM embeddings),
 scored AS (
   SELECT query_id, neighbor_id,
          list_cosine_similarity(q_vec, c_vec) AS cs

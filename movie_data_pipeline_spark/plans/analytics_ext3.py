@@ -784,7 +784,9 @@ def embedding_dim_means(spark: SparkSession, sf: str) -> DataFrame:
 EMBEDDING_DIM_MEANS_SQL = """
 WITH nums AS (SELECT CAST(range AS INT) AS dim FROM range(1, 100000)),
 exploded AS (
-    SELECT e.label, n.dim, CAST(e.embedding[n.dim] AS DOUBLE) AS v
+    -- FLOAT before DOUBLE mirrors load_table's array<float>
+    -- normalization (guards an array<double> corpus drift)
+    SELECT e.label, n.dim, CAST(CAST(e.embedding[n.dim] AS FLOAT) AS DOUBLE) AS v
     FROM embeddings e JOIN nums n ON n.dim <= len(e.embedding)
 )
 SELECT label, dim,

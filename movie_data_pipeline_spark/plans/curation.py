@@ -174,7 +174,7 @@ def semantic_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.similarity import get_ivf_centroids, semantic_dedup, sqrt_nlist
 
     emb = load_table(spark, sf, "embeddings")
-    nlist = sqrt_nlist(emb, cache_key=sf)
+    nlist = sqrt_nlist(emb, cache_key=sf, mult=2)  # 2√N: see semantic_dup_pairs
     centroids = get_ivf_centroids(emb, sf, nlist=nlist)
     return semantic_dedup(emb, centroids, threshold=0.45).orderBy("doc_id")
 

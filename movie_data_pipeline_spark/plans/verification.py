@@ -252,12 +252,15 @@ def embedding_neardup_check(spark: SparkSession, sf: str) -> DataFrame:
 
 
 EMBEDDING_NEARDUP_CHECK_SQL = """
+-- FLOAT[] before DOUBLE[] mirrors load_table's array<float>
+-- normalization: both engines must see float-rounded vectors even if
+-- the corpus ships array<double>, or borderline τ=0.45 pairs diverge
 SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
        TRUE AS recall_ok, TRUE AS precision_ok
 FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+WHERE list_cosine_similarity(CAST(CAST(a.embedding AS FLOAT[]) AS DOUBLE[]),
+                             CAST(CAST(b.embedding AS FLOAT[]) AS DOUBLE[])) >= 0.45
 """
 
 
@@ -268,9 +271,11 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
     """Same bounded slice (vec_id < 500) and τ=0.45 as the sign-LSH
     check above, but candidates come from the k-means soft-assignment
-    blocking (nlist=⌈√N⌉, nprobe=4) that `semantic_dedup_docs` uses.
-    Measured slice recall: 7/7 (sf0.001), 13/14 (sf0.01), 13/13
-    (sf0.1) → assert ≥ 0.8; precision exactly 1 (exact-cosine verify).
+    blocking (nlist=2⌈√N⌉, nprobe=6) that `semantic_dedup_docs` uses.
+    Measured slice recall at that operating point: 7/7 (sf0.001),
+    14/14 (sf0.01), 13/13 (sf0.1) → assert ≥ 0.8; full-corpus recall
+    1.0 / 1.0 / 0.938 (see semantic_dup_pairs docstring); precision
+    exactly 1 (exact-cosine verify).
     Centroids train on the slice itself (seeded, deterministic) so the
     check is self-contained."""
     from ..operators.similarity import (
@@ -293,7 +298,9 @@ def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     centroids = get_ivf_centroids(
-        emb, f"slice500:{sf}", nlist=sqrt_nlist(emb, cache_key=f"slice500:{sf}")
+        emb,
+        f"slice500:{sf}",
+        nlist=sqrt_nlist(emb, cache_key=f"slice500:{sf}", mult=2),
     )
     approx = semantic_dup_pairs(emb, centroids, threshold=0.45).select(
         "id_a", "id_b"
@@ -316,12 +323,13 @@ def semantic_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SEMANTIC_DEDUP_CHECK_SQL = """
+-- FLOAT[] before DOUBLE[]: see EMBEDDING_NEARDUP_CHECK_SQL
 SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
        TRUE AS recall_ok, TRUE AS precision_ok
 FROM embeddings a JOIN embeddings b
   ON a.vec_id < b.vec_id AND a.vec_id < 500 AND b.vec_id < 500
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.45
+WHERE list_cosine_similarity(CAST(CAST(a.embedding AS FLOAT[]) AS DOUBLE[]),
+                             CAST(CAST(b.embedding AS FLOAT[]) AS DOUBLE[])) >= 0.45
 """
 
 
