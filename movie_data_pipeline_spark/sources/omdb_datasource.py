@@ -72,6 +72,12 @@ class OmdbLookupReader(DataSourceReader):
         self.api_key = options.get("api_key")
         self.num_partitions = int(options.get("numpartitions", 8))
         self.rate_limit_s = float(options.get("ratelimits", 0.5))
+        # overridable endpoint/latency knobs so live-mode semantics are
+        # testable against a 127.0.0.1 loopback server (no network);
+        # defaults are the reference's (etl.py:28-30)
+        self.base_url = options.get("base_url", "https://www.omdbapi.com/")
+        self.backoff_s = float(options.get("backoffs", 1.0))
+        self.timeout_s = float(options.get("timeouts", 10.0))
         if self.mode == "http" and not self.api_key:
             raise ValueError("mode=http requires option 'api_key'")
 
@@ -129,12 +135,12 @@ class OmdbLookupReader(DataSourceReader):
             for attempt in range(2):  # retry ×2 (etl.py:30)
                 try:
                     resp = requests.get(
-                        "https://www.omdbapi.com/", params=params, timeout=10
+                        self.base_url, params=params, timeout=self.timeout_s
                     )
                     data = resp.json()
                     break
                 except Exception:
-                    time.sleep(1.0)  # backoff (etl.py:149)
+                    time.sleep(self.backoff_s)  # backoff (etl.py:149)
             time.sleep(self.rate_limit_s)
             if not data or data.get("Response") != "True":
                 continue

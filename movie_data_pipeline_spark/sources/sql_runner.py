@@ -59,16 +59,32 @@ def split_statements(script: str) -> list[str]:
 
 
 def run_script(
-    spark: SparkSession, script: str, print_results: bool = False
+    spark: SparkSession,
+    script: str,
+    print_results: bool = False,
+    max_rows: int | None = None,
 ) -> list[DataFrame]:
     """Execute each statement via spark.sql; optionally print TSV with
-    the reference's NULL rendering (``etl.py:313``)."""
+    the reference's NULL rendering (``etl.py:313``).
+
+    Display streams through ``toLocalIterator()`` — driver memory is
+    bounded by one partition, not the full result, so an accidental
+    full-table SELECT in an analyst script doesn't OOM the driver the
+    way the reference's ``fetchall`` would. ``max_rows`` optionally
+    caps the printed rows per statement (a trailing marker notes the
+    truncation); ``None`` preserves the reference's print-everything
+    contract."""
     results = []
     for stmt in split_statements(script):
         df = spark.sql(stmt)
         results.append(df)
         if print_results:
             print("\t".join(df.columns))
-            for row in df.collect():
+            shown = 0
+            for row in df.toLocalIterator():
+                if max_rows is not None and shown >= max_rows:
+                    print(f"-- truncated at {max_rows} rows")
+                    break
                 print("\t".join("NULL" if v is None else str(v) for v in row))
+                shown += 1
     return results
