@@ -266,9 +266,111 @@ GROUP BY source ORDER BY source
 """
 
 
+def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic exact-k stratified sample: the k=20 documents per
+    language stratum with the smallest md5(doc_id) — the sampling
+    primitive a training mix needs (fixed per-language quotas,
+    reproducible across runs/engines/partitionings, no RNG state).
+
+    Hash-rank sampling beats rand(): the sample is a pure function of
+    the ids, so adding documents to the corpus only displaces sampled
+    rows at the quota boundary instead of reshuffling everything.
+    Scale shape: one keyed window per stratum (partitionBy(lang) —
+    strata sort independently, no global sort); at 100 TB the same
+    plan holds because per-stratum top-k is a partial TakeOrdered
+    under the window, and a skewed stratum salts like any hot key."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        docs.withColumn("rank_in_lang", F.row_number().over(w))
+        .filter(F.col("rank_in_lang") <= 20)
+        .select("lang", "doc_id", "rank_in_lang")
+        .orderBy("lang", "rank_in_lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rank_in_lang
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rank_in_lang AS INT) AS rank_in_lang
+FROM r WHERE rank_in_lang <= 20 ORDER BY lang, rank_in_lang
+"""
+
+
+def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val/test split that can never leak an exact duplicate
+    across splits: documents are grouped into exact-dup clusters (min
+    doc_id per md5(text) content hash), and the CLUSTER representative
+    — not the document — is hashed into a split, so every member of a
+    duplicate cluster lands in the same split by construction. This is
+    the standard defense against train/test contamination from
+    duplicated web text (the failure mode benchmark decontamination
+    papers document: a test passage's duplicate hiding in train).
+
+    Split rule is engine-portable string math: first hex char of
+    md5(representative) — '0'-'b' train (12/16), 'c'-'d' val, 'e'-'f'
+    test. Output is the per-split audit (doc and cluster counts);
+    the leakage invariant is structural, not sampled.
+
+    Scale shape: one window over the content-hash partition + one
+    aggregation — both key-partitioned, no driver state, no RNG."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.partitionBy(F.md5(F.col("text")))
+    rep = docs.select("doc_id", F.min("doc_id").over(w).alias("rep"))
+    first = F.substring(F.md5(F.col("rep").cast("string")), 1, 1)
+    split = (
+        F.when(first <= F.lit("b"), F.lit("train"))
+        .when(first <= F.lit("d"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        rep.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("rep").alias("n_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+LEAKAGE_SAFE_SPLIT_SQL = """
+WITH rep AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+),
+s AS (
+  SELECT doc_id, rep,
+         CASE WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'b'
+                THEN 'train'
+              WHEN substring(md5(CAST(rep AS VARCHAR)), 1, 1) <= 'd'
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM rep
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters
+FROM s GROUP BY split ORDER BY split
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
     "semantic_dedup_docs": (semantic_dedup_docs, None),
     "curation_pipeline": (curation_pipeline, CURATION_PIPELINE_SQL),
+    # round 5 additions — registered AFTER the 50 driver slots (the
+    # slot list is pinned; new entries ride the local oracle twin)
+    "stratified_sample_docs": (stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
+    "leakage_safe_split": (leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
 }

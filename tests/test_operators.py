@@ -609,6 +609,30 @@ def test_duplicate_clusters_transitive(spark):
     assert clusters == {1: {1, 2, 3, 4}, 10: {10, 11}, 20: {20, 21, 22}}
 
 
+def test_leakage_safe_split_keeps_clusters_whole(spark, tmp_path):
+    """Planted exact duplicates must land in ONE split: the split is a
+    function of the cluster representative, never the member."""
+    import os
+
+    from movie_data_pipeline_spark.plans.curation import leakage_safe_split
+
+    rows = []
+    for i in range(60):
+        text = f"unique document {i}"
+        rows.append((i, "en", "web", text))
+        rows.append((1000 + i, "en", "web", text))  # exact dup of i
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    agg = {r.split: r for r in leakage_safe_split(spark, sf).collect()}
+    # every cluster has exactly 2 docs, and counts are consistent:
+    # doubling membership never splits a cluster across rows
+    assert sum(r.n_docs for r in agg.values()) == 120
+    assert sum(r.n_clusters for r in agg.values()) == 60
+    for r in agg.values():
+        assert r.n_docs == 2 * r.n_clusters  # pairs stay together
+
+
 def test_duplicate_clusters_star_equals_propagate(spark):
     """Property: the large-star/small-star contraction and min-label
     propagation must produce identical clusterings on random graphs
