@@ -442,6 +442,211 @@ def _nearest_lists_udf(centroids: np.ndarray, nprobe: int):
     return nearest
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: the memory-bound scale path
+# (Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public). Vectors compress to m sub-codes
+# (64-dim float32 = 256 B → m = 8 B at 8 bits/sub-code, 32×); search
+# scans CODES with per-query lookup tables (ADC), then exactly
+# re-ranks a shortlist against the raw vectors. At 100 TB the codes
+# for a 100-billion-vector corpus fit where the raw vectors cannot.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    max_train_rows: int = 4096,
+) -> np.ndarray:
+    """Train the (m × 2^nbits × dim/m) sub-codebooks on a BOUNDED
+    seeded sample — the same O(1)-in-corpus index-build discipline as
+    ``train_ivf_centroids`` (Faiss trains PQ the same way). Vectors
+    are unit-normalized before quantization so ADC L2 distance orders
+    like cosine (for unit vectors, cos = 1 − d²/2). Deterministic:
+    seeded sample, per-subspace seeded init."""
+    n = corpus.count()
+    frac = min(1.0, (max_train_rows * 1.3) / max(n, 1))
+    sample = corpus.sample(fraction=frac, seed=seed) if frac < 1.0 else corpus
+    rows = (
+        sample.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(max_train_rows)
+        .collect()
+    )
+    x = np.array([r.v for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    k = min(1 << nbits, len(x))
+    books = np.zeros((m, k, dsub))
+    for j in range(m):
+        xs = np.ascontiguousarray(x[:, j * dsub : (j + 1) * dsub])
+        rng = np.random.RandomState(seed + j)
+        cents = xs[rng.choice(len(xs), size=k, replace=False)].copy()
+        for _ in range(max_iter):
+            d = (
+                (xs**2).sum(axis=1)[:, None]
+                - 2.0 * (xs @ cents.T)
+                + (cents**2).sum(axis=1)[None, :]
+            )
+            assign = d.argmin(axis=1)
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+# PQ codebooks are index state, same lifetime/key discipline as the
+# IVF centroid cache above.
+_PQ_CACHE: dict = {}
+
+
+def get_pq_codebooks(
+    corpus: DataFrame, cache_key: str, m: int = 16, nbits: int = 8, **train_kw
+) -> np.ndarray:
+    key = (cache_key, m, nbits)
+    books = _PQ_CACHE.get(key)
+    if books is None:
+        books = train_pq_codebooks(corpus, m=m, nbits=nbits, **train_kw)
+        _PQ_CACHE[key] = books
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-vectorized encoder: per batch, one matmul per subspace
+    (unit-normalize → argmin sub-distance → m small int codes)."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    m, _, dsub = books.shape
+    b_sq = (books**2).sum(axis=2)  # (m, k)
+
+    @SF.pandas_udf(ST.ArrayType(ST.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(mat), m), dtype="int32")
+        for j in range(m):
+            xs = mat[:, j * dsub : (j + 1) * dsub]
+            d = b_sq[j][None, :] - 2.0 * (xs @ books[j].T)
+            codes[:, j] = d.argmin(axis=1).astype("int32")
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The at-rest PQ index: (id, codes) — persistable like the
+    winnowing fingerprint index; build once, scan for every query."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def _adc_dist_udf(books: np.ndarray):
+    """Asymmetric-distance computation: one (m × k) lookup table per
+    DISTINCT query in the Arrow batch (queries repeat across the
+    batch, so LUT cost amortizes), then distance = m table lookups per
+    code row — never touching the raw corpus vectors."""
+    from pyspark.sql import functions as SF
+    from pyspark.sql import types as ST
+
+    m, _, dsub = books.shape
+
+    @SF.pandas_udf(ST.DoubleType())
+    def adc(qid: pd.Series, qvec: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series([], dtype="float64")
+        out = np.empty(len(qid))
+        codes_mat = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        qids = qid.to_numpy()
+        for u in np.unique(qids):
+            mask = qids == u
+            # np.array (not asarray): an Arrow-backed float64 column
+            # arrives zero-copy and READ-ONLY; the in-place normalize
+            # below needs a writable copy
+            q = np.array(qvec[mask].iloc[0], dtype=np.float64)
+            q /= max(np.linalg.norm(q), 1e-12)
+            qs = q.reshape(m, dsub)
+            lut = ((books - qs[:, None, :]) ** 2).sum(axis=2)  # (m, k)
+            out[mask] = lut[np.arange(m)[None, :], codes_mat[mask]].sum(axis=1)
+        return pd.Series(out)
+
+    return adc
+
+
+def pq_knn(
+    codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 10,
+    shortlist_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via PQ: ADC over the code table → shortlist
+    of ``k × shortlist_mult`` per query → exact cosine re-rank against
+    the raw vectors (joined back for the shortlist only). Output
+    schema matches the other KNN paths.
+
+    Scale shape: the full scan touches only the m-byte code column
+    (the raw-vector scan is shortlist-sized); queries broadcast; both
+    top-k cuts are per-group windows. Recall is tuned by
+    ``shortlist_mult`` (ADC error only hurts if a true neighbor falls
+    outside the shortlist the exact re-rank sees)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    scored = (
+        codes.join(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            _adc_dist_udf(books)(
+                F.col("query_id"), F.col("q_vec"), F.col("codes")
+            ),
+        )
+    )
+    short = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc").asc(), F.col("neighbor_id").asc()],
+        k * shortlist_mult,
+    ).select("query_id", "q_vec", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    reranked = short.join(c, "neighbor_id").withColumn(
+        "cos_sim",
+        cosine(
+            F.col("q_vec").cast("array<double>"),
+            F.col("c_vec").cast("array<double>"),
+        ),
+    )
+    return top_k_per_group(
+        reranked,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,

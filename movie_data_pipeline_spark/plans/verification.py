@@ -204,6 +204,44 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def pq_recall_check(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ ANN recall@5 vs brute force over the full corpus, 10 query
+    vectors — same harness shape as `knn_recall_check`. Production
+    params (m=16, nbits=8, shortlist_mult=8): measured 1.0 recall at
+    all three SFs (coarser m=8 codes measured 0.74 at sf0.1, which is
+    why the operator defaults to 16 sub-codes) → assert ≥ 0.8. The
+    exact re-rank makes returned similarities exact; only a missing
+    true neighbor (outside the ADC shortlist) can lower recall."""
+    from ..operators.similarity import (
+        brute_force_knn,
+        get_pq_codebooks,
+        pq_encode,
+        pq_knn,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_knn(emb, q, k=5).select("query_id", "neighbor_id")
+    books = get_pq_codebooks(emb, sf, m=16, nbits=8)
+    approx = pq_knn(pq_encode(emb, books), emb, q, books, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return _one_row(n_exact, n_found).select(
+        "n_exact",
+        (F.col("n_found") >= 0.8 * F.col("n_exact")).alias("pq_recall_ok"),
+    )
+
+
+PQ_RECALL_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, TRUE AS pq_recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Banded sign-LSH near-dup vs exact brute-force cosine pairs
 # ---------------------------------------------------------------------------
@@ -339,6 +377,8 @@ VERIFY_QUERIES = {
     "knn_recall_check": (knn_recall_check, KNN_RECALL_SQL),
     "embedding_neardup_check": (embedding_neardup_check, EMBEDDING_NEARDUP_CHECK_SQL),
     "semantic_dedup_check": (semantic_dedup_check, SEMANTIC_DEDUP_CHECK_SQL),
+    # round-5 addition: registered AFTER the 50 pinned driver slots
+    "pq_recall_check": (pq_recall_check, PQ_RECALL_SQL),
 }
 
 

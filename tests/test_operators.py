@@ -110,6 +110,22 @@ def test_lsh_knn_recall(embeddings):
     assert len(e & a) / len(e) >= 0.5
 
 
+def test_pq_knn_planted(embeddings):
+    """PQ codes have the declared shape/range, and the ADC shortlist +
+    exact re-rank recovers the planted near-dup at rank 1 with the
+    EXACT cosine (re-rank is exact; only recall is approximate)."""
+    books = similarity.train_pq_codebooks(embeddings, m=8, nbits=4)
+    assert books.shape == (8, 16, 2)  # dim 16 → 8 subspaces of 2
+    codes = similarity.pq_encode(embeddings, books)
+    row = codes.first()
+    assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
+    rows = similarity.pq_knn(
+        codes, embeddings, embeddings.filter("vec_id = 0"), books, k=3
+    ).collect()
+    assert [r.rank for r in rows] == [1, 2, 3]
+    assert rows[0].neighbor_id == 1 and rows[0].cos_sim > 0.99
+
+
 def test_embedding_near_duplicates(embeddings):
     pairs = similarity.embedding_near_duplicates(
         embeddings, dim=16, threshold=0.95, bands=8, band_bits=4
