@@ -38,22 +38,33 @@ def _spark() -> SparkSession:
 
 
 def _register_warehouse(spark: SparkSession, warehouse: str) -> None:
+    """Resolve tables through the snapshot manifest when one exists
+    (atomic-publish layout); fall back to the flat per-table layout
+    for warehouses written before the manifest existed."""
+    from .sources import snapshot
+
+    manifest = snapshot.read_manifest(warehouse)
     for t in CANONICAL_TABLES:
-        spark.read.parquet(os.path.join(warehouse, t)).createOrReplaceTempView(t)
+        df = (
+            snapshot.read_snapshot_table(spark, warehouse, t)
+            if manifest
+            else spark.read.parquet(os.path.join(warehouse, t))
+        )
+        df.createOrReplaceTempView(t)
 
 
 def cmd_etl(args: argparse.Namespace) -> int:
-    from .plans.pipeline import run_movielens_etl
-    from .sources import enrichment
+    from .plans.pipeline import load_movielens
     from .sources.sinks import table_stats
 
     spark = _spark()
     lookup = (
         spark.read.parquet(args.lookup) if args.lookup else None
     )
-    tables = run_movielens_etl(spark, args.movies, args.ratings, lookup)
-    for name, df in tables.items():
-        df.write.mode("overwrite").parquet(os.path.join(args.warehouse, name))
+    # one atomic publish for all four tables — the reference's single
+    # SQLite transaction (etl.py:236-276): a failed run leaves any
+    # previous warehouse snapshot fully intact
+    load_movielens(spark, args.movies, args.ratings, args.warehouse, lookup)
     _register_warehouse(spark, args.warehouse)
     stats = table_stats(
         spark, {t: spark.table(t) for t in CANONICAL_TABLES}

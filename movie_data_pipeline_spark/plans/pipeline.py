@@ -91,3 +91,28 @@ def run_movielens_etl(
         "movie_genres": movie_genres,
         "ratings": ratings,
     }
+
+
+def load_movielens(
+    spark: SparkSession,
+    movies_csv: str,
+    ratings_csv: str,
+    root: str,
+    lookup: DataFrame | None = None,
+    keep_versions: int = 1,
+) -> int:
+    """The reference's transactional load (``etl.py:236-276``: all
+    four tables under one SQLite transaction, rollback on failure) as
+    a materialized ETL run: build every table, then publish them as
+    ONE atomic snapshot (``sources/snapshot.py`` manifest-pointer
+    commit). A failure anywhere before the pointer swap leaves the
+    previous snapshot — all four tables — fully readable; there is no
+    state in which a reader sees a partial load. Returns the committed
+    snapshot version."""
+    from ..sources.snapshot import publish_snapshot
+
+    return publish_snapshot(
+        root,
+        run_movielens_etl(spark, movies_csv, ratings_csv, lookup),
+        keep_versions=keep_versions,
+    )

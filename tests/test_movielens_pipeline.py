@@ -136,3 +136,34 @@ def test_cli_etl_and_queries(spark, tmp_path, capsys, movies_csv, ratings_csv):
     # Q1 header + one result row; Q2 header present
     assert "title\trelease_year\tavg_rating\trating_count" in qout
     assert "genre_name\tavg_rating\tmovie_count\ttotal_ratings" in qout
+
+
+def test_load_movielens_atomic_snapshot(spark, tmp_path, movies_csv, ratings_csv):
+    """The transactional-load analogue end to end: one publish commits
+    all four tables atomically; all are readable through the manifest
+    with the golden cardinalities."""
+    import itertools
+
+    from movie_data_pipeline_spark.plans.pipeline import load_movielens
+    from movie_data_pipeline_spark.sources import snapshot
+
+    small_movies = tmp_path / "movies.csv"
+    small_ratings = tmp_path / "ratings.csv"
+    with open(movies_csv) as fh:
+        small_movies.write_text("".join(itertools.islice(fh, 201)))
+    with open(ratings_csv) as fh:
+        small_ratings.write_text("".join(itertools.islice(fh, 1001)))
+    root = str(tmp_path / "wh")
+
+    assert load_movielens(spark, str(small_movies), str(small_ratings), root) == 1
+    assert snapshot.snapshot_version(root) == 1
+    counts = {
+        name: snapshot.read_snapshot_table(spark, root, name).count()
+        for name in ("movies", "genres", "movie_genres", "ratings")
+    }
+    assert counts["movies"] == 200
+    assert counts["ratings"] == 1000
+    assert counts["movie_genres"] > 200 and counts["genres"] > 5
+    # a second load commits v2 and prunes v1
+    assert load_movielens(spark, str(small_movies), str(small_ratings), root) == 2
+    assert snapshot.read_snapshot_table(spark, root, "movies").count() == 200
