@@ -364,6 +364,96 @@ FROM s GROUP BY split ORDER BY split
 """
 
 
+def charlm_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-trigram language-model fluency score per document —
+    the perplexity-filter stage of a CCNet/Gopher-style quality
+    pipeline, with the LM trained on the corpus ITSELF (deterministic,
+    no external model): P(c|ab) = count(abc) / count(ab·) over the
+    normalized corpus, and each document scores
+    bits_per_char = −mean log₂ P — fluent, corpus-typical text scores
+    low; gibberish and out-of-distribution character soup score high.
+
+    Everything is exact relational algebra, so the whole stage —
+    trigram extraction, model fit, scoring — has a DuckDB SQL twin and
+    hash-matches: per-gram log-probs round to 6 decimals before an
+    exact decimal sum (partition-order-independent, the `_dec_sum`
+    discipline), so float summation order can't flip the hash.
+
+    Scale shape: one explode (≈ doc length rows), two keyed
+    aggregations for the model (trigram counts + prefix totals via
+    window), one join of grams→model (model side is vocabulary-sized —
+    at most alphabet³ ≈ 20k rows here, broadcastable), one final
+    per-doc aggregation. Self-training on 100 TB works identically:
+    the model table stays vocabulary-bounded no matter the corpus."""
+    from pyspark.sql import Window
+
+    from .analytics import _dec_sum
+
+    docs = load_table(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
+    base = docs.select("doc_id", norm.alias("t")).filter(F.length("t") >= 3)
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+        ).alias("g3"),
+    )
+    model = (
+        grams.groupBy("g3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+        .withColumn(
+            "cp",
+            F.sum("c3").over(Window.partitionBy(F.substring("g3", 1, 2))),
+        )
+    )
+    scored = grams.join(model, "g3").select(
+        "doc_id",
+        F.round(F.log2(F.col("c3") / F.col("cp")), 6).alias("lp"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            (
+                F.round(
+                    -_dec_sum(F.col("lp"), 6).cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                )
+                + 0.0
+            ).alias("bits_per_char"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHARLM_SCORES_SQL = """
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '[^a-z ]', '', 'g') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, substring(t, CAST(i AS BIGINT), 3) AS g3
+  FROM norm, UNNEST(range(1, length(t) - 1)) AS u(i)
+  WHERE length(t) >= 3
+),
+m AS (SELECT g3, COUNT(*) AS c3 FROM g GROUP BY g3),
+mp AS (
+  SELECT g3, c3,
+         SUM(c3) OVER (PARTITION BY substring(g3, 1, 2)) AS cp
+  FROM m
+),
+s AS (
+  SELECT doc_id, ROUND(log2(c3 / CAST(cp AS DOUBLE)), 6) AS lp
+  FROM g JOIN mp USING (g3)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(-CAST(SUM(CAST(lp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4)
+         + 0.0 AS bits_per_char
+FROM s GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
@@ -373,4 +463,5 @@ CURATION_QUERIES = {
     # slot list is pinned; new entries ride the local oracle twin)
     "stratified_sample_docs": (stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
     "leakage_safe_split": (leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
+    "charlm_doc_scores": (charlm_doc_scores, CHARLM_SCORES_SQL),
 }

@@ -625,6 +625,27 @@ def test_duplicate_clusters_transitive(spark):
     assert clusters == {1: {1, 2, 3, 4}, 10: {10, 11}, 20: {20, 21, 22}}
 
 
+def test_charlm_scores_rank_fluency(spark, tmp_path):
+    """The self-trained trigram LM must score corpus-typical text as
+    more predictable (lower bits/char) than character gibberish."""
+    import os
+
+    from movie_data_pipeline_spark.plans.curation import charlm_doc_scores
+
+    natural = "the quick brown fox jumps over the lazy dog and then "
+    rows = [(i, "en", "web", natural * 4) for i in range(8)]
+    rows.append((100, "en", "web", "zq xv jk qzx wvk jqz kxv zjq wkx " * 4))
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    scores = {r.doc_id: r.bits_per_char for r in charlm_doc_scores(spark, sf).collect()}
+    assert len(scores) == 9
+    natural_max = max(v for k, v in scores.items() if k != 100)
+    # clearly costlier (measured ~8× on this fixture; the gibberish
+    # doc's own repetition keeps its absolute bits/char modest)
+    assert scores[100] > 3 * natural_max
+
+
 def test_leakage_safe_split_keeps_clusters_whole(spark, tmp_path):
     """Planted exact duplicates must land in ONE split: the split is a
     function of the cluster representative, never the member."""
