@@ -379,12 +379,18 @@ def charlm_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
     exact decimal sum (partition-order-independent, the `_dec_sum`
     discipline), so float summation order can't flip the hash.
 
-    Scale shape: one explode (≈ doc length rows), two keyed
-    aggregations for the model (trigram counts + prefix totals via
-    window), one join of grams→model (model side is vocabulary-sized —
-    at most alphabet³ ≈ 20k rows here, broadcastable), one final
-    per-doc aggregation. Self-training on 100 TB works identically:
-    the model table stays vocabulary-bounded no matter the corpus."""
+    Scale shape: the explode's ≈doc-length rows immediately collapse
+    to per-(doc, trigram) COUNTS (map-side-combinable, and natural
+    text repeats trigrams heavily, so everything downstream — the
+    model aggregation, the model join, the per-doc score — moves
+    count rows, never gram instances). The model is vocabulary-
+    bounded (≤ alphabet³ rows forever) and explicitly broadcast:
+    without the hint AQE broadcasts the corpus-sized gram side at
+    test SFs, which inverts at scale. Self-training on 100 TB keeps
+    the same plan. The instance-level mean matches the SQL twin
+    exactly because every instance of a (doc, gram) pair shares one
+    rounded log-prob: Σ round(lp,6) over instances = Σ n·round(lp,6).
+    """
     from pyspark.sql import Window
 
     from .analytics import _dec_sum
@@ -392,32 +398,40 @@ def charlm_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     norm = F.regexp_replace(F.lower(F.col("text")), "[^a-z ]", "")
     base = docs.select("doc_id", norm.alias("t")).filter(F.length("t") >= 3)
-    grams = base.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
-        ).alias("g3"),
+    gc = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))"
+                )
+            ).alias("g3"),
+        )
+        .groupBy("doc_id", "g3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()  # reused by the model fit AND the scoring join
     )
     model = (
-        grams.groupBy("g3")
-        .agg(F.count(F.lit(1)).alias("c3"))
+        gc.groupBy("g3")
+        .agg(F.sum("n").alias("c3"))
         .withColumn(
             "cp",
             F.sum("c3").over(Window.partitionBy(F.substring("g3", 1, 2))),
         )
     )
-    scored = grams.join(model, "g3").select(
+    scored = gc.join(F.broadcast(model), "g3").select(
         "doc_id",
+        "n",
         F.round(F.log2(F.col("c3") / F.col("cp")), 6).alias("lp"),
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("n").alias("n_grams"),
             (
                 F.round(
-                    -_dec_sum(F.col("lp"), 6).cast("double")
-                    / F.count(F.lit(1)),
+                    -_dec_sum(F.col("lp") * F.col("n"), 6).cast("double")
+                    / F.sum("n"),
                     4,
                 )
                 + 0.0
