@@ -654,6 +654,10 @@ def duplicate_clusters(
     round so plans don't snowball; the driver loop iterates ROUNDS,
     never rows.
     """
+    if method not in ("propagate", "star"):
+        raise ValueError(
+            f"method must be 'propagate' or 'star', got {method!r}"
+        )
     if method == "star":
         canon = (
             pairs.select(

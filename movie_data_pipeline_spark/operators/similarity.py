@@ -255,12 +255,18 @@ def sqrt_nlist(
     which caller ran first in the process. With no key the count runs
     every call (a metadata-only action on an unfiltered parquet scan).
     """
+    # Both paths MUST apply the identical formula to the identical
+    # integer ⌊√N⌋, or (for non-perfect-square N) the first call in a
+    # process would disagree with later cached calls by 1 — changing
+    # the (cache_key, nlist) centroid cache key mid-process and forcing
+    # a retrain that flips semantic_dedup output between bench reps.
     if cache_key is not None and cache_key in _NLIST_CACHE:
-        return max(floor, min(cap, int(mult * _NLIST_CACHE[cache_key])))
-    n = corpus.count()
-    if cache_key is not None:
-        _NLIST_CACHE[cache_key] = int(n**0.5)
-    return max(floor, min(cap, int(mult * n**0.5)))
+        root = _NLIST_CACHE[cache_key]
+    else:
+        root = int(corpus.count() ** 0.5)
+        if cache_key is not None:
+            _NLIST_CACHE[cache_key] = root
+    return max(floor, min(cap, int(mult * root)))
 
 
 def semantic_dup_pairs(

@@ -478,12 +478,16 @@ FROM w ORDER BY media_id, frame_idx
 
 def audio_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Audio-shaped path: fixed-length PCM windowing (window_audio)
-    over binary payloads. Unlike frame_samples this one is oracled:
-    under the fake codec the window STRUCTURE (index, sample count) is
-    a pure function of payload byte length, which DuckDB derives from
-    octet_length — so the mapInPandas batch shape, skip-empty
-    semantics, and tail-window arithmetic are all value-checked. The
-    energy features (rms/peak) are pinned separately by unit test."""
+    over binary payloads, FULLY oracled including the energy features:
+    under the fake 8-bit-PCM codec every output column is a pure
+    function of the payload bytes, which DuckDB re-derives — window
+    structure from octet_length, rms/peak from the per-character code
+    points of the window substring (valid under the same checked
+    ASCII precondition frame_samples documents). The rms comparison
+    is exact, not approximate: (byte−128)² values are integers whose
+    window sums stay < 2⁵³, so numpy's pairwise mean and DuckDB's
+    sequential AVG produce the identical double before the shared
+    sqrt/round — summation order cannot flip the hash."""
     from ..multimodal.binary_ops import window_audio
 
     docs = load_table(spark, sf, "documents")
@@ -493,19 +497,34 @@ def audio_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         window_audio(media, window_samples=2048, fake=True)
-        .select("media_id", "window_idx", "n_samples")
+        .select(
+            "media_id",
+            "window_idx",
+            "n_samples",
+            (F.round(F.col("rms"), 6) + 0.0).alias("rms"),
+            "peak",
+        )
         .orderBy("media_id", "window_idx")
     )
 
 
 AUDIO_WINDOWS_SQL = """
-WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
-w AS (SELECT doc_id, n,
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+w AS (SELECT doc_id, text, n,
              unnest(range(CAST(ceil(n / 2048.0) AS BIGINT))) AS i
-      FROM b WHERE n > 0)
+      FROM b WHERE n > 0),
+s AS (SELECT doc_id, i,
+             substring(text, CAST(i * 2048 + 1 AS BIGINT), 2048) AS win
+      FROM w),
+c AS (SELECT doc_id, i,
+             unnest(list_transform(range(1, length(win) + 1),
+                    j -> ascii(substring(win, CAST(j AS BIGINT), 1)) - 128)) AS v
+      FROM s)
 SELECT doc_id AS media_id, CAST(i AS INT) AS window_idx,
-       CAST(LEAST(2048, n - i * 2048) AS INT) AS n_samples
-FROM w ORDER BY media_id, window_idx
+       CAST(COUNT(*) AS INT) AS n_samples,
+       ROUND(sqrt(AVG(CAST(v * v AS DOUBLE))), 6) + 0.0 AS rms,
+       CAST(MAX(abs(v)) AS INT) AS peak
+FROM c GROUP BY doc_id, i ORDER BY media_id, window_idx
 """
 
 

@@ -409,7 +409,11 @@ def charlm_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("doc_id", "g3")
         .agg(F.count(F.lit(1)).alias("n"))
-        .cache()  # reused by the model fit AND the scoring join
+        # reused by the model fit AND the scoring join — persisted for
+        # the single materializing action below, then unpersisted so
+        # the corpus-sized count table never outlives this query (a
+        # long-lived session must not squat on executor storage)
+        .persist()
     )
     model = (
         gc.groupBy("g3")
@@ -424,21 +428,26 @@ def charlm_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.log2(F.col("c3") / F.col("cp")), 6).alias("lp"),
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.sum("n").alias("n_grams"),
-            (
-                F.round(
-                    -_dec_sum(F.col("lp") * F.col("n"), 6).cast("double")
-                    / F.sum("n"),
-                    4,
-                )
-                + 0.0
-            ).alias("bits_per_char"),
-        )
-        .orderBy("doc_id")
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("n").alias("n_grams"),
+        (
+            F.round(
+                -_dec_sum(F.col("lp") * F.col("n"), 6).cast("double")
+                / F.sum("n"),
+                4,
+            )
+            + 0.0
+        ).alias("bits_per_char"),
     )
+    # One eager materialization of the SMALL per-doc aggregate (3
+    # narrow columns/doc) computes the heavy gram-count stage exactly
+    # once through the persist above; the cache is then dropped
+    # immediately — its lifetime is this function call, not the
+    # session. The checkpoint blocks holding the result are freed by
+    # the ContextCleaner when the returned DataFrame is released.
+    agg = agg.localCheckpoint()
+    gc.unpersist(blocking=False)
+    return agg.orderBy("doc_id")
 
 
 CHARLM_SCORES_SQL = """

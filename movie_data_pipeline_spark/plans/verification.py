@@ -588,7 +588,7 @@ VERIFY_QUERIES.update(
 # Combined suite: every one-row twin above, normalized to a uniform
 # (family, m1, m2, ok_a, ok_b) row and unioned. The driver's
 # correctness gate records only a bounded prefix of the registry, so
-# this single entry carries all eight approximate-family gates in one
+# this single entry carries all nine approximate-family gates in one
 # driver row-set; the individual twins stay registered for local runs.
 # ---------------------------------------------------------------------------
 
@@ -632,6 +632,10 @@ def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
              "n_docs_packed", "total_tokens", "budget_ok", None),
         norm(winnow_guarantee_check(spark, sf), "winnow",
              "n_exact", None, "recall_one", None),
+        # 9th family (round 6): the PQ ANN gate, driver-enforced like
+        # its siblings — engine and SQL sides change together
+        norm(pq_recall_check(spark, sf), "pq",
+             "n_exact", None, "pq_recall_ok", None),
         qs,
     ]
     out = parts[0]
@@ -665,6 +669,8 @@ APPROX_SUITE_SQL = "\nUNION ALL\n".join(
                       "n_docs_packed", "total_tokens", "budget_ok", None),
         _suite_member("winnow", WINNOW_GUARANTEE_SQL,
                       "n_exact", None, "recall_one", None),
+        _suite_member("pq", PQ_RECALL_SQL,
+                      "n_exact", None, "pq_recall_ok", None),
         (
             "SELECT 'quantile_sketch' AS family, CAST(COUNT(*) AS BIGINT) AS m1, "
             "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS m2, "

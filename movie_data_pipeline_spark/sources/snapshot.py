@@ -16,8 +16,13 @@ for Spark's file-based world:
   fully readable; the orphaned ``v{N}`` directory is garbage, not
   corruption, and is swept by the next successful publish.
 - Readers resolve table paths through the manifest, so a read started
-  before a commit keeps its snapshot (parquet files of the old version
-  are retained until a later publish prunes them).
+  before a commit keeps its snapshot: with the default
+  ``keep_versions=2`` the just-replaced version's parquet files are
+  retained through one full publish cycle, so an in-flight reader's
+  files survive the commit that supersedes them. (``keep_versions=1``
+  trades that isolation away — the replaced version is pruned in the
+  same publish call — and is only safe when no reader can overlap a
+  publish.)
 
 This is the same pointer-swap design Delta/Iceberg use for their
 transaction log tip, reduced to the single-pointer case: no history
@@ -59,7 +64,7 @@ def snapshot_version(root: str) -> int:
 def publish_snapshot(
     root: str,
     tables: Mapping[str, DataFrame],
-    keep_versions: int = 1,
+    keep_versions: int = 2,
 ) -> int:
     """Write every table, then commit them all with one pointer swap.
 
@@ -68,7 +73,9 @@ def publish_snapshot(
     ``rollback`` analogue is simply not-committing. After a successful
     commit, versions older than the newest ``keep_versions`` are
     pruned (the just-replaced one included once it falls out of the
-    window).
+    window). The default window of 2 keeps the replaced version alive
+    through one publish cycle so concurrent in-flight readers retain
+    their snapshot (see module docstring).
     """
     os.makedirs(root, exist_ok=True)
     version = snapshot_version(root) + 1

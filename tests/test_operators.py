@@ -172,6 +172,46 @@ def test_sqrt_nlist_logical_corpus_keys(spark, tmp_path):
     assert similarity.sqrt_nlist(sliced, floor=1) == 10
 
 
+def test_sqrt_nlist_fresh_equals_cached_non_square(spark):
+    """Regression (ADVICE r5): for NON-perfect-square N the fresh and
+    cached paths must round identically, or nlist (and with it the
+    centroid cache key) flips by 1 between the first and later calls
+    in one process — retraining the quantizer and changing
+    semantic_dedup output across bench reps."""
+    df = spark.range(500).selectExpr("id AS vec_id")  # √500 ≈ 22.36
+    first = similarity.sqrt_nlist(df, floor=1, cache_key="nsq", mult=2)
+    again = similarity.sqrt_nlist(df, floor=1, cache_key="nsq", mult=2)
+    assert first == again == 44  # 2 * ⌊√500⌋, both paths
+    # fractional mult exercises the 1/mult-granularity boundary too
+    f = similarity.sqrt_nlist(df, floor=1, cache_key="nsq2", mult=1.5)
+    assert f == similarity.sqrt_nlist(df, floor=1, cache_key="nsq2", mult=1.5)
+
+
+def test_duplicate_clusters_rejects_unknown_method(spark):
+    from movie_data_pipeline_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError, match="propagate.*star"):
+        duplicate_clusters(pairs, method="Star")
+
+
+def test_charlm_releases_corpus_sized_cache(spark):
+    """Cache hygiene (VERDICT r5 watch item): charlm_doc_scores must
+    not leave its corpus-sized per-(doc, trigram) count table in the
+    session's cache manager after the call returns — a long-lived
+    session would otherwise squat on executor storage forever."""
+    from movie_data_pipeline_spark.plans.curation import charlm_doc_scores
+
+    spark.catalog.clearCache()
+    out = charlm_doc_scores(spark, "/root/testdata/sf0.001")
+    # the query itself must be green...
+    assert out.count() > 0
+    # ...and the DataFrame cache manager empty: the persist scoped to
+    # the call was dropped before return (result blocks live in the
+    # localCheckpoint RDD, whose lifetime is the returned DataFrame's)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_enrichment_fallback_priority(spark):
     movies = spark.createDataFrame(
         [
@@ -296,14 +336,49 @@ def test_snapshot_publish_atomic_across_tables(spark, tmp_path):
         assert got.count() == 1
     assert snapshot.read_snapshot_table(spark, root, "movies").first().title == "Toy Story"
 
-    # a later full publish commits and prunes everything pre-window
+    # a later full publish commits; keep_versions=1 prunes everything
+    # pre-window in the same call (the no-reader-overlap fast path)
     v2 = dict(v1, movies=spark.createDataFrame(
         [(1, "Toy Story"), (2, "Jumanji")], ["movie_id", "title"]))
-    assert snapshot.publish_snapshot(root, v2) == 2
+    assert snapshot.publish_snapshot(root, v2, keep_versions=1) == 2
     assert snapshot.read_snapshot_table(spark, root, "movies").count() == 2
     import os
     assert not os.path.exists(os.path.join(root, "v1"))  # pruned
     assert snapshot.snapshot_version(root) == 2
+
+
+def test_snapshot_reader_isolated_from_concurrent_publish(spark, tmp_path):
+    """Read-snapshot isolation: a reader that resolved the manifest
+    BEFORE a publish must still materialize its version AFTER the
+    publish commits — the default keep_versions=2 window retains the
+    replaced version's parquet through one publish cycle, so the
+    in-flight reader's files are never deleted under it."""
+    import os
+
+    from movie_data_pipeline_spark.sources import snapshot
+
+    root = str(tmp_path / "cat")
+    v1 = {"movies": spark.createDataFrame([(1, "Toy Story")], ["movie_id", "title"])}
+    snapshot.publish_snapshot(root, v1)
+
+    # reader resolves the manifest now (lazy plan pinned to v1's path)...
+    reader = snapshot.read_snapshot_table(spark, root, "movies")
+
+    # ...a publish commits mid-read (default retention window)...
+    v2 = {"movies": spark.createDataFrame(
+        [(1, "Toy Story"), (2, "Jumanji")], ["movie_id", "title"])}
+    assert snapshot.publish_snapshot(root, v2) == 2
+    assert snapshot.snapshot_version(root) == 2
+
+    # ...and the reader still materializes the OLD snapshot intact
+    assert os.path.exists(os.path.join(root, "v1"))  # retained by the window
+    assert [r.title for r in reader.collect()] == ["Toy Story"]
+
+    # new readers see the new snapshot; the next publish cycles v1 out
+    assert snapshot.read_snapshot_table(spark, root, "movies").count() == 2
+    snapshot.publish_snapshot(root, v2)
+    assert not os.path.exists(os.path.join(root, "v1"))
+    assert os.path.exists(os.path.join(root, "v2"))
 
 
 def test_sql_runner_row_cap(spark, capsys):
