@@ -106,7 +106,76 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def hll_events_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    the Spark 3.5+ ``hll_sketch_agg``/``hll_union_agg`` builtins): one
+    fixed-size sketch per event day, then the per-day sketches MERGE
+    into an all-days estimate without rescanning raw events — the
+    pre-aggregation contract that answers "distinct users over any
+    date range" at 100 TB from a sketch table millions of times
+    smaller than the event log (one pass, fixed memory per group,
+    associative merge — the same scale posture as percentile_approx).
+
+    Oracle pattern = ``quantile_sketch_check``: sketch internals are
+    not SQL-derivable, so each row emits the EXACT distinct count
+    (DuckDB recomputes it independently) plus a tolerance predicate
+    pinning the estimate within 5% of exact — comfortably above
+    HLL's ~0.4% standard error at lgK=12 yet tight enough to catch
+    any merge/registration bug. The exact COUNT(DISTINCT) side is
+    verification-scoped; the sketch side is the production path."""
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day_idx")
+    )
+
+    def check(df: DataFrame, scope) -> DataFrame:
+        return df.select(
+            scope.alias("scope"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("within_5pct"),
+        )
+
+    daily = e.groupBy("day_idx").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    # merge path: union the per-day sketches (NOT the raw events);
+    # both sides of the crossJoin are single rows
+    total = daily.agg(F.hll_union_agg("sk").alias("sk")).crossJoin(
+        e.agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        check(daily, F.col("day_idx").cast("string"))
+        .unionByName(check(total, F.lit("ALL")))
+        .orderBy("scope")
+    )
+
+
+HLL_EVENTS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+),
+d AS (
+  SELECT CAST(day_idx AS VARCHAR) AS scope,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+         TRUE AS within_5pct
+  FROM e GROUP BY day_idx
+),
+a AS (
+  SELECT 'ALL' AS scope, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+         TRUE AS within_5pct
+  FROM e
+)
+SELECT * FROM d UNION ALL SELECT * FROM a ORDER BY scope
+"""
+
+
 STATS_QUERIES = {
     "price_discount_corr": (price_discount_corr, PRICE_DISCOUNT_CORR_SQL),
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
+    "hll_events_rollup": (hll_events_rollup, HLL_EVENTS_SQL),
 }

@@ -161,7 +161,126 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def purchase_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """KEYED interval join with overlapping windows, via the reusable
+    ``operators/ranges.py::interval_join``: every purchase opens a
+    one-hour attribution window [ts, ts+1h) on its user, and each
+    window counts ALL of that user's events inside it (windows from
+    purchases less than an hour apart overlap, so one event can credit
+    several purchases — the case the as-of join cannot express).
+    10-minute bins keep interval fan-out at ≤7 rows; the join is a
+    plain shuffled equi-join on (user_id, bin) plus the exact range
+    filter — never a nested loop."""
+    from ..operators.ranges import interval_join
+
+    hour_us = 3_600_000_000
+    e = load_events(spark, sf).select(
+        "user_id", "event_id", "event_type", "ts_us"
+    )
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("win_start"),
+        (F.col("ts_us") + hour_us).alias("win_end"),
+    )
+    j = interval_join(
+        e,
+        windows,
+        on=["user_id"],
+        point_ts="ts_us",
+        start_col="win_start",
+        end_col="win_end",
+        bin_width=600_000_000,
+    )
+    return (
+        j.groupBy("user_id", "purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+PURCHASE_WINDOW_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts_us AS s,
+         ts_us + 3600000000 AS en
+  FROM e WHERE event_type = 'purchase'
+)
+SELECT e.user_id AS user_id, purchase_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types
+FROM e JOIN p ON e.user_id = p.user_id
+             AND e.ts_us >= p.s AND e.ts_us < p.en
+GROUP BY e.user_id, purchase_id
+ORDER BY user_id, purchase_id
+"""
+
+
+def ewma_user_values(spark: SparkSession, sf: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values (α=0.2, adjust=False: y₀=x₀, yᵢ=0.8·yᵢ₋₁+0.2·xᵢ) — the
+    streaming-friendly smoother whose per-row recurrence no window
+    function expresses (every output depends on the full prefix, and
+    the closed-form prefix sum is O(n²) as a window). This is the
+    documented applyInPandas escape hatch: one shuffle on user_id,
+    then a linear per-group scan executor-side — state never touches
+    the driver, and a group is one user's bounded series.
+
+    Cross-engine determinism is by CONSTRUCTION, not tolerance: both
+    engines evaluate the literally identical float recurrence
+    ``acc*0.8 + x*0.2`` in the same ts-then-event_id order (DuckDB
+    via list_reduce over prefix slices), so the doubles agree bitwise
+    before the shared round(6)."""
+    import numpy as np
+
+    e = load_events(spark, sf).select("user_id", "event_id", "ts_us", "value")
+
+    def op(pdf):
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        vals = pdf["value"].to_numpy()
+        out = np.empty(len(vals), dtype="float64")
+        acc = 0.0
+        for i, x in enumerate(vals):
+            acc = x if i == 0 else acc * 0.8 + x * 0.2
+            out[i] = acc
+        pdf["ewma"] = np.round(out, 6)
+        return pdf[["user_id", "event_id", "ewma"]]
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(op, "user_id long, event_id long, ewma double")
+        .orderBy("user_id", "event_id")
+    )
+
+
+EWMA_USER_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         list(v ORDER BY ts_us, event_id) AS vs,
+         list(event_id ORDER BY ts_us, event_id) AS ids
+  FROM e GROUP BY user_id
+)
+SELECT user_id, unnest(ids) AS event_id,
+       unnest(list_transform(range(1, len(vs) + 1),
+              i -> ROUND(list_reduce(list_slice(vs, 1, i),
+                         (acc, x) -> acc * 0.8 + x * 0.2), 6))) AS ewma
+FROM g ORDER BY user_id, event_id
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill_locf": (events_gapfill_locf, EVENTS_GAPFILL_SQL),
     "order_window_shipments": (order_window_shipments, ORDER_WINDOW_SQL),
+    "purchase_window_events": (purchase_window_events, PURCHASE_WINDOW_SQL),
+    "ewma_user_values": (ewma_user_values, EWMA_USER_SQL),
 }

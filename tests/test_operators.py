@@ -212,6 +212,47 @@ def test_charlm_releases_corpus_sized_cache(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
+def test_interval_join_semantics(spark):
+    """Half-open containment, bin-boundary exactness, overlapping
+    intervals, empty-interval drop, and left-join recovery (robust to
+    duplicate point rows)."""
+    from movie_data_pipeline_spark.operators.ranges import interval_join
+
+    points = spark.createDataFrame(
+        [("u", 1, 10), ("u", 2, 20), ("u", 3, 29), ("u", 4, 30),
+         ("u", 5, 95), ("v", 6, 10)],
+        ["k", "pid", "ts"],
+    )
+    ivls = spark.createDataFrame(
+        [("u", "a", 10, 30),   # [10,30): catches ts 10,20,29 — NOT 30
+         ("u", "b", 25, 45),   # overlaps a: catches 29,30
+         ("u", "c", 50, 50),   # empty: never matches
+         ("v", "d", 90, 99)],  # right key, wrong time
+        ["k", "iid", "s", "e"],
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, ivls, ["k"], "ts", "s", "e", bin_width=7
+        ).collect()
+    }
+    assert got == {(1, "a"), (2, "a"), (3, "a"), (3, "b"), (4, "b")}
+
+    # left join keeps unmatched points once, even duplicated ones
+    dup = points.unionAll(points.filter(F.col("pid") == 5))
+    left = interval_join(
+        dup, ivls, ["k"], "ts", "s", "e", bin_width=7, how="left"
+    ).collect()
+    unmatched = [(r.pid, r.iid) for r in left if r.iid is None]
+    assert sorted(unmatched) == [(5, None), (5, None), (6, None)]
+    assert len(left) == 5 + 3
+
+    with pytest.raises(ValueError):
+        interval_join(points, ivls, ["k"], "ts", "s", "e", bin_width=0)
+    with pytest.raises(ValueError):
+        interval_join(points, ivls, ["k"], "ts", "s", "e", 7, how="outer")
+
+
 def test_enrichment_fallback_priority(spark):
     movies = spark.createDataFrame(
         [
