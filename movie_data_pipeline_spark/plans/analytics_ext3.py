@@ -830,3 +830,86 @@ ORDER BY l_returnflag
 """
 
 EXT3_QUERIES.update({"salted_quantity_stats": (salted_quantity_stats, SALTED_QUANTITY_SQL)})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (adapted to this slimmed schema: returned lines
+# stand in for late deliveries): suppliers who are the SOLE supplier
+# with a returned line in a finished multi-supplier order. Exercises
+# the correlated EXISTS + NOT EXISTS pair as left-semi / left-anti
+# joins with a non-equi residual — Catalyst drives both on the
+# orderkey equi-hash and applies the supplier-inequality as the join
+# residual, so the plan stays a chain of shuffled hash joins (no
+# nested loop) and scales like any keyed join.
+# ---------------------------------------------------------------------------
+
+def sole_return_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+
+    returned = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_sup = li.select("l_orderkey", "l_suppkey").distinct()
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+
+    base = returned.join(finished, "l_orderkey")
+    b, o, r2 = base.alias("b"), all_sup.alias("o"), returned.alias("r2")
+    # EXISTS: some OTHER supplier ships in the same order
+    base = b.join(
+        o,
+        (F.col("b.l_orderkey") == F.col("o.l_orderkey"))
+        & (F.col("o.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS: no OTHER supplier also had a returned line there
+    b2 = base.alias("b2")
+    base = b2.join(
+        r2,
+        (F.col("b2.l_orderkey") == F.col("r2.l_orderkey"))
+        & (F.col("r2.l_suppkey") != F.col("b2.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        base.join(
+            supplier, base.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+SOLE_RETURN_SQL = """
+WITH r AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_returnflag = 'R'
+),
+a AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+base AS (
+  SELECT r.l_orderkey, r.l_suppkey
+  FROM r JOIN orders ON o_orderkey = r.l_orderkey
+                    AND o_orderstatus = 'F'
+  WHERE EXISTS (SELECT 1 FROM a
+                WHERE a.l_orderkey = r.l_orderkey
+                  AND a.l_suppkey <> r.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM r r2
+                    WHERE r2.l_orderkey = r.l_orderkey
+                      AND r2.l_suppkey <> r.l_suppkey)
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM base JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY n_orders DESC, s_name
+LIMIT 10
+"""
+
+EXT3_QUERIES.update(
+    {"sole_return_suppliers": (sole_return_suppliers, SOLE_RETURN_SQL)}
+)

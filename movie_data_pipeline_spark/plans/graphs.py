@@ -1,0 +1,92 @@
+"""Graph-analytics queries over the warehouse: PageRank centrality on
+the customer↔supplier trade graph derived from orders ⋈ lineitem.
+
+Verification follows the iterative-operator discipline established by
+``dedup_clusters``/``packing_check``: the per-node ranks are rows-only
+(a 10-round damped power iteration is not SQL-expressible), and the
+oracled gate ``pagerank_check`` pins the algorithm's INVARIANTS with
+exact measures DuckDB recomputes independently — node/edge counts of
+the derived graph, the Σ ranks = N conservation law (exact in real
+arithmetic; 1e-6·N float tolerance), and rank positivity with the
+(1−d) floor. A planted-graph unit test checks the VALUES against the
+closed-form stationary solution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..sources.catalog import load_table
+
+
+def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed both ways: customer→supplier and supplier→customer for
+    every distinct (customer, supplier) trading relationship. Node ids
+    disambiguate the two keyspaces by sign: customers are +c_custkey,
+    suppliers are −s_suppkey."""
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (-F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    return pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst")
+    ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
+
+
+def trade_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only registry entry: every node's rank after 10 rounds.
+    Ranks are floats whose low bits ride partition-sum order, so no
+    value hash — the oracled invariants live in ``pagerank_check``."""
+    return pagerank(_trade_edges(spark, sf), n_iter=10).orderBy("node")
+
+
+def pagerank_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracled gate: graph cardinalities exactly, conservation and
+    positivity as tolerance predicates (see module docstring)."""
+    edges = _trade_edges(spark, sf)
+    ranks = pagerank(edges, n_iter=10)
+    stats = ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("rank").alias("total_rank"),
+        F.min("rank").alias("min_rank"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return stats.crossJoin(n_edges).select(  # both sides 1 row
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        (
+            F.abs(F.col("total_rank") - F.col("n_nodes"))
+            <= 1e-6 * F.col("n_nodes")
+        ).alias("rank_conserved"),
+        # every node keeps at least the undamped (1−d) teleport floor
+        (F.col("min_rank") >= 0.15 - 1e-9).alias("rank_floor_ok"),
+    )
+
+
+PAGERANK_CHECK_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (
+  SELECT cust AS node FROM pairs UNION SELECT supp FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(2 * COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       TRUE AS rank_conserved,
+       TRUE AS rank_floor_ok
+"""
+
+
+GRAPH_QUERIES = {
+    "trade_pagerank": (trade_pagerank, None),
+    "pagerank_check": (pagerank_check, PAGERANK_CHECK_SQL),
+}

@@ -253,6 +253,46 @@ def test_interval_join_semantics(spark):
         interval_join(points, ivls, ["k"], "ts", "s", "e", 7, how="outer")
 
 
+def test_pagerank_star_closed_form(spark):
+    """Undirected star (hub 0 ↔ leaves 1..L): by symmetry the
+    stationary point reduces to the 2-variable system
+    r_hub = (1−d) + d·L·r_leaf (each leaf's whole rank flows to the
+    hub) and r_leaf = (1−d) + d·r_hub/L (the hub splits over L
+    leaves). Running the scalar system SYNCHRONOUSLY for the same
+    iteration count must reproduce the distributed iterate to float
+    precision — value-level verification of the rounds themselves,
+    not just the limit. Also: a dangling node (only an IN-edge) must
+    keep Σ ranks = N via mass redistribution."""
+    from movie_data_pipeline_spark.operators.graph import pagerank
+
+    d, L, iters = 0.85, 5, 12
+    edges = [(0, i) for i in range(1, L + 1)] + [(i, 0) for i in range(1, L + 1)]
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), n_iter=iters
+        ).collect()
+    }
+    rh = rl = 1.0
+    for _ in range(iters):  # simultaneous update, like the operator
+        rh, rl = (1 - d) + d * L * rl, (1 - d) + d * (rh / L)
+    assert abs(ranks[0] - rh) < 1e-9
+    for i in range(1, L + 1):
+        assert abs(ranks[i] - rl) < 1e-9
+    assert abs(sum(ranks.values()) - (L + 1)) < 1e-9
+
+    # dangling sink: 0→1, 0↔2; node 1 has no out-edges
+    sink = pagerank(
+        spark.createDataFrame([(0, 1), (0, 2), (2, 0)], ["src", "dst"]),
+        n_iter=40,
+    ).collect()
+    total = sum(r.rank for r in sink)
+    assert abs(total - 3) < 1e-9  # conservation holds with redistribution
+
+    with pytest.raises(ValueError):
+        pagerank(spark.createDataFrame([(0, 1)], ["src", "dst"]), damping=1.5)
+
+
 def test_enrichment_fallback_priority(spark):
     movies = spark.createDataFrame(
         [
