@@ -174,8 +174,54 @@ SELECT * FROM d UNION ALL SELECT * FROM a ORDER BY scope
 """
 
 
+def token_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy-hitter terms via the ``approx_top_k`` sketch (Spark 4):
+    one pass, mergeable partial state, memory bounded by
+    maxItemsTracked instead of vocabulary size — the sketch answer to
+    "top terms" that never materializes a full term dictionary per
+    partition. The sketch returns its top-25, re-ranked and cut to 20
+    under the deterministic (count desc, term) order.
+
+    Oracle note: on THIS corpus the sketch is provably exact — the
+    document vocabulary (31 distinct tokens, checked at all shipped
+    SFs) is far below the 10k tracked items, so every count is a true
+    count and DuckDB's exact top-20 must hash-match (the rank-20
+    boundary count is unique at every SF, so the cut is stable). On a
+    corpus with vocabulary above maxItemsTracked the counts become
+    estimates and this entry would demote to rows-only — that
+    precondition is the same checked-corpus discipline as
+    frame_samples' ASCII assumption."""
+    from ..functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf, "documents")
+    sk = docs.select(
+        F.explode(bpe_ish_tokens(F.col("text"))).alias("w")
+    ).agg(F.expr("approx_top_k(w, 25)").alias("tk"))
+    return (
+        sk.select(F.explode("tk").alias("s"))
+        .select(
+            F.col("s.item").alias("term"),
+            F.col("s.count").cast("long").alias("n"),
+        )
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(20)
+    )
+
+
+TOKEN_HEAVY_HITTERS_SQL = r"""
+WITH t AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                x -> x != '')) AS term
+  FROM documents
+),
+c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY term)
+SELECT term, n FROM c ORDER BY n DESC, term LIMIT 20
+"""
+
+
 STATS_QUERIES = {
     "price_discount_corr": (price_discount_corr, PRICE_DISCOUNT_CORR_SQL),
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
     "hll_events_rollup": (hll_events_rollup, HLL_EVENTS_SQL),
+    "token_heavy_hitters": (token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
 }

@@ -278,9 +278,72 @@ FROM g ORDER BY user_id, event_id
 """
 
 
+def incremental_daily_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: per-(day,
+    event_type) counts and exact-decimal value sums are maintained as
+    STATE, and a late-arriving change batch folds in by re-aggregating
+    the two partial-aggregate tables — base data is never rescanned.
+    This is the algebraic-merge contract that makes daily rollups
+    cheap at 100 TB: COUNT and SUM are commutative monoids, so
+    combine(agg(base), agg(batch)) ≡ agg(base ∪ batch) EXACTLY — and
+    the DuckDB twin states that identity by computing the right-hand
+    side directly over the full table. The split point (the trailing
+    5 days as the "new batch") is derived in-plan from a 1-row MAX
+    aggregate (broadcast, no driver scalar).
+
+    Decimal discipline: value sums use `_dec_sum`, so the merge is
+    bit-stable no matter how the rows were partitioned between state
+    and batch — the property float sums would lose."""
+    e = load_events(spark, sf).select(
+        F.expr("ts_us DIV 86400000000").alias("day_idx"),
+        "event_type",
+        "value",
+    )
+    split = e.agg(
+        (F.max("day_idx") - F.lit(5)).alias("cut")
+    )
+    tagged = e.crossJoin(F.broadcast(split))  # 1-row side
+    base = tagged.filter(F.col("day_idx") < F.col("cut"))
+    batch = tagged.filter(F.col("day_idx") >= F.col("cut"))
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day_idx", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dec_sum(F.col("value"), 6).alias("sum_value"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(batch))
+        .groupBy("day_idx", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+    return merged.select(
+        "day_idx",
+        "event_type",
+        "n_events",
+        (F.round(F.col("sum_value").cast("double"), 4) + 0.0).alias("total_value"),
+    ).orderBy("day_idx", "event_type")
+
+
+INCREMENTAL_DAILY_SQL = """
+SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4)
+         + 0.0 AS total_value
+FROM events
+GROUP BY day_idx, event_type
+ORDER BY day_idx, event_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill_locf": (events_gapfill_locf, EVENTS_GAPFILL_SQL),
     "order_window_shipments": (order_window_shipments, ORDER_WINDOW_SQL),
     "purchase_window_events": (purchase_window_events, PURCHASE_WINDOW_SQL),
     "ewma_user_values": (ewma_user_values, EWMA_USER_SQL),
+    "incremental_daily_agg": (incremental_daily_agg, INCREMENTAL_DAILY_SQL),
 }
