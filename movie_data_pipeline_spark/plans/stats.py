@@ -219,9 +219,90 @@ SELECT term, n FROM c ORDER BY n DESC, term LIMIT 20
 """
 
 
+def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: every vector's top-8 principal-component projection
+    (the pre-ANN compaction pass). The model fits ONCE per corpus from
+    exact distributed moments and is memoized (``operators/pca.py``);
+    projection is a per-batch matmul, no shuffle. Float moment sums
+    ride partition order in their last bits, so per-value hashing is
+    not meaningful here — ``pca_check`` is the oracled gate."""
+    from ..operators.pca import fit_pca, pca_project
+
+    emb = load_table(spark, sf, "embeddings")
+    mean, comps = fit_pca(emb, dim=64, k=8, cache_key=f"pca:{sf}")
+    return (
+        pca_project(emb, mean, comps)
+        .select("vec_id", "projected")
+        .orderBy("vec_id")
+    )
+
+
+def pca_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Oracled gate for the PCA family, all measures computed IN-PLAN
+    from the projections (packing_check pattern — invariants, not
+    sketch internals):
+
+    - n_vectors: exact, DuckDB recomputes.
+    - centered_ok: every projected dimension has |mean| ≤ 1e-6 —
+      projection of centered data is mean-zero in exact arithmetic,
+      so a wiring bug (missing centering, wrong axis) fails loudly.
+    - ordered_ok: projected variance is non-increasing across
+      components (eigenvalue-descending order reached the plan).
+    - explained_ok: top-8/64 components explain ≥ 13% of total
+      variance — above the 12.5% isotropic floor, with margin below
+      the measured 16.0%/20.5%/20.4% at sf0.1/0.01/0.001 (this
+      synthetic corpus is near-isotropic, the PCA worst case)."""
+    from ..operators.pca import fit_pca, pca_project
+
+    emb = load_table(spark, sf, "embeddings")
+    mean, comps = fit_pca(emb, dim=64, k=8, cache_key=f"pca:{sf}")
+    proj = pca_project(emb, mean, comps)
+    m = [float(x) for x in mean]
+    stats = proj.select(
+        F.count(F.lit(1)).alias("n_vectors"),
+        *[F.variance(F.col("projected")[i]).alias(f"v{i}") for i in range(8)],
+        *[F.avg(F.col("projected")[i]).alias(f"m{i}") for i in range(8)],
+        F.avg(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    F.array(*[F.lit(x) for x in m]),
+                    lambda x, mu: (x - mu) * (x - mu),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+        ).alias("total_var"),
+    )
+    top_var = sum(F.col(f"v{i}") for i in range(8))
+    return stats.select(
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        (F.greatest(*[F.abs(F.col(f"m{i}")) for i in range(8)]) <= 1e-6).alias(
+            "centered_ok"
+        ),
+        (
+            sum(
+                (F.col(f"v{i}") + 1e-12 >= F.col(f"v{i+1}")).cast("int")
+                for i in range(7)
+            )
+            == 7
+        ).alias("ordered_ok"),
+        (top_var / F.col("total_var") >= 0.13).alias("explained_ok"),
+    )
+
+
+PCA_CHECK_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       TRUE AS centered_ok, TRUE AS ordered_ok, TRUE AS explained_ok
+FROM embeddings
+"""
+
+
 STATS_QUERIES = {
     "price_discount_corr": (price_discount_corr, PRICE_DISCOUNT_CORR_SQL),
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
     "hll_events_rollup": (hll_events_rollup, HLL_EVENTS_SQL),
     "token_heavy_hitters": (token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
+    "embedding_pca_project": (embedding_pca_project, None),
+    "pca_check": (pca_check, PCA_CHECK_SQL),
 }

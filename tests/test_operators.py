@@ -253,6 +253,48 @@ def test_interval_join_semantics(spark):
         interval_join(points, ivls, ["k"], "ts", "s", "e", 7, how="outer")
 
 
+def test_pca_recovers_planted_direction(spark):
+    """Data with one dominant variance direction: the first component
+    must align with it (|cosine| ≈ 1), projections must be centered,
+    and the memoized model must be reused across calls."""
+    import numpy as np
+
+    from movie_data_pipeline_spark.operators import pca as P
+
+    rng = np.random.default_rng(7)
+    d, axis = 8, np.array([1, 0, 0, 0, 0, 0, 0, 0], dtype=float)
+    base = rng.normal(0, 0.05, size=(400, d))
+    data = base + np.outer(rng.normal(0, 2.0, 400), axis) + 3.0  # offset mean
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)],
+        ["vec_id", "embedding"],
+    )
+    mean, comps = P.fit_pca(df, dim=d, k=2, cache_key="unit:planted")
+    assert np.abs(mean - data.mean(axis=0)).max() < 1e-9
+    assert abs(abs(float(comps[0] @ axis)) - 1.0) < 1e-2
+    assert np.abs(comps @ comps.T - np.eye(2)).max() < 1e-9
+    # memoized: identical object back for the same logical corpus
+    again = P.fit_pca(df, dim=d, k=2, cache_key="unit:planted")
+    assert again[1] is comps
+
+    proj = np.array(
+        [
+            r.projected
+            for r in P.pca_project(df, mean, comps)
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    assert np.abs(proj.mean(axis=0)).max() < 1e-9  # centered
+    expected = (data - mean) @ comps.T
+    assert np.abs(proj - expected).max() < 1e-9
+
+    with pytest.raises(ValueError):
+        P.fit_pca(df, dim=d, k=0)
+    with pytest.raises(ValueError):
+        P.fit_pca(df.filter("vec_id < 0"), dim=d, k=2)
+
+
 def test_pagerank_star_closed_form(spark):
     """Undirected star (hub 0 ↔ leaves 1..L): by symmetry the
     stationary point reduces to the 2-variable system
