@@ -913,3 +913,82 @@ LIMIT 10
 EXT3_QUERIES.update(
     {"sole_return_suppliers": (sole_return_suppliers, SOLE_RETURN_SQL)}
 )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape (phone prefixes → nations on this slimmed schema):
+# "positive-balance customers richer than the average such customer,
+# with no order in the trailing 90 days of the order calendar" — two
+# scalar-aggregate subqueries feeding filters, composed with an anti
+# join over the pruned recent-orders slice. The comparison threshold is the
+# DECIMAL-disciplined average (exact sum / count), so the > cut is
+# bit-identical cross-engine; a float AVG would make borderline
+# customers flicker between engines.
+# ---------------------------------------------------------------------------
+
+def q22_waiting_wealth(spark: SparkSession, sf: str) -> DataFrame:
+    customer = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+
+    from .analytics import _dec_sum
+
+    pos = customer.filter(F.col("c_acctbal") > 0)
+    avg_bal = pos.agg(
+        (_dec_sum(F.col("c_acctbal"), 6).cast("double") / F.count(F.lit(1)))
+        .alias("threshold")
+    )
+    # "lapsed": no order inside the trailing 90 days of the order
+    # calendar — the window edge is ANOTHER scalar subquery (an exact
+    # DATE max, so cross-engine identical), and the anti join prunes
+    # to recent orders before probing
+    edge = orders.agg(
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), 90).alias("edge")
+    )
+    recent = (
+        orders.crossJoin(F.broadcast(edge))  # 1-row side
+        .filter(F.col("o_orderdate").cast("date") >= F.col("edge"))
+        .select("o_custkey")
+    )
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))  # 1-row side
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            (
+                F.round(_dec_sum(F.col("c_acctbal"), 6).cast("double"), 2)
+                + 0.0
+            ).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_WAITING_WEALTH_SQL = """
+WITH t AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+           AS threshold
+  FROM customer WHERE c_acctbal > 0
+),
+mx AS (
+  SELECT MAX(CAST(o_orderdate AS DATE)) - INTERVAL 90 DAY AS edge
+  FROM orders
+)
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2)
+         + 0.0 AS total_bal
+FROM customer, t
+WHERE c_acctbal > threshold
+  AND NOT EXISTS (SELECT 1 FROM orders, mx
+                  WHERE o_custkey = c_custkey
+                    AND CAST(o_orderdate AS DATE) >= edge)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+EXT3_QUERIES.update(
+    {"q22_waiting_wealth": (q22_waiting_wealth, Q22_WAITING_WEALTH_SQL)}
+)

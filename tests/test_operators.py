@@ -1335,6 +1335,51 @@ def test_asof_join_matches_pandas_merge_asof(spark):
             )
 
 
+def test_interval_join_matches_bruteforce_property(spark):
+    """Randomized equivalence: interval_join vs the O(n·m) definition
+    on arbitrary keys/timestamps/bounds (negative times included —
+    floor-division binning must stay correct below zero) across prime
+    and power-of-two bin widths. Few examples, each a real Spark job."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from movie_data_pipeline_spark.operators.ranges import interval_join
+
+    ts = st.integers(min_value=-50, max_value=50)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        pts=st.lists(st.tuples(st.sampled_from("ab"), ts), min_size=1, max_size=12),
+        ivls=st.lists(
+            st.tuples(st.sampled_from("ab"), ts, ts), min_size=1, max_size=8
+        ),
+        bw=st.sampled_from([1, 3, 7, 16]),
+    )
+    def prop(pts, ivls, bw):
+        points = spark.createDataFrame(
+            [(k, i, t) for i, (k, t) in enumerate(pts)], ["k", "pid", "ts"]
+        )
+        intervals = spark.createDataFrame(
+            [(k, i, s, e) for i, (k, s, e) in enumerate(ivls)],
+            ["k", "iid", "s", "e"],
+        )
+        got = {
+            (r.pid, r.iid)
+            for r in interval_join(
+                points, intervals, ["k"], "ts", "s", "e", bin_width=bw
+            ).collect()
+        }
+        want = {
+            (pi, ii)
+            for pi, (pk, pt) in enumerate(pts)
+            for ii, (ik, s, e) in enumerate(ivls)
+            if pk == ik and s <= pt < e
+        }
+        assert got == want
+
+    prop()
+
+
 def test_title_candidates_properties():
     """Hypothesis property test on the pure candidate generator:
     total (no exception on arbitrary unicode), string-typed, and
