@@ -91,3 +91,65 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", "rank")
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact triangle census of the undirected graph underlying
+    ``edges`` (orientation/duplicates/self-loops ignored). Returns a
+    single row ``(n_nodes, n_edges, n_triangles)``.
+
+    Algorithm: degree-ordered wedge join (Suri & Vassilvitskii, WWW'11
+    — the MapReduce-standard formulation). Each undirected edge is
+    oriented from its lower endpoint to its higher endpoint under the
+    total order π = (degree, node id); every triangle {x,y,z} with
+    π(x)<π(y)<π(z) then appears EXACTLY once as the wedge x→y, x→z
+    (π(y)<π(z)) closed by the oriented edge y→z. Orienting by degree
+    bounds per-node out-degree by O(√E), so wedge generation is
+    O(E^{3/2}) worst-case instead of Σdeg² hub-explosion — the
+    difference between a skewed social graph finishing and not. Three
+    shuffles total (degree agg, wedge self-join, closing semi-join);
+    no iteration, no driver data.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.select(F.col("n").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    x, y = oriented.alias("x"), oriented.alias("y")
+    wedges = x.join(y, F.col("x.a") == F.col("y.a")).filter(
+        (F.col("x.db") < F.col("y.db"))
+        | ((F.col("x.db") == F.col("y.db")) & (F.col("x.b") < F.col("y.b")))
+    ).select(F.col("x.b").alias("wa"), F.col("y.b").alias("wb"))
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("wa"), F.col("b").alias("wb")),
+        ["wa", "wb"],
+        "left_semi",
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        n_nodes.crossJoin(n_edges).crossJoin(n_tri)  # all sides 1 row
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

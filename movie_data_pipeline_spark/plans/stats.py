@@ -298,6 +298,84 @@ FROM embeddings
 """
 
 
+# ---------------------------------------------------------------------------
+# Tukey-fence (IQR) outlier detection per group — the robust-statistics
+# screen a curation pipeline runs before trusting a numeric column.
+# Exact quartiles per event type (5 groups → the percentile sort is
+# per-group and bounded; for a 100 TB column you'd swap in
+# percentile_approx with the quantile_sketch_check tolerance gate).
+# The q1/q3 interpolation is bit-identical cross-engine (verified:
+# Spark `percentile` ≡ DuckDB `quantile_cont` exactly on this corpus),
+# so the 1.5·IQR fences and the strict </> cuts agree; outlier
+# extremes are raw doubles from identical inputs — no rounding needed.
+# ---------------------------------------------------------------------------
+
+def value_outliers_iqr(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select("event_type", "value")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25D, 0.75D))").alias("q"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    fences = q.select(
+        "event_type",
+        "n_events",
+        (F.col("q")[0] - 1.5 * (F.col("q")[1] - F.col("q")[0])).alias("lo"),
+        (F.col("q")[1] + 1.5 * (F.col("q")[1] - F.col("q")[0])).alias("hi"),
+    )
+    flagged = (
+        e.join(F.broadcast(fences), "event_type")
+        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("value").alias("min_outlier"),
+            F.max("value").alias("max_outlier"),
+        )
+    )
+    return (
+        fences.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.coalesce(F.col("n_outliers"), F.lit(0)).alias("n_outliers"),
+            "min_outlier",
+            "max_outlier",
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+WITH q AS (
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.75) AS q3,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+), fences AS (
+    SELECT event_type, n_events,
+           q1 - 1.5 * (q3 - q1) AS lo,
+           q3 + 1.5 * (q3 - q1) AS hi
+    FROM q
+), flagged AS (
+    SELECT e.event_type,
+           COUNT(*) AS n_outliers,
+           MIN(value) AS min_outlier,
+           MAX(value) AS max_outlier
+    FROM events e JOIN fences f ON e.event_type = f.event_type
+    WHERE value < lo OR value > hi
+    GROUP BY e.event_type
+)
+SELECT f.event_type, f.n_events,
+       COALESCE(n_outliers, 0) AS n_outliers,
+       min_outlier, max_outlier
+FROM fences f LEFT JOIN flagged USING (event_type)
+ORDER BY event_type
+"""
+
+
 STATS_QUERIES = {
     "price_discount_corr": (price_discount_corr, PRICE_DISCOUNT_CORR_SQL),
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
@@ -305,4 +383,5 @@ STATS_QUERIES = {
     "token_heavy_hitters": (token_heavy_hitters, TOKEN_HEAVY_HITTERS_SQL),
     "embedding_pca_project": (embedding_pca_project, None),
     "pca_check": (pca_check, PCA_CHECK_SQL),
+    "value_outliers_iqr": (value_outliers_iqr, VALUE_OUTLIERS_SQL),
 }

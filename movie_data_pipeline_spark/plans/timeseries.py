@@ -340,10 +340,68 @@ ORDER BY day_idx, event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over the event stream: for each
+# (state, next_state) pair, the transition count and its conditional
+# probability P(next|state). One user-keyed shuffle for the lead()
+# window; the per-state normalizing total comes from a second window
+# over the (state, next_state) aggregate — a 25-row relation, so the
+# extra window is free at any scale. Probabilities are exact-integer
+# ratios divided once in double (identical cross-engine).
+# ---------------------------------------------------------------------------
+
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select("user_id", "event_type", "ts_us", "event_id")
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(order))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    per_state = Window.partitionBy("event_type")
+    return (
+        pairs.withColumn(
+            "p_next",
+            F.round(
+                F.col("n_transitions")
+                / F.sum("n_transitions").over(per_state),
+                6,
+            ),
+        )
+        .orderBy("event_type", "next_type")
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH seq AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY epoch_us(ts), event_id)
+               AS next_type
+    FROM events
+), pairs AS (
+    SELECT event_type, next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+)
+SELECT event_type, next_type, n_transitions,
+       ROUND(CAST(n_transitions AS DOUBLE) /
+             SUM(n_transitions) OVER (PARTITION BY event_type), 6) AS p_next
+FROM pairs
+ORDER BY event_type, next_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill_locf": (events_gapfill_locf, EVENTS_GAPFILL_SQL),
     "order_window_shipments": (order_window_shipments, ORDER_WINDOW_SQL),
     "purchase_window_events": (purchase_window_events, PURCHASE_WINDOW_SQL),
     "ewma_user_values": (ewma_user_values, EWMA_USER_SQL),
     "incremental_daily_agg": (incremental_daily_agg, INCREMENTAL_DAILY_SQL),
+    "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_SQL),
 }

@@ -1499,3 +1499,22 @@ def test_pairs_within_groups_equals_bruteforce(spark):
         for pair in itertools.combinations(sorted(ids), 2)
     }
     assert got_dropped == expected_dropped
+
+
+def test_triangle_count_planted(spark):
+    from movie_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4 (4 triangles) ∪ a 3-path (0 triangles) ∪ a duplicated /
+    # reversed / self-loop edge set that must canonicalize away
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(10, 11), (11, 12), (12, 13)]
+    noise = [(1, 0), (2, 2), (0, 1)]  # reverse dup, self-loop, dup
+    edges = spark.createDataFrame(k4 + path + noise, ["src", "dst"])
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (8, 9, 4)
+
+    # a 5-cycle has no triangles but every node has degree 2 (total
+    # degree-tie orientation path)
+    cyc = [(i, (i + 1) % 5) for i in range(5)]
+    row = triangle_count(spark.createDataFrame(cyc, ["src", "dst"])).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 5, 0)
