@@ -477,6 +477,69 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (operators/bpe.py) — learn the corpus's merge
+# table. The merge table itself is rows-only (20 rounds of greedy
+# argmax are not SQL-expressible); ``bpe_check`` is the oracled gate:
+# DuckDB independently recomputes round 1 (the most frequent adjacent
+# character pair IS one SQL aggregation) and the exact merge count,
+# and the in-plan predicates pin that every learned frequency is
+# positive and non-increasing prefix-wise is NOT asserted (BPE
+# frequencies are legitimately non-monotonic across rounds — merged
+# symbols create new pairs).
+# ---------------------------------------------------------------------------
+
+_BPE_N_MERGES = 20
+
+
+def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import train_bpe, word_frequencies
+
+    docs = load_table(spark, sf, "documents")
+    return train_bpe(
+        spark, word_frequencies(docs), n_merges=_BPE_N_MERGES
+    ).orderBy("rank")
+
+
+def bpe_check(spark: SparkSession, sf: str) -> DataFrame:
+    m = bpe_merges(spark, sf)
+    first = m.filter(F.col("rank") == 1).select(
+        F.col("left").alias("first_left"),
+        F.col("right").alias("first_right"),
+        F.col("freq").alias("first_freq"),
+    )
+    stats = m.agg(
+        F.count(F.lit(1)).cast("int").alias("n_merges"),
+        F.bool_and(F.col("freq") > 0).alias("freqs_positive"),
+    )
+    return stats.crossJoin(first).select(  # both sides 1 row
+        "n_merges", "first_left", "first_right", "first_freq", "freqs_positive"
+    )
+
+
+BPE_CHECK_SQL = r"""
+WITH words AS (
+  SELECT t AS word, COUNT(*) AS cnt FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                              x -> x != '')) AS t
+    FROM documents
+  ) GROUP BY t
+),
+pairs AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS l,
+         substr(word, CAST(i AS INT) + 1, 1) AS r,
+         SUM(cnt) AS freq
+  FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i)
+  GROUP BY l, r
+)
+SELECT CAST(20 AS INT) AS n_merges,
+       l AS first_left, r AS first_right,
+       CAST(freq AS BIGINT) AS first_freq,
+       TRUE AS freqs_positive
+FROM pairs ORDER BY freq DESC, l, r LIMIT 1
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
@@ -487,4 +550,6 @@ CURATION_QUERIES = {
     "stratified_sample_docs": (stratified_sample_docs, STRATIFIED_SAMPLE_SQL),
     "leakage_safe_split": (leakage_safe_split, LEAKAGE_SAFE_SPLIT_SQL),
     "charlm_doc_scores": (charlm_doc_scores, CHARLM_SCORES_SQL),
+    "bpe_merges": (bpe_merges, None),
+    "bpe_check": (bpe_check, BPE_CHECK_SQL),
 }

@@ -1518,3 +1518,62 @@ def test_triangle_count_planted(spark):
     cyc = [(i, (i + 1) % 5) for i in range(5)]
     row = triangle_count(spark.createDataFrame(cyc, ["src", "dst"])).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 5, 0)
+
+
+def test_bpe_matches_scalar_reference(spark):
+    """Every learned merge must equal a plain-Python BPE trainer's
+    (greedy argmax, lexicographic tie-break) on the same corpus."""
+    from collections import Counter
+
+    from movie_data_pipeline_spark.operators.bpe import (
+        train_bpe,
+        word_frequencies,
+    )
+
+    texts = [
+        "low low low low low",
+        "lower lower widest",
+        "newest newest newest newest",
+        "new new newer wide",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    words = Counter(w for t in texts for w in t.split())
+    vocab = {w: list(w) for w in words}
+
+    def scalar_merges(n):
+        out = []
+        for rank in range(1, n + 1):
+            pairs = Counter()
+            for w, syms in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    pairs[(a, b)] += words[w]
+            if not pairs:
+                break
+            (l, r), freq = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((rank, l, r, freq))
+            for w, syms in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        merged.append(l + r)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                vocab[w] = merged
+        return out
+
+    expected = scalar_merges(10)
+    got = [
+        (r.rank, r.left, r.right, r.freq)
+        for r in train_bpe(spark, word_frequencies(docs), n_merges=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expected
+    assert len(got) == 10
