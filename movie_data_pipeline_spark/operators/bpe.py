@@ -123,3 +123,69 @@ def train_bpe(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, freq bigint"
     )
+
+
+def segment_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Segment each distinct word into subwords by applying the learned
+    merges in rank order, each exhaustively left-to-right — exactly the
+    evolution the trainer itself ran, so for any in-vocabulary word the
+    segmentation equals the trainer's final state for that word.
+    Adds a ``subwords array<string>`` column to ``words``.
+
+    The merge table is the MODEL (K rows, driver-resident like the IVF
+    centroids); it ships to executors inside the UDF closure, and the
+    UDF runs over the distinct-word relation — vocabulary-sized, never
+    corpus-sized."""
+    ordered = list(merges)
+
+    @F.pandas_udf("array<string>")
+    def seg(col: pd.Series) -> pd.Series:
+        def one(w):
+            syms = list(w)
+            for left, right in ordered:
+                out, i, n = [], 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return col.apply(one)
+
+    return words.withColumn("subwords", seg(F.col("word")))
+
+
+def bpe_encode(
+    docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """Per-document subword statistics under a learned merge table:
+    (doc_id, n_words, n_subwords). Segmentation runs once per DISTINCT
+    word (the vocabulary relation), then broadcast-joins back onto the
+    per-document token counts — the corpus is scanned once and never
+    carries symbol arrays through a shuffle."""
+    doc_words = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    seg = segment_words(doc_words.select("word").distinct(), merges).select(
+        "word", F.size("subwords").alias("word_subwords")
+    )
+    return (
+        doc_words.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occurrences").alias("n_words"),
+            F.sum(F.col("n_occurrences") * F.col("word_subwords")).alias(
+                "n_subwords"
+            ),
+        )
+    )

@@ -491,13 +491,30 @@ FROM s GROUP BY doc_id ORDER BY doc_id
 
 _BPE_N_MERGES = 20
 
+# Memoized per logical corpus like the IVF centroids / PQ codebooks:
+# the merge table is the MODEL (20 rows), collected once and reused by
+# every BPE registry entry in the session instead of retraining.
+_BPE_CACHE: dict[tuple[str, int], list[tuple[int, str, str, int]]] = {}
 
-def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+
+def _merges_for(spark: SparkSession, sf: str) -> list[tuple[int, str, str, int]]:
     from ..operators.bpe import train_bpe, word_frequencies
 
-    docs = load_table(spark, sf, "documents")
-    return train_bpe(
-        spark, word_frequencies(docs), n_merges=_BPE_N_MERGES
+    key = (sf, _BPE_N_MERGES)
+    if key not in _BPE_CACHE:
+        docs = load_table(spark, sf, "documents")
+        _BPE_CACHE[key] = [
+            (r.rank, r.left, r.right, int(r.freq))
+            for r in train_bpe(
+                spark, word_frequencies(docs), n_merges=_BPE_N_MERGES
+            ).collect()  # model-sized: exactly _BPE_N_MERGES rows
+        ]
+    return _BPE_CACHE[key]
+
+
+def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.createDataFrame(
+        _merges_for(spark, sf), "rank int, left string, right string, freq bigint"
     ).orderBy("rank")
 
 
@@ -540,6 +557,69 @@ FROM pairs ORDER BY freq DESC, l, r LIMIT 1
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE encoding: per-document subword counts under the learned merge
+# table (segmentation runs on the distinct-word vocabulary, broadcast
+# back — operators/bpe.py::bpe_encode). Counts are rows-only (the
+# segmentation is the iterative model's output); the oracled gate pins
+# exact corpus measures DuckDB recomputes (doc and token totals) plus
+# the in-plan losslessness predicates: every vocabulary word must be
+# EXACTLY the concatenation of its subwords, and each word's subword
+# count must sit in [1, len(word)].
+# ---------------------------------------------------------------------------
+
+def bpe_doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode
+
+    docs = load_table(spark, sf, "documents")
+    merges = [(l, r) for _, l, r, _ in _merges_for(spark, sf)]
+    return bpe_encode(docs, merges).orderBy("doc_id")
+
+
+def bpe_encode_check(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bpe import TOKEN_SPLIT, bpe_encode, segment_words
+
+    docs = load_table(spark, sf, "documents")
+    merges = [(l, r) for _, l, r, _ in _merges_for(spark, sf)]
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), TOKEN_SPLIT)).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    seg_ok = segment_words(vocab, merges).agg(
+        F.bool_and(
+            F.concat_ws("", F.col("subwords")) == F.col("word")
+        ).alias("reconstruction_ok"),
+        F.bool_and(
+            (F.size("subwords") >= 1)
+            & (F.size("subwords") <= F.length("word"))
+        ).alias("bounds_ok"),
+    )
+    enc = bpe_encode(docs, merges).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("total_words"),
+    )
+    return enc.crossJoin(seg_ok).select(  # both sides 1 row
+        "n_docs", "total_words", "reconstruction_ok", "bounds_ok"
+    )
+
+
+BPE_ENCODE_CHECK_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                            x -> x != '')) AS w
+  FROM documents
+)
+SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS total_words,
+       TRUE AS reconstruction_ok, TRUE AS bounds_ok
+FROM words
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
@@ -552,4 +632,6 @@ CURATION_QUERIES = {
     "charlm_doc_scores": (charlm_doc_scores, CHARLM_SCORES_SQL),
     "bpe_merges": (bpe_merges, None),
     "bpe_check": (bpe_check, BPE_CHECK_SQL),
+    "bpe_doc_tokens": (bpe_doc_tokens, None),
+    "bpe_encode_check": (bpe_encode_check, BPE_ENCODE_CHECK_SQL),
 }

@@ -1577,3 +1577,28 @@ def test_bpe_matches_scalar_reference(spark):
     ]
     assert got == expected
     assert len(got) == 10
+
+
+def test_bpe_encode_segmentation(spark):
+    from movie_data_pipeline_spark.operators.bpe import bpe_encode, segment_words
+
+    merges = [("l", "o"), ("lo", "w"), ("e", "r")]
+    words = spark.createDataFrame([("low",), ("lower",), ("x",)], ["word"])
+    seg = {
+        r.word: list(r.subwords)
+        for r in segment_words(words, merges).collect()
+    }
+    assert seg == {
+        "low": ["low"],            # l+o → lo, lo+w → low
+        "lower": ["low", "er"],    # then e+r → er
+        "x": ["x"],
+    }
+
+    docs = spark.createDataFrame(
+        [(1, "low lower low"), (2, "x")], ["doc_id", "text"]
+    )
+    enc = {
+        r.doc_id: (r.n_words, r.n_subwords)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert enc == {1: (3, 4), 2: (1, 1)}
