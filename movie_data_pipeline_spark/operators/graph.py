@@ -153,3 +153,58 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         n_nodes.crossJoin(n_edges).crossJoin(n_tri)  # all sides 1 row
         .select("n_nodes", "n_edges", "n_triangles")
     )
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_iter: int = 50) -> DataFrame:
+    """Nodes of the k-core — the maximal subgraph where every node has
+    ≥ k neighbors INSIDE the subgraph — of the undirected graph under
+    ``edges``. Returns (node, core_degree), core_degree being the
+    node's degree within the core. The fourth iterative-fixpoint
+    family (after connected components, PageRank, BPE): each peel
+    round recomputes degrees on the surviving adjacency and drops
+    nodes under k until a round drops nothing. On a bipartite
+    interaction graph this is the classic alternating quality filter
+    (drop users with < k items, then items with < k users, repeated
+    to fixpoint — one subgraph both constraints hold on).
+
+    Execution per round: one groupBy(node) degree aggregate + two
+    semi-joins to shrink the adjacency — all keyed shuffles linear in
+    surviving |E|; ``localCheckpoint`` cuts lineage per round; the only
+    driver value is the 1-row surviving-node count that decides
+    convergence. The fixpoint is unique (order of removals cannot
+    change it), so the result is deterministic.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    n_nodes = adj.select("node").distinct().count()
+    for _ in range(max_iter):
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.filter(F.col("core_degree") >= k).select("node")
+        n_keep = keep.count()  # 1-row convergence probe
+        if n_keep == n_nodes:
+            break
+        n_nodes = n_keep
+        adj = (
+            adj.join(keep, "node", "left_semi")
+            .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .localCheckpoint()
+        )
+        if n_keep == 0:
+            break
+    return (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )

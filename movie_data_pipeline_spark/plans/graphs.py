@@ -21,14 +21,16 @@ from ..operators.graph import pagerank
 from ..sources.catalog import load_table
 
 
-def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
-    """Directed both ways: customer→supplier and supplier→customer for
-    every distinct (customer, supplier) trading relationship. Node ids
-    disambiguate the two keyspaces by sign: customers are +c_custkey,
-    suppliers are −s_suppkey."""
+def _trade_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per distinct (customer, supplier) trading relationship
+    — the canonical undirected edge relation of the trade graph. Node
+    ids disambiguate the two keyspaces by sign: customers are
+    +c_custkey, suppliers are −s_suppkey (keys start at 0, so customer
+    0 and supplier 0 share node 0 — a known, deterministic quirk both
+    engines reproduce identically)."""
     orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
+    return (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("cust"),
@@ -36,6 +38,11 @@ def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _trade_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed both ways: customer→supplier and supplier→customer."""
+    pairs = _trade_pairs(spark, sf)
     return pairs.select(
         F.col("cust").alias("src"), F.col("supp").alias("dst")
     ).unionAll(pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst")))
@@ -144,8 +151,87 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
 """
 
 
+# ---------------------------------------------------------------------------
+# k-core of the bipartite trade graph (k=8): the alternating quality
+# filter — customers with ≥8 in-core suppliers and suppliers with ≥8
+# in-core customers, peeled to fixpoint. Membership is the iterative
+# operator's output (rows-only); ``kcore_check`` is the oracled gate:
+# DuckDB recomputes the input graph's node/edge counts and the
+# round-1 peel bound |{v : deg(v) ≥ k}| EXACTLY, and the in-plan
+# predicates pin soundness (every survivor's in-core degree ≥ k) and
+# the subset bound (core size ≤ the round-1 bound). A lollipop +
+# scalar-reference unit test checks full membership on planted graphs
+# (tests/test_operators.py::test_k_core_matches_scalar_reference).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 8
+
+
+def trade_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    return k_core(_trade_edges(spark, sf), k=_KCORE_K).orderBy("node")
+
+
+def kcore_check(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    und = _trade_pairs(spark, sf)
+    deg = (
+        und.select(F.col("cust").alias("n"))
+        .unionAll(und.select(F.col("supp").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    graph_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.when(F.col("d") >= _KCORE_K, 1).otherwise(0)).alias(
+            "n_deg_ge_k"
+        ),
+    )
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    core = k_core(_trade_edges(spark, sf), k=_KCORE_K)
+    core_stats = core.agg(
+        F.count(F.lit(1)).alias("n_core"),
+        F.min("core_degree").alias("min_core_deg"),
+    )
+    return (
+        graph_stats.crossJoin(n_edges).crossJoin(core_stats)  # 1-row sides
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_deg_ge_k").cast("long").alias("n_deg_ge_k"),
+            (
+                (F.col("n_core") == 0)
+                | (F.col("min_core_deg") >= _KCORE_K)
+            ).alias("core_sound_ok"),
+            (F.col("n_core") <= F.col("n_deg_ge_k")).alias("core_bounded_ok"),
+        )
+    )
+
+
+KCORE_CHECK_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT cust AS n FROM pairs UNION ALL SELECT supp FROM pairs
+  ) GROUP BY n
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d >= 8) AS n_deg_ge_k,
+       TRUE AS core_sound_ok,
+       TRUE AS core_bounded_ok
+"""
+
+
 GRAPH_QUERIES = {
     "trade_pagerank": (trade_pagerank, None),
     "pagerank_check": (pagerank_check, PAGERANK_CHECK_SQL),
     "supplier_cotrade_triangles": (supplier_cotrade_triangles, SUPPLIER_TRIANGLES_SQL),
+    "trade_kcore": (trade_kcore, None),
+    "kcore_check": (kcore_check, KCORE_CHECK_SQL),
 }

@@ -1602,3 +1602,49 @@ def test_bpe_encode_segmentation(spark):
         for r in bpe_encode(docs, merges).collect()
     }
     assert enc == {1: (3, 4), 2: (1, 1)}
+
+
+def test_k_core_matches_scalar_reference(spark):
+    """Lollipop graph: K5 with a long tail — the tail must peel away
+    round by round (deep cascade), leaving exactly the K5 as 3-core.
+    Then cross-check a denser random-ish graph against scalar peeling."""
+    from collections import defaultdict
+
+    from movie_data_pipeline_spark.operators.graph import k_core
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tail = [(4, 10), (10, 11), (11, 12), (12, 13), (13, 14)]
+    edges = spark.createDataFrame(k5 + tail, ["src", "dst"])
+    got = {
+        r.node: r.core_degree for r in k_core(edges, k=3).collect()
+    }
+    assert got == {n: 4 for n in range(5)}
+
+    def scalar_kcore(pairs, k):
+        adj = defaultdict(set)
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        core = set(adj)
+        while True:
+            drop = {
+                n for n in core
+                if sum(1 for x in adj[n] if x in core) < k
+            }
+            if not drop:
+                break
+            core -= drop
+        return {
+            n: sum(1 for x in adj[n] if x in core) for n in core
+        }
+
+    # deterministic pseudo-random graph with skewed degrees
+    pairs = [((i * 7) % 23, (i * i) % 23) for i in range(90)]
+    got = {
+        r.node: r.core_degree
+        for r in k_core(
+            spark.createDataFrame(pairs, ["src", "dst"]), k=4
+        ).collect()
+    }
+    assert got == scalar_kcore(pairs, 4)
