@@ -620,6 +620,71 @@ FROM words
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006):
+# each item draws key = ln(u)/w with u uniform and w its weight; the
+# top-k keys per stratum are a correctly-distributed weighted sample.
+# Here u is md5-derived from the stable doc id (the house no-RNG
+# discipline), so the sample is reproducible, partitioning-invariant,
+# and incremental — the properties reservoir/rand() sampling loses at
+# 100 TB. Heavier docs (weight = n_chars) are proportionally likelier.
+# Per-stratum top-k runs as the stratified_sample window shape
+# (WindowGroupLimit partial top-k, no global sort). Both engines run
+# the identical md5→uniform→ln(u)/w arithmetic; keys of distinct docs
+# are far apart relative to float error (verified at all SFs), and
+# doc_id breaks any exact tie.
+# ---------------------------------------------------------------------------
+
+_ES_SAMPLE_K = 10
+
+
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (bucket + 1) / F.lit(float(2**32 + 1))
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        d.withColumn("es_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _ES_SAMPLE_K)
+        .select(
+            "lang",
+            F.col("sample_rank").cast("int").alias("sample_rank"),
+            "doc_id",
+            "n_chars",
+        )
+        .orderBy("lang", "sample_rank")
+    )
+
+
+WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) + 1) / 4294967297.0) / n_chars AS es_key
+    FROM documents WHERE n_chars > 0
+), ranked AS (
+    SELECT lang, doc_id, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY es_key DESC, doc_id ASC)
+               AS sample_rank
+    FROM keyed
+)
+SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id, n_chars
+FROM ranked WHERE sample_rank <= 10
+ORDER BY lang, sample_rank
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
@@ -634,4 +699,5 @@ CURATION_QUERIES = {
     "bpe_check": (bpe_check, BPE_CHECK_SQL),
     "bpe_doc_tokens": (bpe_doc_tokens, None),
     "bpe_encode_check": (bpe_encode_check, BPE_ENCODE_CHECK_SQL),
+    "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
 }

@@ -376,6 +376,146 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Categorical dependence: chi-squared independence test, mutual
+# information, and Cramér's V between order priority and status — the
+# feature-relevance screen over a contingency table. Everything
+# derives from exact integer cell/marginal counts; per-cell terms are
+# computed in ONE fixed double-operation order, rounded, then
+# decimal-summed (the charlm discipline) so the totals are
+# order-independent and cross-engine identical. One groupBy for the
+# cells; marginals are dim-sized broadcasts.
+# ---------------------------------------------------------------------------
+
+def priority_status_dependence(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    px = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_x"))
+    py = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_y"))
+    n = o.agg(F.count(F.lit(1)).alias("n_rows"))
+    t = (
+        cells.join(F.broadcast(px), "o_orderpriority")
+        .join(F.broadcast(py), "o_orderstatus")
+        .crossJoin(F.broadcast(n))  # 1-row side
+    )
+    expected = F.col("n_x") * F.col("n_y") / F.col("n_rows")
+    chi_term = F.round(
+        (F.col("n_xy") - expected) * (F.col("n_xy") - expected) / expected, 9
+    )
+    mi_term = F.round(
+        F.col("n_xy")
+        / F.col("n_rows")
+        * F.log2(
+            F.col("n_xy") * F.col("n_rows") / (F.col("n_x") * F.col("n_y"))
+        ),
+        9,
+    )
+    agg = t.agg(
+        F.max("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.countDistinct("o_orderpriority").alias("n_x_levels"),
+        F.countDistinct("o_orderstatus").alias("n_y_levels"),
+        F.sum(chi_term.cast("decimal(30,9)")).alias("chi2_dec"),
+        F.sum(mi_term.cast("decimal(30,9)")).alias("mi_dec"),
+    )
+    return agg.select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        ((F.col("n_x_levels") - 1) * (F.col("n_y_levels") - 1))
+        .cast("long")
+        .alias("dof"),
+        F.round(F.col("chi2_dec").cast("double"), 4).alias("chi2"),
+        F.round(F.col("mi_dec").cast("double"), 6).alias("mi_bits"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_dec").cast("double")
+                / (
+                    F.col("n_rows")
+                    * F.least(F.col("n_x_levels") - 1, F.col("n_y_levels") - 1)
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+PRIORITY_STATUS_DEP_SQL = """
+WITH cells AS (
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_xy
+    FROM orders GROUP BY 1, 2
+), px AS (SELECT o_orderpriority, COUNT(*) AS n_x FROM orders GROUP BY 1),
+py AS (SELECT o_orderstatus, COUNT(*) AS n_y FROM orders GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_rows FROM orders),
+t AS (
+    SELECT n_xy, n_x, n_y, n_rows,
+           ROUND((n_xy - n_x * n_y / CAST(n_rows AS DOUBLE))
+                 * (n_xy - n_x * n_y / CAST(n_rows AS DOUBLE))
+                 / (n_x * n_y / CAST(n_rows AS DOUBLE)), 9) AS chi_term,
+           ROUND(n_xy / CAST(n_rows AS DOUBLE)
+                 * log2(n_xy * CAST(n_rows AS DOUBLE) / (n_x * n_y)), 9)
+               AS mi_term,
+           o_orderpriority, o_orderstatus
+    FROM cells JOIN px USING (o_orderpriority)
+               JOIN py USING (o_orderstatus)
+               CROSS JOIN n
+)
+SELECT CAST(MAX(n_rows) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT o_orderpriority) - 1)
+            * (COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof,
+       ROUND(CAST(SUM(CAST(chi_term AS DECIMAL(30,9))) AS DOUBLE), 4) AS chi2,
+       ROUND(CAST(SUM(CAST(mi_term AS DECIMAL(30,9))) AS DOUBLE), 6) AS mi_bits,
+       ROUND(sqrt(CAST(SUM(CAST(chi_term AS DECIMAL(30,9))) AS DOUBLE)
+                  / (MAX(n_rows) * LEAST(COUNT(DISTINCT o_orderpriority) - 1,
+                                         COUNT(DISTINCT o_orderstatus) - 1))), 6)
+           AS cramers_v
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis — the operational report that tells you
+# BEFORE a 100 TB join whether a key needs salting (operators/skew.py)
+# or AQE skew splitting: per-key row counts reduced to max / mean /
+# p99 and the hot-key share. One aggregation over the key histogram;
+# the histogram itself is the only shuffle.
+# ---------------------------------------------------------------------------
+
+def suppkey_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    hist = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("key_rows"))
+    return hist.agg(
+        F.sum("key_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("key_rows").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("key_rows") * F.count(F.lit(1)) / F.sum("key_rows"), 4
+        ).alias("skew_ratio"),
+        F.expr("percentile(key_rows, 0.99D)").alias("p99_key_rows"),
+        F.round(F.max("key_rows") / F.sum("key_rows"), 6).alias(
+            "hot_key_share"
+        ),
+    )
+
+
+SUPPKEY_SKEW_SQL = """
+WITH hist AS (
+    SELECT l_suppkey, COUNT(*) AS key_rows FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(SUM(key_rows) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(key_rows) AS BIGINT) AS max_key_rows,
+       ROUND(CAST(MAX(key_rows) AS DOUBLE) * COUNT(*) / SUM(key_rows), 4)
+           AS skew_ratio,
+       quantile_cont(key_rows, 0.99) AS p99_key_rows,
+       ROUND(CAST(MAX(key_rows) AS DOUBLE) / SUM(key_rows), 6)
+           AS hot_key_share
+FROM hist
+"""
+
+
 STATS_QUERIES = {
     "price_discount_corr": (price_discount_corr, PRICE_DISCOUNT_CORR_SQL),
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
@@ -384,4 +524,6 @@ STATS_QUERIES = {
     "embedding_pca_project": (embedding_pca_project, None),
     "pca_check": (pca_check, PCA_CHECK_SQL),
     "value_outliers_iqr": (value_outliers_iqr, VALUE_OUTLIERS_SQL),
+    "priority_status_dependence": (priority_status_dependence, PRIORITY_STATUS_DEP_SQL),
+    "suppkey_skew_report": (suppkey_skew_report, SUPPKEY_SKEW_SQL),
 }
