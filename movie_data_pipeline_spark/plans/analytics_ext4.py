@@ -542,6 +542,57 @@ ORDER BY name_a, name_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Bloom-style join reduction (operators/prune.py): revenue of urgent
+# 1999 orders. The order slice is ~1.5% selective; its orderkeys
+# project onto a 2^16-bucket bitmap that broadcasts at ANY dim size,
+# and lineitem is semi-joined on the bucket BEFORE the real join — a
+# map-side filter, so only the surviving sliver of the fact shuffles.
+# False positives (bucket collisions) are dropped by the exact join
+# that follows; false negatives are impossible, so the result is
+# bit-equal to the unpruned join (the unit test asserts exactly that,
+# plus the broadcast in the plan).
+# ---------------------------------------------------------------------------
+
+def urgent_revenue_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.prune import bitmap_prefilter, bucket_bitmap
+
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1999)
+    )
+    li = load_table(spark, sf, "lineitem")
+    pruned = bitmap_prefilter(
+        li, "l_orderkey", bucket_bitmap(orders, "o_orderkey")
+    )
+    return (
+        pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+        .groupBy(F.month("o_orderdate").cast("int").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                _dec_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+URGENT_REVENUE_PRUNED_SQL = """
+SELECT CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1999
+GROUP BY order_month
+ORDER BY order_month
+"""
+
+
 EXT4_QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_MIN_COST_SQL),
     "q11_important_parts": (q11_important_parts, Q11_IMPORTANT_PARTS_SQL),
@@ -552,4 +603,5 @@ EXT4_QUERIES = {
     "segment_balance_extremes": (segment_balance_extremes, SEGMENT_BALANCE_EXTREMES_SQL),
     "brand_basket_lift": (brand_basket_lift, BRAND_BASKET_SQL),
     "part_name_linkage": (part_name_linkage, PART_NAME_LINKAGE_SQL),
+    "urgent_revenue_pruned": (urgent_revenue_pruned, URGENT_REVENUE_PRUNED_SQL),
 }

@@ -516,6 +516,156 @@ FROM hist
 """
 
 
+# ---------------------------------------------------------------------------
+# Winsorized aggregates: clip to the per-group [p01, p99] band before
+# averaging — the outlier treatment that KEEPS rows (vs the IQR screen
+# above, which flags them). Quantiles interpolate bit-identically
+# cross-engine (see value_outliers_iqr); clipped doubles cast to
+# DECIMAL(30,6) round deterministically (a double can never land
+# exactly on a half-way 6-decimal tie — 5e-7 has no finite binary
+# form), so the decimal mean is cross-engine exact.
+# ---------------------------------------------------------------------------
+
+def winsorized_price_stats(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
+    q = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.01D, 0.99D))").alias("q")
+    )
+    clipped = (
+        li.join(F.broadcast(q), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.greatest(
+                F.col("q")[0], F.least(F.col("q")[1], F.col("l_extendedprice"))
+            ).alias("wp"),
+        )
+    )
+    return (
+        clipped.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                _dec_sum(F.col("wp"), 6).cast("double") / F.count(F.lit(1)), 4
+            ).alias("winsor_mean"),
+            F.round(F.min("wp"), 4).alias("winsor_min"),
+            F.round(F.max("wp"), 4).alias("winsor_max"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+WINSORIZED_PRICE_SQL = """
+WITH q AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.01) AS p01,
+           quantile_cont(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+), clipped AS (
+    SELECT l.l_returnflag,
+           GREATEST(p01, LEAST(p99, l_extendedprice)) AS wp
+    FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(wp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4)
+           AS winsor_mean,
+       ROUND(MIN(wp), 4) AS winsor_min,
+       ROUND(MAX(wp), 4) AS winsor_max
+FROM clipped
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit over the token distribution: least-squares
+# slope of ln(freq) on ln(rank) — the corpus-health statistic (natural
+# text sits near −1; synthetic or deduplicated text drifts). Ranks are
+# integers with a deterministic tie-break, per-term ln products are
+# rounded once then decimal-summed, and the closed-form slope divides
+# two such sums — the same fixed-operation-order discipline as the
+# Pearson correlation above.
+# ---------------------------------------------------------------------------
+
+def token_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf, "documents")
+    freqs = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), r"[^\w']+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freqs.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
+    )
+    t = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
+    ).select(
+        "x",
+        "y",
+        F.round(F.col("x") * F.col("y"), 9).alias("xy"),
+        F.round(F.col("x") * F.col("x"), 9).alias("xx"),
+    )
+    agg = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(30,9)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(30,9)")).alias("sy"),
+        F.sum(F.col("xy").cast("decimal(30,9)")).alias("sxy"),
+        F.sum(F.col("xx").cast("decimal(30,9)")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (
+        F.col("n"),
+        F.col("sx").cast("double"),
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+    )
+    return agg.select(
+        n.cast("long").alias("n_tokens_distinct"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "zipf_slope"
+        ),
+    )
+
+
+TOKEN_ZIPF_SQL = r"""
+WITH freqs AS (
+    SELECT t AS tok, COUNT(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                                  x -> x != '')) AS t
+        FROM documents
+    ) GROUP BY t
+), ranked AS (
+    SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+    FROM freqs
+), t AS (
+    SELECT ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+           ROUND(ln(CAST(freq AS DOUBLE)), 9) AS y
+    FROM ranked
+), t2 AS (
+    SELECT x, y, ROUND(x * y, 9) AS xy, ROUND(x * x, 9) AS xx FROM t
+), agg AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(x AS DECIMAL(30,9))) AS sx,
+           SUM(CAST(y AS DECIMAL(30,9))) AS sy,
+           SUM(CAST(xy AS DECIMAL(30,9))) AS sxy,
+           SUM(CAST(xx AS DECIMAL(30,9))) AS sxx
+    FROM t2
+)
+SELECT CAST(n AS BIGINT) AS n_tokens_distinct,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS zipf_slope
+FROM agg
+"""
+
+
 STATS_QUERIES = {
     "price_discount_corr": (price_discount_corr, PRICE_DISCOUNT_CORR_SQL),
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
@@ -526,4 +676,6 @@ STATS_QUERIES = {
     "value_outliers_iqr": (value_outliers_iqr, VALUE_OUTLIERS_SQL),
     "priority_status_dependence": (priority_status_dependence, PRIORITY_STATUS_DEP_SQL),
     "suppkey_skew_report": (suppkey_skew_report, SUPPKEY_SKEW_SQL),
+    "winsorized_price_stats": (winsorized_price_stats, WINSORIZED_PRICE_SQL),
+    "token_zipf_fit": (token_zipf_fit, TOKEN_ZIPF_SQL),
 }

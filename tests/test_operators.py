@@ -1648,3 +1648,37 @@ def test_k_core_matches_scalar_reference(spark):
         ).collect()
     }
     assert got == scalar_kcore(pairs, 4)
+
+
+def test_bitmap_prefilter_no_false_negatives(spark):
+    from movie_data_pipeline_spark.operators.prune import (
+        bitmap_prefilter,
+        bucket_bitmap,
+    )
+
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(2000)], ["k", "payload"]
+    )
+    dim = spark.createDataFrame([(i,) for i in range(0, 2000, 97)], ["dk"])
+    buckets = bucket_bitmap(dim, "dk", n_buckets=256)
+    pruned = bitmap_prefilter(fact, "k", buckets, n_buckets=256)
+
+    # every true join partner survives the prefilter
+    joined_pruned = sorted(
+        (r.k, r.payload)
+        for r in pruned.join(dim, pruned.k == dim.dk).collect()
+    )
+    joined_plain = sorted(
+        (r.k, r.payload)
+        for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert joined_pruned == joined_plain and len(joined_plain) == 21
+
+    # the prefilter actually prunes (21 dim keys over 256 buckets
+    # keep well under half of a uniform 2000-row fact)
+    assert pruned.count() < 1000
+
+    # and it must be a broadcast semi-join: the fact side shuffling
+    # would defeat the whole point
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
