@@ -593,6 +593,54 @@ ORDER BY order_month
 """
 
 
+# ---------------------------------------------------------------------------
+# PPJoin: the prefix-filtered EXACT similarity join (operators/
+# dedup.py::prefix_filtered_jaccard) — same output as the naive
+# shared-shingle join at τ=0.7, so the oracle is the naive DuckDB SQL
+# with the threshold swapped in. Registered as its own entry to keep
+# the two plans (naive: every shingle joins; PPJoin: only rarest-
+# prefix shingles join) separately timed and separately verified.
+# ---------------------------------------------------------------------------
+
+def ppjoin_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import prefix_filtered_jaccard
+
+    docs = load_table(spark, sf, "documents")
+    return prefix_filtered_jaccard(docs, threshold=0.7).orderBy("id_a", "id_b")
+
+
+# Literal twin of plans/analytics.py::NGRAM_JACCARD_SQL at τ=0.7
+# (kept inline — importing it here would be import-order-sensitive).
+PPJOIN_JACCARD_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shset
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+),
+e AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM p
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
+ORDER BY id_a, id_b
+"""
+
+
 EXT4_QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_MIN_COST_SQL),
     "q11_important_parts": (q11_important_parts, Q11_IMPORTANT_PARTS_SQL),
@@ -604,4 +652,5 @@ EXT4_QUERIES = {
     "brand_basket_lift": (brand_basket_lift, BRAND_BASKET_SQL),
     "part_name_linkage": (part_name_linkage, PART_NAME_LINKAGE_SQL),
     "urgent_revenue_pruned": (urgent_revenue_pruned, URGENT_REVENUE_PRUNED_SQL),
+    "ppjoin_jaccard_pairs": (ppjoin_jaccard_pairs, PPJOIN_JACCARD_SQL),
 }

@@ -1682,3 +1682,58 @@ def test_bitmap_prefilter_no_false_negatives(spark):
     # would defeat the whole point
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_prefix_filtered_jaccard_equals_naive(spark):
+    """PPJoin is a LOSSLESS candidate reduction: at several thresholds
+    its output must equal the naive shared-shingle join exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.operators.dedup import (
+        prefix_filtered_jaccard,
+        with_hashed_shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = []
+    for i in range(60):
+        base = rng.sample(vocab, rng.randint(8, 20))
+        texts.append(" ".join(base))
+        if rng.random() < 0.5:  # plant a near-duplicate
+            mutated = list(base)
+            mutated[rng.randrange(len(mutated))] = rng.choice(vocab)
+            texts.append(" ".join(mutated))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+    sh = (
+        with_hashed_shingles(docs, "text", 3, out="sh_raw")
+        .select("doc_id", F.explode(F.array_distinct("sh_raw")).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").count().withColumnRenamed("count", "n")
+    a = sh.alias("a").join(
+        sh.alias("b"),
+        (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).groupBy(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    ).agg(F.count(F.lit(1)).alias("inter"))
+    naive = (
+        a.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .withColumn("j", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+    )
+
+    for tau in (0.5, 0.7, 0.9):
+        expected = {
+            (r.id_a, r.id_b)
+            for r in naive.filter(F.col("j") >= tau).collect()
+        }
+        got = {
+            (r.id_a, r.id_b)
+            for r in prefix_filtered_jaccard(docs, threshold=tau).collect()
+        }
+        assert got == expected, f"tau={tau}"
