@@ -208,3 +208,67 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         n_iter: int = 10) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on a directed edge
+    list: authority(v) accumulates the hub mass of its in-neighbors,
+    hub(u) accumulates the authority mass of its out-neighbors, each
+    L2-normalized per round. Returns (node, hub, authority) for every
+    node on either endpoint; on a bipartite purchase graph hubs rank
+    the buyers and authorities the suppliers.
+
+    Same execution discipline as ``pagerank``: fixed synchronous
+    rounds, two keyed shuffles per round (join on src, groupBy dst and
+    the mirror), per-round ``localCheckpoint``, and the only
+    driver-bound data is the 1-row L2 norm joined back through the
+    bounded-crossJoin pattern. Scores are floats whose low bits ride
+    partition-sum order → rows-only in the registry; the gate pins the
+    L2-norm invariants and exact graph cardinalities.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(1.0).alias("authority"))
+
+    def _l2_normalize(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(
+            F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n")
+        )
+        return (
+            df.crossJoin(F.broadcast(norm))  # 1-row side
+            .select("node", (F.col(col) / F.col("_n")).alias(col))
+        )
+
+    for _ in range(n_iter):
+        auth = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("authority"))
+            .join(nodes, "node", "right")
+            .select("node", F.coalesce("authority", F.lit(0.0)).alias("authority"))
+        )
+        auth = _l2_normalize(auth, "authority").localCheckpoint()
+        hub = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("hub"))
+            .join(nodes, "node", "right")
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+        )
+        hub = _l2_normalize(hub, "hub").localCheckpoint()
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
+    )

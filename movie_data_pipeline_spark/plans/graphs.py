@@ -228,10 +228,70 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
 """
 
 
+# ---------------------------------------------------------------------------
+# HITS on the directed purchase graph (customer → supplier): hubs
+# rank buyers, authorities rank suppliers. Scores are rows-only (the
+# iterative discipline); ``hits_check`` oracles exact node/edge
+# counts via DuckDB and pins the L2-norm ≈ 1 and non-negativity
+# invariants in-plan. Closed-form star + scalar-recurrence units pin
+# the values (tests/test_operators.py::test_hits_star_and_scalar_reference).
+# ---------------------------------------------------------------------------
+
+def trade_hits(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    pairs = _trade_pairs(spark, sf)
+    return hits(
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")),
+        n_iter=10,
+    ).orderBy("node")
+
+
+def hits_check(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    pairs = _trade_pairs(spark, sf)
+    scores = hits(
+        pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")),
+        n_iter=10,
+    )
+    stats = scores.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.col("hub") * F.col("hub")).alias("h2"),
+        F.sum(F.col("authority") * F.col("authority")).alias("a2"),
+        F.min("hub").alias("min_h"),
+        F.min("authority").alias("min_a"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return stats.crossJoin(n_edges).select(  # both sides 1 row
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        (F.abs(F.col("h2") - 1.0) <= 1e-9).alias("hub_norm_ok"),
+        (F.abs(F.col("a2") - 1.0) <= 1e-9).alias("auth_norm_ok"),
+        ((F.col("min_h") >= 0.0) & (F.col("min_a") >= 0.0)).alias(
+            "nonneg_ok"
+        ),
+    )
+
+
+HITS_CHECK_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (SELECT cust AS node FROM pairs UNION SELECT supp FROM pairs)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       TRUE AS hub_norm_ok, TRUE AS auth_norm_ok, TRUE AS nonneg_ok
+"""
+
+
 GRAPH_QUERIES = {
     "trade_pagerank": (trade_pagerank, None),
     "pagerank_check": (pagerank_check, PAGERANK_CHECK_SQL),
     "supplier_cotrade_triangles": (supplier_cotrade_triangles, SUPPLIER_TRIANGLES_SQL),
     "trade_kcore": (trade_kcore, None),
     "kcore_check": (kcore_check, KCORE_CHECK_SQL),
+    "trade_hits": (trade_hits, None),
+    "hits_check": (hits_check, HITS_CHECK_SQL),
 }

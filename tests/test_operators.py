@@ -1737,3 +1737,40 @@ def test_prefix_filtered_jaccard_equals_naive(spark):
             for r in prefix_filtered_jaccard(docs, threshold=tau).collect()
         }
         assert got == expected, f"tau={tau}"
+
+
+def test_hits_star_and_scalar_reference(spark):
+    import math
+
+    from movie_data_pipeline_spark.operators.graph import hits
+
+    # one buyer pointing at 4 suppliers: hub = 1 for the buyer,
+    # authorities uniform 1/2 (L2-normalized over 4 equal scores)
+    star = [(100, i) for i in range(4)]
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits(spark.createDataFrame(star, ["src", "dst"]), n_iter=5).collect()
+    }
+    assert abs(got[100][0] - 1.0) < 1e-9 and abs(got[100][1]) < 1e-9
+    for i in range(4):
+        assert abs(got[i][1] - 0.5) < 1e-9 and abs(got[i][0]) < 1e-9
+
+    # general digraph vs the scalar synchronous recurrence
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 1), (1, 4), (4, 2)]
+    nodes = sorted({x for e in edges for x in e})
+    h = {n: 1.0 for n in nodes}
+    a = {n: 1.0 for n in nodes}
+    for _ in range(10):
+        a = {n: sum(h[s] for s, d in edges if d == n) for n in nodes}
+        na = math.sqrt(sum(v * v for v in a.values()))
+        a = {n: v / na for n, v in a.items()}
+        h = {n: sum(a[d] for s, d in edges if s == n) for n in nodes}
+        nh = math.sqrt(sum(v * v for v in h.values()))
+        h = {n: v / nh for n, v in h.items()}
+    got = {
+        r.node: (r.hub, r.authority)
+        for r in hits(spark.createDataFrame(edges, ["src", "dst"]), n_iter=10).collect()
+    }
+    for n in nodes:
+        assert abs(got[n][0] - h[n]) < 1e-9
+        assert abs(got[n][1] - a[n]) < 1e-9
