@@ -220,3 +220,44 @@ def window_audio(
             )
 
     return df.select("media_id", "payload").mapInPandas(op, AUDIO_WINDOW_SCHEMA)
+
+
+FRAME_DHASH_SCHEMA = "media_id long, frame_idx int, dhash string"
+
+
+def frame_dhash(
+    df: DataFrame, frame_bytes: int = 256, fake: bool = False
+) -> DataFrame:
+    """Perceptual difference-hash per sampled frame: 64 bits, bit j =
+    (sample[j] > sample[j+stride_offset]) over a fixed downsampling of
+    the decoded frame — the video-dedup primitive (identical dhash ⇒
+    near-identical frames; Hamming-near dhashes ⇒ visually similar).
+    Emits the hash as a 64-char bit-string (cross-engine-stable — no
+    signed-int64 overflow games). Frames shorter than ``frame_bytes``
+    (tails) carry no stable 64-sample grid and are skipped, mirroring
+    real phash pipelines that drop partial trailing frames.
+
+    Under the fake codec a 'frame' is a byte slice and 'pixels' are
+    the bytes themselves, so the hash is a pure function of payload
+    bytes that DuckDB recomputes exactly (ASCII precondition as for
+    frame_samples)."""
+    _require_codec(fake, "video frame decode", "pyav/opencv")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                if payload is None:
+                    continue
+                arr = _fake_decode_bytes(bytes(payload))
+                for idx in range(len(arr) // frame_bytes):
+                    f = arr[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    a = f[0:frame_bytes:4][:64].astype(np.int16)
+                    c = f[3:frame_bytes:4][:64].astype(np.int16)
+                    bits = "".join(
+                        "1" if x > y else "0" for x, y in zip(a, c)
+                    )
+                    rows.append((int(mid), idx, bits))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "dhash"])
+
+    return df.select("media_id", "payload").mapInPandas(op, FRAME_DHASH_SCHEMA)

@@ -465,6 +465,57 @@ def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def frame_dhash_dupes(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-frame detection across media via 64-bit perceptual
+    difference hashes (multimodal/binary_ops.py::frame_dhash): groups
+    of frames sharing a dhash, with how many media they span. Fully
+    oracled — under the fake codec the hash is a pure byte function
+    DuckDB recomputes bit for bit (same ASCII precondition as
+    frame_samples; measured dup groups 15/11/146 at the shipped
+    SFs)."""
+    from ..multimodal.binary_ops import frame_dhash
+
+    docs = load_table(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return (
+        frame_dhash(media, frame_bytes=256, fake=True)
+        .groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("media_id").alias("n_media"),
+        )
+        .filter(F.col("n_frames") >= 2)
+        .orderBy("dhash")
+    )
+
+
+FRAME_DHASH_DUPES_SQL = """
+WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+w AS (SELECT doc_id, i,
+             substring(text, CAST(i * 256 + 1 AS BIGINT), 256) AS frame
+      FROM b, LATERAL (SELECT unnest(range(CAST(ceil(n / 256.0) AS BIGINT))) AS i)
+      WHERE n > 0),
+ff AS (SELECT doc_id, i, frame FROM w WHERE octet_length(encode(frame)) = 256),
+dh AS (
+  SELECT doc_id, i,
+         string_agg(CASE WHEN unicode(substr(frame, CAST(4*j+1 AS BIGINT), 1))
+                            > unicode(substr(frame, CAST(4*j+4 AS BIGINT), 1))
+                    THEN '1' ELSE '0' END, '' ORDER BY j) AS dhash
+  FROM ff, LATERAL (SELECT unnest(range(64)) AS j)
+  GROUP BY doc_id, i
+)
+SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_media
+FROM dh
+GROUP BY dhash
+HAVING COUNT(*) >= 2
+ORDER BY dhash
+"""
+
+
 FRAME_SAMPLES_SQL = """
 WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
 w AS (SELECT doc_id, text, n,
@@ -908,6 +959,7 @@ EXT_QUERIES = {
     # rows-only: ivf/winnow raw outputs are approximate/rolling-hash —
     # their semantics are driver-gated via verification.py check twins
     "frame_samples": (frame_samples, FRAME_SAMPLES_SQL),
+    "frame_dhash_dupes": (frame_dhash_dupes, FRAME_DHASH_DUPES_SQL),
     "audio_windows": (audio_windows, AUDIO_WINDOWS_SQL),
     "ivf_knn_embeddings": (ivf_knn_embeddings, None),
     "pq_knn_embeddings": (pq_knn_embeddings, None),
