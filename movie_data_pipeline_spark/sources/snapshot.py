@@ -117,11 +117,49 @@ def _prune_versions(root: str, live_version: int, keep_versions: int) -> None:
             shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
 
-def read_snapshot_table(spark: SparkSession, root: str, name: str) -> DataFrame:
-    """Resolve ``name`` through the committed manifest and load it."""
+def read_snapshot_table(
+    spark: SparkSession, root: str, name: str, version: int | None = None
+) -> DataFrame:
+    """Resolve ``name`` through the committed manifest and load it.
+
+    ``version`` time-travels to a RETAINED older snapshot (inside the
+    publish-time ``keep_versions`` window): version directories are
+    immutable once committed, so reading ``root/v{V}/{name}`` at any
+    retained V is exactly the Delta/Iceberg ``VERSION AS OF`` read,
+    reduced to the single-pointer design. A pruned or never-committed
+    version raises rather than silently reading the live one.
+    """
     m = read_manifest(root)
     if m is None:
         raise FileNotFoundError(f"no committed snapshot under {root}")
-    if name not in m["tables"]:
-        raise KeyError(f"table {name!r} not in snapshot v{m['version']}")
-    return spark.read.parquet(os.path.join(root, m["tables"][name]))
+    if version is None or version == m["version"]:
+        if name not in m["tables"]:
+            raise KeyError(f"table {name!r} not in snapshot v{m['version']}")
+        return spark.read.parquet(os.path.join(root, m["tables"][name]))
+    if version > m["version"]:
+        raise FileNotFoundError(
+            f"version {version} not committed (live is v{m['version']})"
+        )
+    path = os.path.join(root, f"v{version}", name)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"snapshot v{version} of {name!r} pruned or absent "
+            f"(retention window passed it; live is v{m['version']})"
+        )
+    return spark.read.parquet(path)
+
+
+def available_versions(root: str) -> list[int]:
+    """Retained (readable) snapshot versions, oldest first — the live
+    version plus whatever the retention window still holds."""
+    live = snapshot_version(root)
+    out = []
+    for entry in os.listdir(root) if os.path.isdir(root) else []:
+        if entry.startswith("v"):
+            try:
+                v = int(entry[1:])
+            except ValueError:
+                continue
+            if v <= live:
+                out.append(v)
+    return sorted(out)

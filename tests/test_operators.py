@@ -1774,3 +1774,35 @@ def test_hits_star_and_scalar_reference(spark):
     for n in nodes:
         assert abs(got[n][0] - h[n]) < 1e-9
         assert abs(got[n][1] - a[n]) < 1e-9
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from movie_data_pipeline_spark.sources.snapshot import (
+        available_versions,
+        publish_snapshot,
+        read_snapshot_table,
+    )
+
+    root = str(tmp_path / "snap")
+    t1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    t2 = spark.createDataFrame([(1, "b")], ["k", "v"])
+    t3 = spark.createDataFrame([(1, "c")], ["k", "v"])
+    publish_snapshot(root, {"t": t1})
+    publish_snapshot(root, {"t": t2})
+    assert available_versions(root) == [1, 2]
+
+    # live read and VERSION AS OF read
+    assert read_snapshot_table(spark, root, "t").collect()[0].v == "b"
+    assert read_snapshot_table(spark, root, "t", version=1).collect()[0].v == "a"
+
+    # third publish prunes v1 (keep_versions=2) — time-travel to it
+    # must now fail loudly, v2 must still read
+    publish_snapshot(root, {"t": t3})
+    assert available_versions(root) == [2, 3]
+    assert read_snapshot_table(spark, root, "t", version=2).collect()[0].v == "b"
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot_table(spark, root, "t", version=1)
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot_table(spark, root, "t", version=99)
