@@ -303,3 +303,51 @@ def test_transform_with_state_event_type_counts(spark, staged_events_dir, batch_
         .collect()
     }
     assert final == want
+
+
+def test_ewma_anomaly_flags_stream_equals_batch(
+    spark, staged_events_dir, batch_events
+):
+    """Stateful streaming anomaly detection must flag exactly the rows
+    a scalar batch replay of the same recurrence flags — state carries
+    across micro-batches (the staged corpus spans 4 time-ordered
+    files)."""
+    stream = SE.read_events_stream(spark, staged_events_dir)
+    SE.run_to_memory(
+        SE.ewma_anomaly_flags(stream, alpha=0.2, z_threshold=3.0, min_obs=5),
+        "anomaly_test",
+        mode="append",
+    )
+    got = {
+        (r.user_id, r.ts_us): (r.value, r.ewma_before, r.zscore)
+        for r in spark.table("anomaly_test").collect()
+    }
+
+    rows = batch_events.select("user_id", "ts", "event_id", "value").collect()
+    per_user: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        per_user.setdefault(r.user_id, []).append(r)
+    expected = {}
+    for uid, evs in per_user.items():
+        n, mean, var = 0, 0.0, 0.0
+        for r in evs:
+            x = float(r.value)
+            if n >= 5 and var > 0.0:
+                dev = abs(x - mean) / (var ** 0.5)
+                if dev > 3.0:
+                    ts_us = int(r.ts.timestamp() * 1_000_000)
+                    expected[(uid, ts_us)] = (x, mean, dev)
+            if n == 0:
+                mean, var = x, 0.0
+            else:
+                d = x - mean
+                incr = 0.2 * d
+                mean = mean + incr
+                var = (1.0 - 0.2) * (var + d * incr)
+            n += 1
+
+    assert set(got) == set(expected)
+    assert len(expected) > 0  # the corpus must actually exercise the path
+    for k, (v, m, zz) in expected.items():
+        gv, gm, gz = got[k]
+        assert abs(gv - v) < 1e-9 and abs(gm - m) < 1e-9 and abs(gz - zz) < 1e-9
