@@ -760,6 +760,15 @@ def prefix_filtered_jaccard(
     pair). Candidates then pass the τ·|A| ≤ |B| length filter and an
     exact array_intersect verify.
 
+    Crossover note (measured, sf0.1): the naive join runs 1.1 s to
+    PPJoin's 3.9 s here — on a corpus this small the naive join's
+    candidate volume is cheap and PPJoin's three extra shuffles (df
+    aggregate, rarity join, prefix re-group) dominate. The prefix
+    filter wins where candidates do: Σ_s C(df(s),2) grows
+    super-linearly with corpus size while prefix-candidate volume
+    tracks output size, which is exactly the regime the 461×
+    reduction above predicts.
+
     Plan: one shingle pass (cached), one df aggregate, one keyed join
     to rank shingles by (df, shingle), per-doc prefix via
     array_sort + slice (in-row, no window), bucket-local pair

@@ -47,9 +47,12 @@ def pagerank(
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
 
+    # materialize the edge relation once — it joins into every round,
+    # and a DERIVED edge list (the trade graph is a fact-fact join +
+    # distinct) would otherwise recompute per iteration
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -227,7 +230,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     partition-sum order → rows-only in the registry; the gate pins the
     L2-norm invariants and exact graph cardinalities.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the edge relation once: every round joins it twice,
+    # and without the checkpoint a derived edge list (e.g. a join +
+    # distinct over fact tables) would recompute per round
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -246,21 +256,23 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("node", (F.col(col) / F.col("_n")).alias(col))
         )
 
+    # Inside the loop, nodes with score 0 (no in-edges for authority,
+    # no out-edges for hub) are simply ABSENT from the aggregates:
+    # they contribute nothing to the next round's sums or to the L2
+    # norm, so dropping them mid-iteration is semantics-preserving and
+    # saves two node-restoring joins per round; the final select
+    # reinstates them at 0.
     for _ in range(n_iter):
         auth = (
             e.join(hub, e.src == hub.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("authority"))
-            .join(nodes, "node", "right")
-            .select("node", F.coalesce("authority", F.lit(0.0)).alias("authority"))
         )
         auth = _l2_normalize(auth, "authority").localCheckpoint()
         hub = (
             e.join(auth, e.dst == auth.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("hub"))
-            .join(nodes, "node", "right")
-            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub"))
         )
         hub = _l2_normalize(hub, "hub").localCheckpoint()
     return (

@@ -31,6 +31,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from movie_data_pipeline_spark.plans.curation import (  # noqa: E402
+    bpe_doc_tokens,
     charlm_doc_scores,
     decontaminate_docs,
     doc_repetition_stats,
@@ -90,6 +91,10 @@ def main() -> None:
         ("decontaminate_docs", decontaminate_docs),
         ("doc_repetition_stats", doc_repetition_stats),
         ("leakage_safe_split", leakage_safe_split),
+        # BPE: the 10x corpus re-trains (fresh cache key) — the claim
+        # under test is that training cost rides the VOCABULARY, so
+        # only the initial word-count scan should grow with corpus
+        ("bpe_doc_tokens", bpe_doc_tokens),
     ]
     results: dict[str, tuple[float, float]] = {}
     for label, sf_dir in [("1x", SF_DIR), (f"{k}x", big_path)]:
