@@ -666,6 +666,141 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# Pointwise mutual information over token co-occurrence — the
+# association statistic behind collocation mining and embedding prep.
+# Document-level co-occurrence on the distinct (doc, token) relation:
+# pair space is vocabulary-bounded (≤ C(|V|,2)) however large the
+# corpus, and PMI = log2(n12·N / (n1·n2)) evaluates exact integer
+# products (< 2^53 ⇒ exact doubles) in one fixed operation order.
+# ---------------------------------------------------------------------------
+
+def token_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"[^\w']+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    singles = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    a, b = dt.alias("a"), dt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    sa = singles.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    sb = singles.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "tok_a")
+        .join(F.broadcast(sb), "tok_b")
+        .crossJoin(F.broadcast(n_docs))  # 1-row side
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_both",
+            F.round(
+                F.log2(
+                    F.col("n_both") * F.col("n_docs")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("tok_a", "tok_b")
+    )
+
+
+TOKEN_PMI_SQL = r"""
+WITH dt AS (
+    SELECT DISTINCT doc_id, t AS tok FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                                  x -> x != '')) AS t
+        FROM documents
+    )
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+singles AS (SELECT tok, COUNT(*) AS n_tok FROM dt GROUP BY tok),
+pairs AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_both
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY tok_a, tok_b
+    HAVING COUNT(*) >= 5
+)
+SELECT tok_a, tok_b, n_both,
+       ROUND(log2(CAST(n_both AS DOUBLE) * n_docs / (sa.n_tok * sb.n_tok)), 6)
+           AS pmi
+FROM pairs
+JOIN singles sa ON sa.tok = tok_a
+JOIN singles sb ON sb.tok = tok_b
+CROSS JOIN n
+ORDER BY tok_a, tok_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantile discretization (equal-frequency binning): assign each row
+# its price decile — the ML feature-prep transform. ntile over a
+# TOTAL order (price, orderkey, linenumber) so bin assignment is
+# deterministic under ties; per-decile profile is decimal-exact.
+# ⚠ scale note (same as customer_balance_tiles): an un-partitioned
+# ntile is a global sort — at 100 TB you bin against broadcast
+# approx-percentile cut points instead; the deterministic-tie
+# discipline carries over unchanged.
+# ---------------------------------------------------------------------------
+
+def price_decile_profile(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi_price"),
+            F.round(
+                _dec_sum(F.col("l_extendedprice"), 6).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_price"),
+        )
+        .select(F.col("decile").cast("int").alias("decile"), "n_rows",
+                "lo_price", "hi_price", "mean_price")
+        .orderBy("decile")
+    )
+
+
+PRICE_DECILE_SQL = """
+WITH binned AS (
+    SELECT l_extendedprice,
+           NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS decile
+    FROM lineitem
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(l_extendedprice), 2) AS lo_price,
+       ROUND(MAX(l_extendedprice), 2) AS hi_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE)
+             / COUNT(*), 4) AS mean_price
+FROM binned
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 STATS_QUERIES = {
     "price_discount_corr": (price_discount_corr, PRICE_DISCOUNT_CORR_SQL),
     "price_histogram": (price_histogram, PRICE_HISTOGRAM_SQL),
@@ -678,4 +813,6 @@ STATS_QUERIES = {
     "suppkey_skew_report": (suppkey_skew_report, SUPPKEY_SKEW_SQL),
     "winsorized_price_stats": (winsorized_price_stats, WINSORIZED_PRICE_SQL),
     "token_zipf_fit": (token_zipf_fit, TOKEN_ZIPF_SQL),
+    "token_pmi_pairs": (token_pmi_pairs, TOKEN_PMI_SQL),
+    "price_decile_profile": (price_decile_profile, PRICE_DECILE_SQL),
 }

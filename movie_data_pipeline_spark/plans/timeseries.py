@@ -397,6 +397,95 @@ ORDER BY event_type, next_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Session path mining: the most common opening event-type paths
+# (first 3 events of each 30-min-gap session) — sessionization
+# composed with sequence extraction, the product-analytics "top user
+# journeys" query. Ordered collect inside each session uses the
+# struct-sort trick (array_sort on (ts, event_id, type) structs —
+# in-row, no second window); path space is bounded by |event_types|³.
+# ---------------------------------------------------------------------------
+
+def session_path_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .analytics import load_events
+
+    events = load_events(spark, sf)
+    e = events.select(
+        "user_id", "event_id", "event_type", F.col("ts_sec").alias("tse")
+    )
+    w = Window.partitionBy("user_id").orderBy("tse", "event_id")
+    sessions = (
+        e.withColumn(
+            "is_new",
+            F.when(
+                F.lag("tse").over(w).isNull()
+                | ((F.col("tse") - F.lag("tse").over(w)) > 1800),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("tse", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("evs"), 1, 3), lambda s: s["event_type"]
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+SESSION_PATH_SQL = """
+WITH e0 AS (
+    SELECT user_id, event_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tse
+    FROM events
+), e AS (
+    SELECT user_id, event_id, event_type, tse,
+           CASE WHEN LAG(tse) OVER w IS NULL
+                  OR tse - LAG(tse) OVER w > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM e0
+    WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+), s AS (
+    SELECT user_id, event_id, event_type, tse,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM e
+), p AS (
+    SELECT array_to_string(
+             list_transform(
+               list_sort(list(ROW(tse, event_id, event_type)))[1:3],
+               x -> x[3]),
+             '>') AS path
+    FROM s GROUP BY user_id, session_seq
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill_locf": (events_gapfill_locf, EVENTS_GAPFILL_SQL),
     "order_window_shipments": (order_window_shipments, ORDER_WINDOW_SQL),
@@ -404,4 +493,5 @@ TIMESERIES_QUERIES = {
     "ewma_user_values": (ewma_user_values, EWMA_USER_SQL),
     "incremental_daily_agg": (incremental_daily_agg, INCREMENTAL_DAILY_SQL),
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_SQL),
+    "session_path_counts": (session_path_counts, SESSION_PATH_SQL),
 }
