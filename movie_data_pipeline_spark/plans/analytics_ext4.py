@@ -641,6 +641,41 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# Table reconciliation (sources/sinks.py::table_diff): diff a derived
+# "previous version" of orders (2001 orders absent; every 7th
+# orderkey's totalprice perturbed) against the live table — one
+# full-outer join on the key comparing whole-row structs null-safely.
+# The derivation is deterministic, so the entire change set is
+# DuckDB-oracled row for row.
+# ---------------------------------------------------------------------------
+
+def orders_version_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.sinks import table_diff
+
+    new = load_table(spark, sf, "orders")
+    old = (
+        new.filter(F.year("o_orderdate") < 2001)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    return table_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+ORDERS_VERSION_DIFF_SQL = """
+SELECT o_orderkey,
+       CASE WHEN year(o_orderdate) = 2001 THEN 'added'
+            ELSE 'changed' END AS change_type
+FROM orders
+WHERE year(o_orderdate) = 2001 OR o_orderkey % 7 = 0
+ORDER BY o_orderkey
+"""
+
+
 EXT4_QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_MIN_COST_SQL),
     "q11_important_parts": (q11_important_parts, Q11_IMPORTANT_PARTS_SQL),
@@ -653,4 +688,5 @@ EXT4_QUERIES = {
     "part_name_linkage": (part_name_linkage, PART_NAME_LINKAGE_SQL),
     "urgent_revenue_pruned": (urgent_revenue_pruned, URGENT_REVENUE_PRUNED_SQL),
     "ppjoin_jaccard_pairs": (ppjoin_jaccard_pairs, PPJOIN_JACCARD_SQL),
+    "orders_version_diff": (orders_version_diff, ORDERS_VERSION_DIFF_SQL),
 }

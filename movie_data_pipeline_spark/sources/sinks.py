@@ -300,3 +300,40 @@ def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
             "rule", "n_violations", "n_rows"
         )
     ).orderBy("rule")
+
+
+def table_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Key-level reconciliation between two versions of a table — the
+    CDC/diff complement of ``upsert_overwrite`` (and of the snapshot
+    store's retained versions, which it diffs directly): one row per
+    key that was ``added``, ``removed``, or ``changed``, with
+    unchanged keys absent. 'Changed' means ANY non-key column differs,
+    null-safely, detected by comparing full-row structs through a
+    single full-outer join on the key — one shuffle per side, no
+    column enumeration in the comparison itself, and no assumption
+    about which columns exist beyond the keys.
+    """
+    val_cols = [c for c in old.columns if c not in keys]
+    if val_cols != [c for c in new.columns if c not in keys]:
+        raise ValueError(
+            f"schemas differ: {old.columns} vs {new.columns}"
+        )
+    o = old.select(
+        *keys, F.struct(*val_cols).alias("_old") if val_cols else F.lit(None).alias("_old")
+    )
+    n = new.select(
+        *keys, F.struct(*val_cols).alias("_new") if val_cols else F.lit(None).alias("_new")
+    )
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("added"))
+        .when(F.col("_new").isNull(), F.lit("removed"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(*keys, "change_type")
+    )

@@ -1806,3 +1806,37 @@ def test_snapshot_time_travel(spark, tmp_path):
         read_snapshot_table(spark, root, "t", version=1)
     with _pytest.raises(FileNotFoundError):
         read_snapshot_table(spark, root, "t", version=99)
+
+
+def test_table_diff_reconciliation(spark):
+    from movie_data_pipeline_spark.sources.sinks import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        ["k", "name", "score"],
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0),        # unchanged -> absent from diff
+         (3, "c", 30.0),        # null -> value = changed
+         (4, "D", 40.0),        # name changed
+         (5, "e", 50.0)],       # added
+        ["k", "name", "score"],
+    )
+    got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "changed", 5: "added"}
+
+    # composes with snapshot time-travel: diff two retained versions
+    import tempfile
+
+    from movie_data_pipeline_spark.sources.snapshot import (
+        publish_snapshot,
+        read_snapshot_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="snapdiff")
+    publish_snapshot(root, {"t": old})
+    publish_snapshot(root, {"t": new})
+    v1 = read_snapshot_table(spark, root, "t", version=1)
+    v2 = read_snapshot_table(spark, root, "t", version=2)
+    got2 = {r.k: r.change_type for r in table_diff(v1, v2, ["k"]).collect()}
+    assert got2 == got
