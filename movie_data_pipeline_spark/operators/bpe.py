@@ -117,9 +117,12 @@ def train_bpe(
             break
         l, r, freq = top[0].l, top[0].r, int(top[0].freq)
         merges.append((rank, l, r, freq))
+        # lazy checkpoint: materialized by the NEXT round's argmax
+        # collect, so each round costs one job instead of two while
+        # lineage is still cut round-by-round
         state = state.withColumn(
             "syms", _merge_applier(l, r)(F.col("syms"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, freq bigint"
     )
