@@ -667,6 +667,145 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Operational-latency distribution: order-to-ship lag percentiles per
+# priority — the SLA view over a fact-fact join. Lags are exact
+# integer day counts; the percentile interpolation is the verified
+# bit-identical kind.
+# ---------------------------------------------------------------------------
+
+def fulfillment_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    lag = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("lag_days"),
+        )
+    )
+    return (
+        lag.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.expr(
+                "percentile(lag_days, array(0.5D, 0.9D, 0.99D))"
+            ).alias("q"),
+            F.max("lag_days").alias("max_lag"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_lines",
+            F.col("q")[0].alias("p50_lag"),
+            F.col("q")[1].alias("p90_lag"),
+            F.col("q")[2].alias("p99_lag"),
+            "max_lag",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+FULFILLMENT_LATENCY_SQL = """
+WITH lag AS (
+    SELECT o_orderpriority,
+           datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS lag_days
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       quantile_cont(lag_days, 0.5) AS p50_lag,
+       quantile_cont(lag_days, 0.9) AS p90_lag,
+       quantile_cont(lag_days, 0.99) AS p99_lag,
+       MAX(lag_days) AS max_lag
+FROM lag
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user linear trend of event value over time: the closed-form
+# least-squares slope from five exact decimal moments per user — the
+# price_discount_corr discipline applied per group (one aggregation
+# pass over a user-keyed shuffle; no window, no iteration). Time is
+# scaled to days so slope magnitudes are readable; users need ≥ 3
+# observations and nonzero time variance for a defined slope.
+# ---------------------------------------------------------------------------
+
+def user_value_trend(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    # t is an exact INTEGER day index (shifted by a constant to keep
+    # squares small): integer moments sum exactly at scale 0, and the
+    # one double product (t·v) stays far inside the range where
+    # decimal casts are bit-identical cross-engine. A continuous
+    # (fractional-day double) t at decimal scale 12 pushed t²·10¹²
+    # past 2⁵³, where the engines' double→decimal conversions diverge.
+    e = load_events(spark, sf).select(
+        "user_id",
+        (F.expr("ts_us DIV 86400000000") - 9000).alias("t"),
+        "value",
+    )
+    agg = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("t").cast("decimal(38,0)")).alias("st"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("sv"),
+        F.sum((F.col("t") * F.col("value")).cast("decimal(30,6)")).alias("stv"),
+        F.sum((F.col("t") * F.col("t")).cast("decimal(38,0)")).alias("stt"),
+    )
+    n, st, sv, stv, stt = (
+        F.col("n"),
+        F.col("st").cast("double"),
+        F.col("sv").cast("double"),
+        F.col("stv").cast("double"),
+        F.col("stt").cast("double"),
+    )
+    return (
+        agg.filter(F.col("n") >= 3)
+        .select(
+            "user_id",
+            n.cast("long").alias("n_events"),
+            # floor-truncate, not ROUND: a raw double quotient can sit
+            # on a decimal half-way tie where the engines' ROUND rules
+            # diverge (hit once in 150k users at sf0.1); floor of the
+            # same double has no tie cases
+            (
+                F.floor(
+                    (n * stv - st * sv) / (n * stt - st * st) * 1e6
+                )
+                / 1e6
+                + 0.0
+            ).alias("trend_slope"),
+        )
+        .orderBy("user_id")
+    )
+
+
+USER_VALUE_TREND_SQL = """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) // 86400000000 - 9000 AS t, value FROM events
+), agg AS (
+    SELECT user_id, COUNT(*) AS n,
+           SUM(CAST(t AS DECIMAL(38,0))) AS st,
+           SUM(CAST(value AS DECIMAL(30,6))) AS sv,
+           SUM(CAST(t * value AS DECIMAL(30,6))) AS stv,
+           SUM(CAST(t * t AS DECIMAL(38,0))) AS stt
+    FROM e GROUP BY user_id
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       FLOOR((n * CAST(stv AS DOUBLE) - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+             / (n * CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+             * 1e6) / 1e6 + 0.0 AS trend_slope
+FROM agg
+WHERE n >= 3
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Pointwise mutual information over token co-occurrence — the
 # association statistic behind collocation mining and embedding prep.
 # Document-level co-occurrence on the distinct (doc, token) relation:
@@ -815,4 +954,9 @@ STATS_QUERIES = {
     "token_zipf_fit": (token_zipf_fit, TOKEN_ZIPF_SQL),
     "token_pmi_pairs": (token_pmi_pairs, TOKEN_PMI_SQL),
     "price_decile_profile": (price_decile_profile, PRICE_DECILE_SQL),
+    "fulfillment_latency_quantiles": (
+        fulfillment_latency_quantiles,
+        FULFILLMENT_LATENCY_SQL,
+    ),
+    "user_value_trend": (user_value_trend, USER_VALUE_TREND_SQL),
 }
