@@ -667,6 +667,141 @@ FROM agg
 
 
 # ---------------------------------------------------------------------------
+# Block-bootstrap confidence interval for the per-type mean event
+# value — uncertainty quantification with the house no-RNG rule: each
+# row lands in one of 10 pseudo-replicates by md5 bucket (so
+# replicate membership is reproducible and partition-invariant), each
+# replicate's mean is decimal-exact, and the CI half-width is the
+# replicate-spread estimate t·s/√R in one fixed operation order. One
+# shuffle to (type, replicate), then a 10-row-per-type reduction.
+# ---------------------------------------------------------------------------
+
+def value_bootstrap_ci(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select("event_type", "event_id", "value")
+    rep = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.encode(F.col("event_id").cast("string"), "UTF-8")), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    per_rep = (
+        e.withColumn("rep", rep)
+        .groupBy("event_type", "rep")
+        .agg(
+            (
+                _dec_sum(F.col("value"), 6).cast("double") / F.count(F.lit(1))
+            ).alias("rep_mean")
+        )
+    )
+    agg = per_rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.sum(F.col("rep_mean").cast("decimal(30,9)")).alias("sm"),
+        F.sum((F.col("rep_mean") * F.col("rep_mean")).cast("decimal(30,9)")).alias(
+            "smm"
+        ),
+    )
+    n, sm, smm = (
+        F.col("n_reps"),
+        F.col("sm").cast("double"),
+        F.col("smm").cast("double"),
+    )
+    mean = sm / n
+    var = (smm - sm * sm / n) / (n - 1)
+    half = 2.262 * F.sqrt(var / n)  # t(9, 0.975)
+    return agg.select(
+        "event_type",
+        n.cast("int").alias("n_reps"),
+        (F.floor(mean * 1e6) / 1e6).alias("mean_value"),
+        (F.floor(half * 1e6) / 1e6).alias("ci_half_width"),
+    ).orderBy("event_type")
+
+
+VALUE_BOOTSTRAP_SQL = """
+WITH e AS (
+    SELECT event_type, value,
+           CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10 AS rep
+    FROM events
+), per_rep AS (
+    SELECT event_type, rep,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+               AS rep_mean
+    FROM e GROUP BY event_type, rep
+), agg AS (
+    SELECT event_type, COUNT(*) AS n_reps,
+           SUM(CAST(rep_mean AS DECIMAL(30,9))) AS sm,
+           SUM(CAST(rep_mean * rep_mean AS DECIMAL(30,9))) AS smm
+    FROM per_rep GROUP BY event_type
+)
+SELECT event_type, CAST(n_reps AS INT) AS n_reps,
+       FLOOR(CAST(sm AS DOUBLE) / n_reps * 1e6) / 1e6 AS mean_value,
+       FLOOR(2.262 * sqrt((CAST(smm AS DOUBLE)
+                           - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n_reps)
+                          / (n_reps - 1) / n_reps) * 1e6) / 1e6
+           AS ci_half_width
+FROM agg
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Model scoring: logistic score of every embedding under a FIXED
+# coefficient vector (the inference pattern — the model broadcasts in
+# the plan as a literal array, the dot product runs JVM-side through
+# higher-order functions, no Python in the loop). Scores bucket into
+# deciles for a calibration-style profile. Deterministic: the weight
+# vector is a fixed function of the dimension index.
+# ---------------------------------------------------------------------------
+
+def embedding_model_scores(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    dim = 64
+    # fixed "model": w_j alternates sign and decays with j (1-based)
+    w = [((-1.0) ** j) / (j + 1.0) for j in range(dim)]
+    w_col = F.array(*[F.lit(float(x)) for x in w])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            w_col,
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    score = 1.0 / (1.0 + F.exp(-dot))
+    return (
+        emb.select(F.floor(score * 10).cast("int").alias("score_decile"))
+        .groupBy("score_decile")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("score_decile")
+    )
+
+
+EMBEDDING_SCORES_SQL = """
+WITH w AS (
+    SELECT list_transform(range(0, 64),
+                          j -> CAST((-1.0) ** j / (j + 1.0) AS DOUBLE)) AS wv
+), scored AS (
+    -- FLOAT before DOUBLE mirrors load_table's array<float> reading
+    SELECT list_dot_product(CAST(CAST(embedding AS FLOAT[]) AS DOUBLE[]),
+                            wv) AS dot
+    FROM embeddings CROSS JOIN w
+)
+SELECT CAST(FLOOR(10.0 / (1.0 + exp(-dot))) AS INT) AS score_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM scored
+GROUP BY score_decile
+ORDER BY score_decile
+"""
+
+
+# ---------------------------------------------------------------------------
 # Operational-latency distribution: order-to-ship lag percentiles per
 # priority — the SLA view over a fact-fact join. Lags are exact
 # integer day counts; the percentile interpolation is the verified
@@ -959,4 +1094,6 @@ STATS_QUERIES = {
         FULFILLMENT_LATENCY_SQL,
     ),
     "user_value_trend": (user_value_trend, USER_VALUE_TREND_SQL),
+    "value_bootstrap_ci": (value_bootstrap_ci, VALUE_BOOTSTRAP_SQL),
+    "embedding_model_scores": (embedding_model_scores, EMBEDDING_SCORES_SQL),
 }
