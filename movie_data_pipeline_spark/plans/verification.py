@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 from ..sources.catalog import load_table
+from .curation import BPE_CHECK_SQL as _BPE_CHECK_SQL
+from .curation import BPE_ENCODE_CHECK_SQL as _BPE_ENCODE_CHECK_SQL
+from .graphs import HITS_CHECK_SQL as _HITS_CHECK_SQL
+from .graphs import KCORE_CHECK_SQL as _KCORE_CHECK_SQL
+from .graphs import PAGERANK_CHECK_SQL as _PAGERANK_CHECK_SQL
 
 
 def _one_row(*dfs: DataFrame) -> DataFrame:
@@ -588,7 +593,8 @@ VERIFY_QUERIES.update(
 # Combined suite: every one-row twin above, normalized to a uniform
 # (family, m1, m2, ok_a, ok_b) row and unioned. The driver's
 # correctness gate records only a bounded prefix of the registry, so
-# this single entry carries all nine approximate-family gates in one
+# this single entry carries all FIFTEEN family gates (nine
+# approximate families + the six round-6 iterative/ML gates) in one
 # driver row-set; the individual twins stay registered for local runs.
 # ---------------------------------------------------------------------------
 
@@ -638,6 +644,32 @@ def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
              "n_exact", None, "pq_recall_ok", None),
         qs,
     ]
+    # Families 10-15 (round 6): the iterative/ML gates, normalized the
+    # same way so BPE training+encoding, k-core, HITS, PageRank and
+    # PCA are driver-enforced inside this one frozen slot. Exact
+    # measures (merge counts, round-1 merge frequency, graph
+    # cardinalities, vector counts) are DuckDB-recomputed on the SQL
+    # side; algorithm invariants ride the ok predicates. String-valued
+    # checks (the first merge PAIR itself) stay in the per-entry local
+    # oracles, which carry richer columns than this digest schema.
+    from .curation import bpe_check, bpe_encode_check
+    from .graphs import hits_check, kcore_check, pagerank_check
+    from .stats import pca_check
+
+    parts += [
+        norm(bpe_check(spark, sf), "bpe_train",
+             "n_merges", "first_freq", "freqs_positive", None),
+        norm(bpe_encode_check(spark, sf), "bpe_encode",
+             "n_docs", "total_words", "reconstruction_ok", "bounds_ok"),
+        norm(kcore_check(spark, sf), "kcore",
+             "n_edges", "n_deg_ge_k", "core_sound_ok", "core_bounded_ok"),
+        norm(hits_check(spark, sf), "hits",
+             "n_nodes", "n_edges", "hub_norm_ok", "auth_norm_ok"),
+        norm(pagerank_check(spark, sf), "pagerank",
+             "n_nodes", "n_edges", "rank_conserved", "rank_floor_ok"),
+        norm(pca_check(spark, sf), "pca",
+             "n_vectors", None, "centered_ok", "ordered_ok"),
+    ]
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -675,6 +707,25 @@ APPROX_SUITE_SQL = "\nUNION ALL\n".join(
             "SELECT 'quantile_sketch' AS family, CAST(COUNT(*) AS BIGINT) AS m1, "
             "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS m2, "
             "TRUE AS ok_a, TRUE AS ok_b FROM lineitem"
+        ),
+        # families 10-15 (round 6): iterative/ML gates — SQL twins
+        # imported from their home modules (curation/graphs are
+        # import-cycle-safe; stats is not, so PCA's 1-row twin is the
+        # inline literal below, kept in sync with stats.PCA_CHECK_SQL)
+        _suite_member("bpe_train", _BPE_CHECK_SQL,
+                      "n_merges", "first_freq", "freqs_positive", None),
+        _suite_member("bpe_encode", _BPE_ENCODE_CHECK_SQL,
+                      "n_docs", "total_words", "reconstruction_ok", "bounds_ok"),
+        _suite_member("kcore", _KCORE_CHECK_SQL,
+                      "n_edges", "n_deg_ge_k", "core_sound_ok", "core_bounded_ok"),
+        _suite_member("hits", _HITS_CHECK_SQL,
+                      "n_nodes", "n_edges", "hub_norm_ok", "auth_norm_ok"),
+        _suite_member("pagerank", _PAGERANK_CHECK_SQL,
+                      "n_nodes", "n_edges", "rank_conserved", "rank_floor_ok"),
+        (
+            "SELECT 'pca' AS family, CAST(COUNT(*) AS BIGINT) AS m1, "
+            "CAST(0 AS BIGINT) AS m2, TRUE AS ok_a, TRUE AS ok_b "
+            "FROM embeddings"
         ),
     ]
 ) + "\nORDER BY family"
