@@ -676,6 +676,179 @@ ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Share-shift analytics: each nation's share of yearly revenue and its
+# change vs the prior year — percent-of-total via a window sum over
+# the aggregate (25-row relation; the window is free) and lag for the
+# delta. Shares are exact-decimal ratios divided once in double.
+# ---------------------------------------------------------------------------
+
+def nation_revenue_share_shift(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("r"))
+    )
+    per_year = Window.partitionBy("yr")
+    order_n = Window.partitionBy("nation").orderBy("yr")
+    shared = rev.withColumn(
+        "share",
+        F.floor(
+            F.col("r").cast("double")
+            / F.sum("r").over(per_year).cast("double")
+            * 1e6
+        )
+        / 1e6,
+    )
+    return (
+        shared.withColumn(
+            "share_shift",
+            F.floor((F.col("share") - F.lag("share").over(order_n)) * 1e6) / 1e6,
+        )
+        .select("yr", "nation", "share", "share_shift")
+        .orderBy("yr", "nation")
+    )
+
+
+NATION_SHARE_SHIFT_SQL = """
+WITH rev AS (
+    SELECT CAST(year(o_orderdate) AS INT) AS yr, c_nationkey AS nation,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS r
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    GROUP BY yr, nation
+), shared AS (
+    SELECT yr, nation,
+           FLOOR(CAST(r AS DOUBLE)
+                 / CAST(SUM(r) OVER (PARTITION BY yr) AS DOUBLE) * 1e6) / 1e6
+               AS share
+    FROM rev
+)
+SELECT yr, nation, share,
+       FLOOR((share - LAG(share) OVER (PARTITION BY nation ORDER BY yr))
+             * 1e6) / 1e6 AS share_shift
+FROM shared
+ORDER BY yr, nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users: windows cannot COUNT(DISTINCT) over a
+# range frame, so the scalable formulation replicates each day's
+# (day, user) PARTIALS (already deduplicated per day) into the 7
+# window anchors they serve via an exploded offset — a plain shuffled
+# EQUI-join, never a nested-loop range join — then distinct-counts
+# per anchor. Fan-out is exactly 7× the daily-partials relation,
+# which is already tiny next to raw events.
+# ---------------------------------------------------------------------------
+
+def rolling_7d_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select(
+        F.expr("ts_us DIV 86400000000").alias("day_idx"), "user_id"
+    ).distinct()
+    days = e.select("day_idx").distinct()
+    anchored = e.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + 6)
+        ).alias("anchor"),
+    )
+    return (
+        days.join(anchored, days.day_idx == anchored.anchor)
+        .groupBy("day_idx")
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+        .orderBy("day_idx")
+    )
+
+
+ROLLING_7D_SQL = """
+WITH e AS (
+    SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+    FROM events
+), days AS (SELECT DISTINCT day_idx FROM e)
+SELECT d.day_idx AS day_idx,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS users_7d
+FROM days d JOIN e u
+  ON u.day_idx <= d.day_idx AND u.day_idx > d.day_idx - 7
+GROUP BY d.day_idx
+ORDER BY day_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Null-semantics probe: the SQL corners that silently corrupt results
+# when engines disagree — null-safe equality (<=>), NULL-excluding
+# aggregates vs COUNT(*), NULLS-ordering, and coalesce fallbacks —
+# exercised on a deterministic null injection (every 5th supplier's
+# acctbal nulled via NULLIF) so both engines face identical nulls.
+# ---------------------------------------------------------------------------
+
+def null_semantics_probe(spark: SparkSession, sf: str) -> DataFrame:
+    sup = load_table(spark, sf, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.nullif(
+            F.col("s_acctbal"),
+            F.when(F.col("s_suppkey") % 5 == 0, F.col("s_acctbal")),
+        ).alias("bal"),
+    )
+    a, b = sup.alias("a"), sup.alias("b")
+    nullsafe_pairs = a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        & F.col("a.bal").eqNullSafe(F.col("b.bal")),
+    ).agg(F.count(F.lit(1)).alias("nullsafe_equal_pairs"))
+    stats = sup.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("bal").alias("n_nonnull"),
+        F.round(_dec_sum(F.coalesce(F.col("bal"), F.lit(0.0)), 6).cast("double"), 2)
+        .alias("coalesced_sum"),
+        F.min(F.struct(F.col("bal").isNull().cast("int"), "s_suppkey"))["s_suppkey"]
+        .alias("first_nonnull_ordered"),
+    )
+    return stats.crossJoin(nullsafe_pairs).select(  # both sides 1 row
+        "n_rows", "n_nonnull", "coalesced_sum",
+        "first_nonnull_ordered", "nullsafe_equal_pairs",
+    )
+
+
+NULL_SEMANTICS_SQL = """
+WITH sup AS (
+    SELECT s_suppkey, s_nationkey,
+           CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_acctbal END AS bal
+    FROM supplier
+),
+ns AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS nullsafe_equal_pairs
+    FROM sup a JOIN sup b
+      ON a.s_nationkey = b.s_nationkey
+     AND a.s_suppkey < b.s_suppkey
+     AND a.bal IS NOT DISTINCT FROM b.bal
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sup) AS n_rows,
+       (SELECT CAST(COUNT(bal) AS BIGINT) FROM sup) AS n_nonnull,
+       (SELECT ROUND(CAST(SUM(CAST(COALESCE(bal, 0.0) AS DECIMAL(30,6)))
+                          AS DOUBLE), 2) FROM sup) AS coalesced_sum,
+       (SELECT s_suppkey FROM sup
+        ORDER BY (bal IS NULL), s_suppkey LIMIT 1) AS first_nonnull_ordered,
+       nullsafe_equal_pairs
+FROM ns
+"""
+
+
 EXT4_QUERIES = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_MIN_COST_SQL),
     "q11_important_parts": (q11_important_parts, Q11_IMPORTANT_PARTS_SQL),
@@ -689,4 +862,10 @@ EXT4_QUERIES = {
     "urgent_revenue_pruned": (urgent_revenue_pruned, URGENT_REVENUE_PRUNED_SQL),
     "ppjoin_jaccard_pairs": (ppjoin_jaccard_pairs, PPJOIN_JACCARD_SQL),
     "orders_version_diff": (orders_version_diff, ORDERS_VERSION_DIFF_SQL),
+    "nation_revenue_share_shift": (
+        nation_revenue_share_shift,
+        NATION_SHARE_SHIFT_SQL,
+    ),
+    "rolling_7d_distinct_users": (rolling_7d_distinct_users, ROLLING_7D_SQL),
+    "null_semantics_probe": (null_semantics_probe, NULL_SEMANTICS_SQL),
 }
