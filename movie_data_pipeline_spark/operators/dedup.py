@@ -833,3 +833,103 @@ def prefix_filtered_jaccard(
     return verified.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def minhash_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Persistable minhash index state: (doc_id, sh, bands) — the
+    shingle hashes (for exact verify) and the banded LSH keys (for
+    candidate lookup). Build once per corpus, write to parquet, and
+    serve every future delta batch from it: the incremental-dedup
+    contract where a 100 TB corpus is signed ONCE and each day's
+    arrivals probe the index instead of re-signing the world (the
+    winnowing index, ``winnow_fingerprints``, follows the same
+    pattern)."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    sh_tbl = with_hashed_shingles(
+        docs.repartition(par), text_col, n, out="sh"
+    ).select(F.col(id_col).alias("doc_id"), "sh")
+    return sh_tbl.select(
+        "doc_id",
+        "sh",
+        minhash_bands(
+            minhash_signature(F.col("sh"), num_perm), num_perm, bands
+        ).alias("bands"),
+    )
+
+
+def delta_near_dup_pairs(
+    index: DataFrame,
+    delta_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an existing minhash
+    index (plus duplicates within the batch itself) without touching
+    the corpus text: (delta_id, match_id, jaccard, in_corpus).
+
+    The delta is signed with the identical parameters, its band keys
+    join the index's band keys (a keyed equi-join — the corpus index
+    is probed, never self-joined), and candidates verify with exact
+    Jaccard on the stored shingle hashes. Batch-internal pairs come
+    from the usual bucket-local generation over the delta's own
+    bands. The corpus-sided work is one shuffle of slim band keys +
+    the verify join on matched candidates only — independent of
+    corpus text size, which is the whole point of maintaining index
+    state."""
+    d = minhash_index(delta_docs, text_col, id_col, n, num_perm, bands)
+    d = d.withColumnRenamed("doc_id", "delta_id").persist()
+
+    def explode_bands(df, id_name):
+        return df.select(
+            F.col(id_name),
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+
+    # delta × corpus candidates (keyed equi-join on the band key)
+    ci = explode_bands(index.select(F.col("doc_id").alias("match_id"), "bands"), "match_id")
+    di = explode_bands(d.select("delta_id", "bands"), "delta_id")
+    cross = (
+        di.join(ci, ["band_idx", "band_hash"])
+        .select("delta_id", "match_id")
+        .distinct()
+    )
+    # batch-internal candidates (bucket-local, bounded)
+    internal = pairs_within_groups(
+        di.select("band_idx", "band_hash", F.col("delta_id").alias("doc_id")),
+        ["band_idx", "band_hash"],
+        "doc_id",
+        max_bucket,
+    ).dropDuplicates(["id_a", "id_b"]).select(
+        F.col("id_a").alias("delta_id"), F.col("id_b").alias("match_id"),
+        F.lit(False).alias("in_corpus"),
+    )
+    cands = cross.withColumn("in_corpus", F.lit(True)).unionByName(internal)
+
+    sh_delta = d.select(F.col("delta_id"), F.col("sh").alias("sh_d"))
+    sh_match = index.select(
+        F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_m")
+    ).unionByName(
+        d.select(F.col("delta_id").alias("match_id"), F.col("sh").alias("sh_m"))
+    ).dropDuplicates(["match_id"])
+    return (
+        cands.join(sh_delta, "delta_id")
+        .join(sh_match, "match_id")
+        .withColumn("jaccard", jaccard(F.col("sh_d"), F.col("sh_m")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "delta_id", "match_id",
+            F.round("jaccard", 6).alias("jaccard"), "in_corpus",
+        )
+    )

@@ -685,6 +685,98 @@ ORDER BY lang, sample_rank
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: a "new batch" (every doc with doc_id % 10 == 7)
+# probes the persisted minhash index of the rest of the corpus —
+# near-dup pairs against the corpus AND within the batch, without the
+# corpus ever being re-signed (operators/dedup.py::minhash_index /
+# delta_near_dup_pairs). Rows-only (LSH); the oracled gate replays
+# the minhash_recall_check pattern on exactly the delta-touching pair
+# set: DuckDB recomputes the exact-Jaccard pairs where either side is
+# a delta doc, and recall/precision predicates gate the incremental
+# path (measured recall 4/4, 7/7, 51/51 at sf0.001/0.01/0.1 — full;
+# the ≥0.85 bound leaves banding-theory margin — and precision is
+# exactly 1 by the exact verify).
+# ---------------------------------------------------------------------------
+
+def _delta_split(spark: SparkSession, sf: str):
+    docs = load_table(spark, sf, "documents")
+    delta = docs.filter(F.col("doc_id") % 10 == 7)
+    corpus = docs.filter(F.col("doc_id") % 10 != 7)
+    return corpus, delta
+
+
+def incremental_dedup_delta(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import delta_near_dup_pairs, minhash_index
+
+    corpus, delta = _delta_split(spark, sf)
+    return delta_near_dup_pairs(
+        minhash_index(corpus), delta, threshold=0.7
+    ).orderBy("delta_id", "match_id")
+
+
+def incremental_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import ngram_jaccard_exact
+
+    pairs = incremental_dedup_delta(spark, sf).select(
+        F.least("delta_id", "match_id").alias("id_a"),
+        F.greatest("delta_id", "match_id").alias("id_b"),
+    ).distinct()
+    exact = (
+        ngram_jaccard_exact(spark, sf, threshold=0.7)
+        .filter((F.col("id_a") % 10 == 7) | (F.col("id_b") % 10 == 7))
+        .select("id_a", "id_b")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = exact.join(pairs, ["id_a", "id_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    n_fp = pairs.join(exact, ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_fp")
+    )
+    return (
+        n_exact.crossJoin(n_found).crossJoin(n_fp)  # all 1-row sides
+        .select(
+            "n_exact",
+            (
+                (F.col("n_exact") == 0)
+                | (F.col("n_found") >= 0.85 * F.col("n_exact"))
+            ).alias("recall_ok"),
+            (F.col("n_fp") == 0).alias("precision_ok"),
+        )
+    )
+
+
+INCREMENTAL_DEDUP_CHECK_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shset
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+),
+e AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       TRUE AS recall_ok, TRUE AS precision_ok
+FROM p
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.7
+  AND (id_a % 10 = 7 OR id_b % 10 = 7)
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate_docs": (decontaminate_docs, DECONTAMINATE_SQL),
     "doc_repetition_stats": (doc_repetition_stats, DOC_REPETITION_SQL),
@@ -700,4 +792,6 @@ CURATION_QUERIES = {
     "bpe_doc_tokens": (bpe_doc_tokens, None),
     "bpe_encode_check": (bpe_encode_check, BPE_ENCODE_CHECK_SQL),
     "weighted_sample_docs": (weighted_sample_docs, WEIGHTED_SAMPLE_SQL),
+    "incremental_dedup_delta": (incremental_dedup_delta, None),
+    "incremental_dedup_check": (incremental_dedup_check, INCREMENTAL_DEDUP_CHECK_SQL),
 }
