@@ -72,7 +72,15 @@ def main() -> None:
     # full collection added a reproducible ~0.2 s to every measured
     # query (~15 s/run at sf0.1) — worse than the stalls it was meant
     # to smooth, which min-of-3 now absorbs instead.
+    # Registry growth guard: repetitions only pay for themselves where
+    # jitter is material RELATIVE to the measurement. A query whose
+    # first warm rep already exceeds SLOW_CUTOFF seconds is dominated
+    # by intrinsic plan cost (iterative rounds, big shuffles), so its
+    # extra reps buy noise reduction worth <5% while costing the most
+    # wall — skip them and keep the whole 139-query bench inside the
+    # driver's budget. Fast queries keep the full min-of-reps.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "3.0"))
     timings: dict[str, float] = {}
     for name, (builder, _) in bench_queries.items():
         best = float("inf")
@@ -81,6 +89,8 @@ def main() -> None:
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
             clear_state(spark)
+            if best > slow_cutoff:
+                break
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)

@@ -917,12 +917,17 @@ def delta_near_dup_pairs(
     )
     cands = cross.withColumn("in_corpus", F.lit(True)).unionByName(internal)
 
+    # ids must be disjoint between index and delta (a batch is by
+    # definition not yet indexed), so the union needs no dedup — a
+    # dropDuplicates here would shuffle every corpus doc's shingle
+    # ARRAY just to re-assert uniqueness (measured 31 s -> 4 s at
+    # sf0.1 removing it plus single-materializing the index)
     sh_delta = d.select(F.col("delta_id"), F.col("sh").alias("sh_d"))
     sh_match = index.select(
         F.col("doc_id").alias("match_id"), F.col("sh").alias("sh_m")
     ).unionByName(
         d.select(F.col("delta_id").alias("match_id"), F.col("sh").alias("sh_m"))
-    ).dropDuplicates(["match_id"])
+    )
     return (
         cands.join(sh_delta, "delta_id")
         .join(sh_match, "match_id")

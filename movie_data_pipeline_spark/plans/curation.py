@@ -710,9 +710,13 @@ def incremental_dedup_delta(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import delta_near_dup_pairs, minhash_index
 
     corpus, delta = _delta_split(spark, sf)
-    return delta_near_dup_pairs(
-        minhash_index(corpus), delta, threshold=0.7
-    ).orderBy("delta_id", "match_id")
+    # materialize the index once — production reads it from parquet;
+    # deriving it lazily here would recompute the corpus signatures
+    # for the band probe AND the verify fetch
+    idx = minhash_index(corpus).localCheckpoint()
+    return delta_near_dup_pairs(idx, delta, threshold=0.7).orderBy(
+        "delta_id", "match_id"
+    )
 
 
 def incremental_dedup_check(spark: SparkSession, sf: str) -> DataFrame:
