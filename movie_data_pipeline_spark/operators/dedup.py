@@ -775,11 +775,17 @@ def prefix_filtered_jaccard(
     generation (pairs_within_groups — the 100 TB guard), and a
     verify join against the cached shingle arrays.
     """
+    # localCheckpoint, not persist(): the blocks are freed by the
+    # ContextCleaner when the returned plan goes out of scope, so
+    # repeated invocations in a long-lived session don't accumulate
+    # cached partitions (an explicit persist with no unpersist hook
+    # would — the operator returns a lazy plan and never sees
+    # consumption). Same discipline as the iterative graph operators.
     sh0 = (
         with_hashed_shingles(docs, "text", 3, out="sh_raw")
         .select("doc_id", F.array_distinct("sh_raw").alias("sh"))
         .withColumn("n_sh", F.size("sh"))
-        .persist()
+        .localCheckpoint()
     )
     e = sh0.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     df_tbl = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -887,9 +893,16 @@ def delta_near_dup_pairs(
     bands. The corpus-sided work is one shuffle of slim band keys +
     the verify join on matched candidates only — independent of
     corpus text size, which is the whole point of maintaining index
-    state."""
+    state. ``max_bucket`` caps BOTH candidate paths: batch-internal
+    buckets through pairs_within_groups and corpus band buckets
+    through a deterministic sorted-prefix cap before the probe join,
+    so one boilerplate-heavy band key cannot go quadratic."""
+    # localCheckpoint over persist() for the same session-hygiene
+    # reason as prefix_filtered_jaccard: blocks are reclaimed by the
+    # ContextCleaner after the plan is dropped, not pinned until an
+    # external clearCache.
     d = minhash_index(delta_docs, text_col, id_col, n, num_perm, bands)
-    d = d.withColumnRenamed("doc_id", "delta_id").persist()
+    d = d.withColumnRenamed("doc_id", "delta_id").localCheckpoint()
 
     def explode_bands(df, id_name):
         return df.select(
@@ -897,8 +910,25 @@ def delta_near_dup_pairs(
             F.posexplode("bands").alias("band_idx", "band_hash"),
         )
 
-    # delta × corpus candidates (keyed equi-join on the band key)
+    # delta × corpus candidates (keyed equi-join on the band key).
+    # The corpus side gets the SAME hot-bucket cap the batch-internal
+    # path applies (pairs_within_groups keep-first-max_bucket): a band
+    # shared by many near-identical corpus docs would otherwise make
+    # candidate volume |delta_bucket| × |corpus_bucket| — quadratic in
+    # the hot bucket, exactly the blow-up the scale contract forbids.
+    # The cap is the deterministic sorted prefix, and the groupBy runs
+    # on the join keys, so the join reuses its exchange (no extra
+    # corpus-side shuffle beyond the one the join needs anyway).
     ci = explode_bands(index.select(F.col("doc_id").alias("match_id"), "bands"), "match_id")
+    ci = (
+        ci.groupBy("band_idx", "band_hash")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("match_id")), 1, max_bucket
+            ).alias("ids")
+        )
+        .select("band_idx", "band_hash", F.explode("ids").alias("match_id"))
+    )
     di = explode_bands(d.select("delta_id", "bands"), "delta_id")
     cross = (
         di.join(ci, ["band_idx", "band_hash"])

@@ -159,7 +159,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
 
 
 def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
-           max_iter: int = 50) -> DataFrame:
+           max_iter: int | None = None) -> DataFrame:
     """Nodes of the k-core — the maximal subgraph where every node has
     ≥ k neighbors INSIDE the subgraph — of the undirected graph under
     ``edges``. Returns (node, core_degree), core_degree being the
@@ -191,8 +191,15 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
         .localCheckpoint()
     )
+    # Peel to the TRUE fixpoint: path/tree-like graphs can need O(n)
+    # rounds (one node per round), so there is no default round cap —
+    # termination is guaranteed because every non-converged round
+    # strictly shrinks the surviving node count. ``max_iter`` is an
+    # opt-in safety valve that RAISES (never silently returns a
+    # non-k-core superset) if exhausted before convergence.
     n_nodes = adj.select("node").distinct().count()
-    for _ in range(max_iter):
+    rounds = 0
+    while True:
         deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
         keep = deg.filter(F.col("core_degree") >= k).select("node")
         n_keep = keep.count()  # 1-row convergence probe
@@ -206,6 +213,13 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         )
         if n_keep == 0:
             break
+        rounds += 1
+        if max_iter is not None and rounds >= max_iter:
+            raise RuntimeError(
+                f"k_core did not converge within max_iter={max_iter} "
+                f"rounds ({n_keep} nodes still peeling); pass "
+                f"max_iter=None for the unbounded fixpoint"
+            )
     return (
         adj.groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))

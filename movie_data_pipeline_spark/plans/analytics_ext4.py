@@ -50,7 +50,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
     li = load_table(spark, sf, "lineitem")
     offer = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        # part is SF-scaled: no broadcast hint — AQE broadcasts the
+        # filtered slice at test SFs and flips to a shuffle join when
+        # it outgrows the threshold (repo broadcast policy, PLANS.md).
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     )
@@ -115,10 +118,11 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     nat = load_table(spark, sf, "nation").filter(F.col("n_nationkey") < 8)
 
     sliced = li.join(
-        F.broadcast(
-            sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
-            .select("s_suppkey")
-        ),
+        # supplier is SF-scaled: hint only the bounded 25-row nation
+        # dim; AQE decides whether the nation-sliced supplier key set
+        # still fits a broadcast at the current scale.
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select("s_suppkey"),
         li.l_suppkey == F.col("s_suppkey"),
     )
     per_part = sliced.groupBy("l_partkey").agg(
@@ -214,8 +218,8 @@ ORDER BY s_suppkey
 # ---------------------------------------------------------------------------
 # TPC-H Q17 shape: revenue that would vanish if small-quantity orders
 # for one brand were dropped. The correlated "l_quantity < 0.2 * AVG
-# per part" becomes a per-part aggregate joined back (broadcast — the
-# per-part side is bounded by the brand's part count). The 0.2*avg
+# per part" becomes a per-part aggregate joined back (AQE broadcasts
+# it while the brand's part count fits). The 0.2*avg
 # threshold is decimal-sum/count → double → *0.2: identical on both
 # engines, so the strict < cut is stable.
 # ---------------------------------------------------------------------------
@@ -224,7 +228,9 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
     part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#3")
     li = load_table(spark, sf, "lineitem")
     brand_li = li.join(
-        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey")
+        # brand-sliced part is still linear in SF: leave the build-side
+        # choice to AQE (repo broadcast policy, PLANS.md).
+        part.select("p_partkey"), li.l_partkey == F.col("p_partkey")
     )
     per_part_avg = brand_li.groupBy("l_partkey").agg(
         (
@@ -233,7 +239,9 @@ def q17_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
             * F.lit(0.2)
         ).alias("qty_cut")
     )
-    small = brand_li.join(F.broadcast(per_part_avg), "l_partkey").filter(
+    # per_part_avg ≈ |brand slice of part| — also linear in SF, so no
+    # explicit hint; AQE broadcasts it while it fits.
+    small = brand_li.join(per_part_avg, "l_partkey").filter(
         F.col("l_quantity") < F.col("qty_cut")
     )
     return small.agg(
@@ -327,7 +335,8 @@ def q20_excess_shippers(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     sup = load_table(spark, sf, "supplier")
     shipped = (
-        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        # name-sliced part is linear in SF: AQE picks the build side.
+        li.join(part.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(_dec_sum(F.col("l_quantity"), 6).alias("red_qty_dec"))
     )
@@ -421,7 +430,10 @@ def brand_basket_lift(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     part = load_table(spark, sf, "part")
     ob = (
-        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+        # UNFILTERED part projection — billions of rows at the 100-TB
+        # design point; a forced broadcast would OOM the build side.
+        # AQE broadcasts it at test SFs and shuffle-joins at scale.
+        li.join(part.select("p_partkey", "p_brand"),
                 li.l_partkey == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()

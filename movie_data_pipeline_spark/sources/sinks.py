@@ -320,12 +320,17 @@ def table_diff(
         raise ValueError(
             f"schemas differ: {old.columns} vs {new.columns}"
         )
-    o = old.select(
-        *keys, F.struct(*val_cols).alias("_old") if val_cols else F.lit(None).alias("_old")
-    )
-    n = new.select(
-        *keys, F.struct(*val_cols).alias("_new") if val_cols else F.lit(None).alias("_new")
-    )
+    # Key-only tables get a non-null presence marker: a literal NULL
+    # here would make every matched/old-only key look "added" (the
+    # _old/_new null checks double as side-presence probes).
+    def _side(df: DataFrame, alias: str) -> DataFrame:
+        marker = (
+            F.struct(*val_cols) if val_cols else F.struct(F.lit(0).alias("_present"))
+        )
+        return df.select(*keys, marker.alias(alias))
+
+    o = _side(old, "_old")
+    n = _side(new, "_new")
     j = o.join(n, keys, "full_outer")
     change = (
         F.when(F.col("_old").isNull(), F.lit("added"))

@@ -1650,7 +1650,48 @@ def test_k_core_matches_scalar_reference(spark):
     assert got == scalar_kcore(pairs, 4)
 
 
-def test_bitmap_prefilter_no_false_negatives(spark):
+def test_k_core_max_iter_raises_not_superset(spark):
+    """The opt-in round cap must RAISE when exhausted, never silently
+    return a non-k-core superset (r6 ADVICE: path graphs peel one node
+    per round, so any fixed cap can be exhausted)."""
+    import pytest as _pytest
+
+    from movie_data_pipeline_spark.operators.graph import k_core
+
+    # path graph: 2-core is empty, peeling removes ~2 endpoints/round
+    path = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(path, ["src", "dst"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        k_core(edges, k=2, max_iter=2).collect()
+    # unbounded default reaches the true (empty) fixpoint
+    assert k_core(edges, k=2).count() == 0
+
+
+def test_delta_dedup_corpus_hot_bucket_cap(spark):
+    """The delta-vs-corpus band probe honors max_bucket on the CORPUS
+    side (r6 ADVICE: only batch-internal pairs were capped, so a hot
+    corpus band could go quadratic). Cap semantics mirror
+    pairs_within_groups: keep the deterministic sorted-id prefix."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        delta_near_dup_pairs,
+        minhash_index,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(10, 16)], ["doc_id", "text"]
+    )
+    delta = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    idx = minhash_index(corpus).localCheckpoint()
+
+    full = delta_near_dup_pairs(idx, delta, threshold=0.7)
+    got_full = sorted(r.match_id for r in full.collect())
+    assert got_full == list(range(10, 16))  # identical docs all match
+
+    capped = delta_near_dup_pairs(idx, delta, threshold=0.7, max_bucket=3)
+    got_capped = sorted(r.match_id for r in capped.collect())
+    # every band bucket holds the same 6 ids -> same sorted prefix kept
+    assert got_capped == [10, 11, 12]
     from movie_data_pipeline_spark.operators.prune import (
         bitmap_prefilter,
         bucket_bitmap,
@@ -1840,3 +1881,25 @@ def test_table_diff_reconciliation(spark):
     v2 = read_snapshot_table(spark, root, "t", version=2)
     got2 = {r.k: r.change_type for r in table_diff(v1, v2, ["k"]).collect()}
     assert got2 == got
+
+
+def test_table_diff_key_only_table(spark):
+    """A table with ONLY key columns (a membership set) must still
+    reconcile: matched keys absent, old-only 'removed', new-only
+    'added' — the docstring's no-assumption-beyond-keys claim (r6
+    ADVICE: literal-NULL markers misclassified everything as added)."""
+    from movie_data_pipeline_spark.sources.sinks import table_diff
+
+    old = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    new = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 4: "added"}
+
+    # composite key, same contract
+    old2 = spark.createDataFrame([(1, "x"), (1, "y")], ["a", "b"])
+    new2 = spark.createDataFrame([(1, "y"), (2, "z")], ["a", "b"])
+    got2 = {
+        (r.a, r.b): r.change_type
+        for r in table_diff(old2, new2, ["a", "b"]).collect()
+    }
+    assert got2 == {(1, "x"): "removed", (2, "z"): "added"}
