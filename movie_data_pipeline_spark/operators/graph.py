@@ -237,24 +237,43 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     the buyers and authorities the suppliers.
 
     Same execution discipline as ``pagerank``: fixed synchronous
-    rounds, two keyed shuffles per round (join on src, groupBy dst and
-    the mirror), per-round ``localCheckpoint``, and the only
-    driver-bound data is the 1-row L2 norm joined back through the
-    bounded-crossJoin pattern. Scores are floats whose low bits ride
-    partition-sum order → rows-only in the registry; the gate pins the
-    L2-norm invariants and exact graph cardinalities.
+    rounds, per-round ``localCheckpoint``, and the only driver-bound
+    data is the 1-row L2 norm joined back through the bounded-crossJoin
+    pattern. Scores are floats whose low bits ride partition-sum order
+    → rows-only in the registry; the gate pins the L2-norm invariants
+    and exact graph cardinalities.
+
+    Shuffle discipline (r6 verdict item 4): the edge relation is
+    checkpointed TWICE up front — hash-partitioned by src and by dst
+    on exactly ``spark.sql.shuffle.partitions`` partitions. Each
+    round's score join then lines up a pre-partitioned edge copy with
+    a score relation that is already hash-partitioned on the same key
+    count (it comes out of the previous groupBy), so EnsureRequirements
+    inserts NO exchange on either join side: the only per-round
+    shuffles left are the two unavoidable groupBy aggregations. The
+    big edge relation is shuffled once per key at setup instead of
+    once per key per round.
     """
-    # materialize the edge relation once: every round joins it twice,
-    # and without the checkpoint a derived edge list (e.g. a join +
-    # distinct over fact tables) would recompute per round
-    e = (
+    # materialize the edge relation once per join key: every round
+    # joins it twice, and without the checkpoint a derived edge list
+    # (e.g. a join + distinct over fact tables) would recompute per
+    # round. The checkpoint also pins the hash partitioning into the
+    # LogicalRDD so every later round reuses it exchange-free. The
+    # derivation (often a fact-table join + distinct) is evaluated
+    # exactly ONCE — fused into the src-keyed checkpoint — and the
+    # dst-keyed copy + node set read that checkpoint, not the facts.
+    sess = edges.sparkSession
+    npart = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    e_by_src = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
+        .repartition(npart, "src")
         .localCheckpoint()
     )
+    e_by_dst = e_by_src.repartition(npart, "dst").localCheckpoint()
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_by_src.select(F.col("src").alias("node"))
+        .union(e_by_src.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -278,13 +297,13 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     # reinstates them at 0.
     for _ in range(n_iter):
         auth = (
-            e.join(hub, e.src == hub.node)
+            e_by_src.join(hub, e_by_src.src == hub.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("authority"))
         )
         auth = _l2_normalize(auth, "authority").localCheckpoint()
         hub = (
-            e.join(auth, e.dst == auth.node)
+            e_by_dst.join(auth, e_by_dst.dst == auth.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("hub"))
         )

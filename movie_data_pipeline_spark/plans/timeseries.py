@@ -226,10 +226,19 @@ def ewma_user_values(spark: SparkSession, sf: str) -> DataFrame:
     values (α=0.2, adjust=False: y₀=x₀, yᵢ=0.8·yᵢ₋₁+0.2·xᵢ) — the
     streaming-friendly smoother whose per-row recurrence no window
     function expresses (every output depends on the full prefix, and
-    the closed-form prefix sum is O(n²) as a window). This is the
-    documented applyInPandas escape hatch: one shuffle on user_id,
-    then a linear per-group scan executor-side — state never touches
-    the driver, and a group is one user's bounded series.
+    the closed-form prefix sum is O(n²) as a window).
+
+    Escape-hatch shape (r6 verdict item 5, rebuilt for batch
+    efficiency): hash-repartition on user_id + sortWithinPartitions
+    (user, ts, event) + ``mapInPandas`` with the EWMA accumulator
+    carried across Arrow batches inside the generator. Semantically
+    identical to the earlier per-group applyInPandas — each user's
+    rows are contiguous in exactly one partition and arrive in series
+    order, so the recurrence crosses batch boundaries through the
+    carried (user, acc) pair — but the Python-side cost drops from
+    one pandas frame PER GROUP (measured ~2 ms × 1,500 users at
+    sf0.1 — the dominant term) to one per ~10k-row Arrow batch.
+    State is O(1) per partition and never touches the driver.
 
     Cross-engine determinism is by CONSTRUCTION, not tolerance: both
     engines evaluate the literally identical float recurrence
@@ -237,23 +246,39 @@ def ewma_user_values(spark: SparkSession, sf: str) -> DataFrame:
     via list_reduce over prefix slices), so the doubles agree bitwise
     before the shared round(6)."""
     import numpy as np
+    import pandas as pd
 
     e = load_events(spark, sf).select("user_id", "event_id", "ts_us", "value")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def op(pdf):
-        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
-        vals = pdf["value"].to_numpy()
-        out = np.empty(len(vals), dtype="float64")
+    def gen(batches):
+        cur_uid = None
         acc = 0.0
-        for i, x in enumerate(vals):
-            acc = x if i == 0 else acc * 0.8 + x * 0.2
-            out[i] = acc
-        pdf["ewma"] = np.round(out, 6)
-        return pdf[["user_id", "event_id", "ewma"]]
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64")
+            out = np.empty(len(vals), dtype="float64")
+            for i in range(len(vals)):
+                u = uids[i]
+                x = vals[i]
+                if u != cur_uid:
+                    cur_uid = u
+                    acc = x
+                else:
+                    acc = acc * 0.8 + x * 0.2
+                out[i] = acc
+            yield pd.DataFrame(
+                {
+                    "user_id": uids,
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ewma": np.round(out, 6),
+                }
+            )
 
     return (
-        e.groupBy("user_id")
-        .applyInPandas(op, "user_id long, event_id long, ewma double")
+        e.repartition(npart, "user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(gen, "user_id long, event_id long, ewma double")
         .orderBy("user_id", "event_id")
     )
 
@@ -500,44 +525,68 @@ LIMIT 20
 # ---------------------------------------------------------------------------
 
 def value_anomaly_flags(spark: SparkSession, sf: str) -> DataFrame:
+    """Same mapInPandas-with-carried-state shape as
+    ``ewma_user_values`` (see its docstring): the two-accumulator
+    (mean, var, n) West-recurrence state rides across Arrow batches
+    keyed by the current user, replacing the per-group applyInPandas
+    whose 1,500 pandas-frame constructions dominated the wall. Every
+    float operation keeps the documented order (d·(α·d), not
+    (d·α)·d), so the DuckDB oracle stays hash-green bitwise."""
+    import numpy as np
+    import pandas as pd
+
     e = load_events(spark, sf).select("user_id", "event_id", "ts_us", "value")
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    def op(pdf):
-        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
-        out = []
+    def gen(batches):
+        cur_uid = None
         n, mean, var = 0, 0.0, 0.0
-        for ts_us, x in zip(pdf["ts_us"], pdf["value"]):
-            x = float(x)
-            if n >= 5 and var > 0.0:
-                dev = abs(x - mean) / (var ** 0.5)
-                if dev > 3.0:
-                    out.append(
-                        (
-                            int(pdf["user_id"].iloc[0]),
-                            int(ts_us),
-                            x,
-                            round(mean, 6),
-                            round(dev, 6),
+        for pdf in batches:
+            uids = pdf["user_id"].to_numpy()
+            tss = pdf["ts_us"].to_numpy()
+            vals = pdf["value"].to_numpy(dtype="float64")
+            out = []
+            for i in range(len(vals)):
+                u = uids[i]
+                x = vals[i]
+                if u != cur_uid:
+                    cur_uid = u
+                    n, mean, var = 0, 0.0, 0.0
+                if n >= 5 and var > 0.0:
+                    dev = abs(x - mean) / (var ** 0.5)
+                    if dev > 3.0:
+                        # float() is value-preserving (np.float64 IS an
+                        # IEEE double); it routes round() through
+                        # CPython's correctly-rounded implementation —
+                        # the one the DuckDB oracle hash was pinned
+                        # against — instead of np.float64.__round__.
+                        out.append(
+                            (
+                                int(u),
+                                int(tss[i]),
+                                float(x),
+                                round(float(mean), 6),
+                                round(float(dev), 6),
+                            )
                         )
-                    )
-            if n == 0:
-                mean, var = x, 0.0
-            else:
-                d = x - mean
-                incr = 0.2 * d
-                mean = mean + incr
-                var = (1.0 - 0.2) * (var + d * incr)
-            n += 1
-        import pandas as pd
-
-        return pd.DataFrame(
-            out, columns=["user_id", "ts_us", "value", "ewma_before", "zscore"]
-        )
+                if n == 0:
+                    mean, var = x, 0.0
+                else:
+                    d = x - mean
+                    incr = 0.2 * d
+                    mean = mean + incr
+                    var = (1.0 - 0.2) * (var + d * incr)
+                n += 1
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "ts_us", "value", "ewma_before", "zscore"],
+            )
 
     return (
-        e.groupBy("user_id")
-        .applyInPandas(
-            op,
+        e.repartition(npart, "user_id")
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .mapInPandas(
+            gen,
             "user_id long, ts_us long, value double, "
             "ewma_before double, zscore double",
         )
