@@ -883,6 +883,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 from .analytics_ext import EXT_QUERIES  # noqa: E402
 from .analytics_ext3 import EXT3_QUERIES  # noqa: E402
 from .analytics_ext4 import EXT4_QUERIES  # noqa: E402
+from .analytics_ext5 import EXT5_QUERIES  # noqa: E402
 from .curation import CURATION_QUERIES  # noqa: E402
 from .graphs import GRAPH_QUERIES  # noqa: E402
 from .stats import STATS_QUERIES  # noqa: E402
@@ -892,6 +893,7 @@ from .verification import VERIFY_QUERIES  # noqa: E402
 QUERIES.update(EXT_QUERIES)
 QUERIES.update(EXT3_QUERIES)
 QUERIES.update(EXT4_QUERIES)
+QUERIES.update(EXT5_QUERIES)
 QUERIES.update(CURATION_QUERIES)
 QUERIES.update(TIMESERIES_QUERIES)
 QUERIES.update(STATS_QUERIES)

@@ -1,0 +1,448 @@
+"""Fifth registry batch (round 7): the remaining classic TPC-H
+decision-support shapes this slimmed star schema can express —
+bi-directional nation trade volume (Q7), regional market share (Q8),
+customer order-count distribution (Q13), promo revenue share (Q14),
+supplier-count by part attributes with exclusion lists (Q16), and
+disjunctive-predicate revenue (Q19) — plus an asymmetric CONTAINMENT
+near-dup join for the curation family (the quote/boilerplate-inclusion
+case symmetric Jaccard misses).
+
+Same contract rules as plans/analytics.py: identical column aliases in
+the DataFrame plan and the DuckDB oracle SQL, exact decimal sums for
+anything summed (per-row double products are IEEE-identical on both
+engines before the decimal cast), division to double exactly once,
+deterministic total-order sort keys, and NO broadcast hints on any
+SF-scaled relation (nation/region dims only — the repo broadcast
+policy, PLANS.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def _dec_sum(col: F.Column, scale: int = 6) -> F.Column:
+    """Partition-order-independent sum (plans/analytics.py::_dec_sum
+    discipline, redefined locally for import-order independence)."""
+    return F.sum(col.cast(f"decimal(30,{scale})"))
+
+
+_REV = lambda: F.col("l_extendedprice") * (1 - F.col("l_discount"))  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: shipping volume between two nations, both directions,
+# by ship year. Supplier nation comes through lineitem⋈supplier, the
+# customer nation through orders⋈customer; both nation dims broadcast
+# (bounded 25 rows), every SF-scaled join is left to AQE. The pair
+# filter keeps (NATION_1→NATION_2) and (NATION_2→NATION_1) — the
+# classic "either direction, grouped separately" form.
+# ---------------------------------------------------------------------------
+
+def q7_nation_trade_volume(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.round(_dec_sum(_REV(), 6).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+Q7_SQL = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: NATION_3's market share inside ASIA by order
+# year — numerator (revenue supplied by NATION_3) over denominator
+# (all revenue into the region), both EXACT decimal sums cast to
+# double once, divided once: the quotient is an IEEE op on identical
+# inputs, deterministic cross-engine before the shared round.
+# ---------------------------------------------------------------------------
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    reg = load_table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    cn = nat.select("n_nationkey", "n_regionkey")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            _dec_sum(
+                F.when(F.col("supp_nation") == "NATION_3", _REV()).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("_num"),
+            _dec_sum(_REV(), 6).alias("_den"),
+        )
+        .select(
+            "order_year",
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+            ).alias("mkt_share"),
+            F.round(F.col("_den").cast("double"), 2).alias("region_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+Q8_SQL = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN sn.n_name = 'NATION_3'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE), 2) AS region_revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN region r   ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of per-customer order counts (urgent
+# orders excluded from the count, not the customer — the LEFT join
+# keeps zero-order customers in the c_count=0 bucket). Two grouped
+# aggregations, both map-side-combinable; no join is needed for the
+# second because the first's output is already per-customer.
+# ---------------------------------------------------------------------------
+
+def q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promo revenue share for one ship month. The CASE
+# rides inside the exact decimal sum; 100·num/den is evaluated in one
+# fixed operation order on doubles derived from identical decimals.
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = load_table(spark, sf, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * _dec_sum(
+                F.when(F.col("p_type") == "PROMO", _REV()).otherwise(F.lit(0.0)), 6
+            ).cast("double")
+            / _dec_sum(_REV(), 6).cast("double"),
+            6,
+        ).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                        THEN l.l_extendedprice * (1 - l.l_discount)
+                                        ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(30,6))) AS DOUBLE), 6) AS promo_share_pct,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: how many distinct suppliers ship each (brand, type,
+# size) family, excluding one brand, one type, and an exclusion LIST
+# of suppliers (negative account balance — the schema's analog of the
+# reference query's complaints filter). With no partsupp table the
+# part↔supplier relationship comes from shipment history. The supplier
+# exclusion is an anti-join on a key list; the distinct-count shuffles
+# once on the grouping key.
+# ---------------------------------------------------------------------------
+
+def q16_supplier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "ECONOMY")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    li = load_table(spark, sf, "lineitem")
+    bad_sup = load_table(spark, sf, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    ps = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(bad_sup, li.l_suppkey == bad_sup.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+    )
+    return (
+        ps.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_type <> 'ECONOMY'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: revenue under three disjunctive brand/size/quantity
+# arms. The whole predicate is a single JVM boolean expression — one
+# scan, one join, no Expand — and Catalyst pushes the common
+# size/quantity envelope into both parquet scans.
+# ---------------------------------------------------------------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#12")
+        & (F.col("p_size").between(1, 5))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#23")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#34")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(arm1 | arm2 | arm3).agg(
+        F.round(_dec_sum(_REV(), 6).cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric CONTAINMENT near-dup join: C(A→B) = |A∩B| / |A| ≥ τ over
+# word-trigram shingle sets, emitted for the direction where the
+# SMALLER set is (near-)contained in the larger. This is the
+# quote/boilerplate-inclusion case symmetric Jaccard misses: a 50-line
+# doc fully quoted inside a 5,000-line doc has J ≈ 0.01 but C = 1.
+# Candidates come from the shared-shingle equi-join (the same
+# bucket-local discipline as ngram_jaccard_exact — at web scale the
+# prefix-filter variant applies unchanged because containment obeys
+# the same pigeonhole bound on the smaller side's prefix).
+# ---------------------------------------------------------------------------
+
+def containment_dedup_pairs(
+    spark: SparkSession, sf: str, threshold: float = 0.9
+) -> DataFrame:
+    from ..operators.dedup import with_hashed_shingles
+
+    docs = load_table(spark, sf, "documents")
+    # same one-signing-pass + count-based-intersection plan as
+    # ngram_jaccard_exact (the COUNT over the shared-shingle join IS
+    # |A∩B| because shingles are distinct per doc) — but with NO
+    # length-ratio filter: containment deliberately pairs very
+    # different sizes, which is exactly what Jaccard's τ·|A| ≤ |B|
+    # prune throws away.
+    sh0 = (
+        with_hashed_shingles(
+            docs.repartition(spark.sparkContext.defaultParallelism),
+            "text", 3, out="sh_raw",
+        )
+        .select("doc_id", F.array_distinct("sh_raw").alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint()
+    )
+    e = sh0.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = e.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = e.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .withColumn(
+            "containment", F.col("inter") / F.least(F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("containment", 6).alias("containment"),
+        (F.col("na") <= F.col("nb")).alias("a_is_smaller"),
+    ).orderBy("id_a", "id_b")
+
+
+CONTAINMENT_SQL = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shset
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+),
+e AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter,
+         any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb
+  FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / LEAST(na, nb), 6) AS containment,
+       na <= nb AS a_is_smaller
+FROM p
+WHERE CAST(inter AS DOUBLE) / LEAST(na, nb) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
+EXT5_QUERIES = {
+    "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q13_custdist": (q13_custdist, Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
+    "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "containment_dedup_pairs": (containment_dedup_pairs, CONTAINMENT_SQL),
+}

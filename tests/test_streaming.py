@@ -351,3 +351,67 @@ def test_ewma_anomaly_flags_stream_equals_batch(
     for k, (v, m, zz) in expected.items():
         gv, gm, gz = got[k]
         assert abs(gv - v) < 1e-9 and abs(gm - m) < 1e-9 and abs(gz - zz) < 1e-9
+
+
+def test_streaming_dedup_index_equals_batch(spark, tmp_path):
+    """The streaming incremental-dedup pipeline (seed index → probe +
+    fold per micro-batch) must find exactly the pair set of running
+    delta_near_dup_pairs batch-wise with a growing index — and a
+    doc arriving AFTER its near-dup in an earlier micro-batch must be
+    caught (state crosses batches through the persisted index)."""
+    from movie_data_pipeline_spark.operators.dedup import (
+        delta_near_dup_pairs,
+        minhash_index,
+    )
+    from movie_data_pipeline_spark.streaming import docs as SD
+
+    corpus_docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seed = corpus_docs.filter(F.col("doc_id") % 3 == 0)
+    b1 = corpus_docs.filter(F.col("doc_id") % 3 == 1)
+    b2 = corpus_docs.filter(F.col("doc_id") % 3 == 2)
+
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    stream_in = str(tmp_path / "incoming")
+    minhash_index(seed).write.parquet(index_path + "/batch_id=-1")
+
+    # stage the two deltas as separate files with ordered mtimes so
+    # AvailableNow + maxFilesPerTrigger=1 drains them as two batches
+    import os
+    import time as _time
+
+    os.makedirs(stream_in)
+    b1.toPandas().to_parquet(stream_in + "/b1.parquet", index=False)
+    b2.toPandas().to_parquet(stream_in + "/b2.parquet", index=False)
+    base = _time.time()
+    os.utime(stream_in + "/b1.parquet", (base, base))
+    os.utime(stream_in + "/b2.parquet", (base + 5, base + 5))
+
+    SD.run_streaming_dedup(
+        SD.read_docs_stream(spark, stream_in),
+        index_path,
+        pairs_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+
+    got = {
+        (r.delta_id, r.match_id)
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+
+    # batch replay: b1 vs seed index, then b2 vs seed+b1 index
+    idx1 = minhash_index(seed)
+    exp1 = delta_near_dup_pairs(idx1, b1, threshold=0.5)
+    idx2 = idx1.unionByName(minhash_index(b1))
+    exp2 = delta_near_dup_pairs(idx2, b2, threshold=0.5)
+    want = {
+        (r.delta_id, r.match_id)
+        for r in exp1.unionByName(exp2).collect()
+    }
+    assert got == want and len(got) > 0
+    # at least one cross-batch pair proves index state carried over
+    b1_ids = {r.doc_id for r in b1.select("doc_id").collect()}
+    assert any(m in b1_ids for _, m in got)
