@@ -1,6 +1,8 @@
 """Fifth registry batch (round 7): the remaining classic TPC-H
 decision-support shapes this slimmed star schema can express —
-bi-directional nation trade volume (Q7), regional market share (Q8),
+forecast revenue (Q6), bi-directional nation trade volume (Q7),
+regional market share (Q8), nation profit (Q9, adapted cost basis),
+late-shipment priority accounting (Q12, adapted mode classes),
 customer order-count distribution (Q13), promo revenue share (Q14),
 supplier-count by part attributes with exclusion lists (Q16), and
 disjunctive-predicate revenue (Q19) — plus an asymmetric CONTAINMENT
@@ -437,6 +439,148 @@ ORDER BY id_a, id_b
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: the forecast-revenue-change scalar — one filtered
+# scan, zero joins, one exact decimal sum. The simplest query in the
+# suite and the purest pushdown test: every predicate (year range,
+# discount band, quantity cap) must reach the parquet scan.
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), 6)
+                .cast("double"),
+                2,
+            ).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6)))
+                  AS DOUBLE), 2) AS revenue_delta,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: profit by supplier nation and year. With no partsupp
+# table, the cost side is the part's list price scaled by quantity
+# (p_retailprice stands in for ps_supplycost — the same join topology
+# and aggregation, an adapted cost basis): profit = revenue −
+# quantity·p_retailprice. Both terms are per-row double products
+# (IEEE-identical cross-engine) decimal-summed separately, subtracted
+# once as decimals (exact), then cast to double for display.
+# ---------------------------------------------------------------------------
+
+def q9_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(
+        F.col("p_name").like("%gear%")
+    )
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    sn = nat.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("nation")
+    )
+    j = (
+        li.join(part.select("p_partkey", "p_retailprice"),
+                li.l_partkey == F.col("p_partkey"))
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sk"))
+    )
+    return (
+        j.groupBy(
+            "nation", F.year("l_shipdate").cast("int").alias("ship_year")
+        )
+        .agg(
+            # round in EXACT decimal, then cast: rounding the double
+            # instead trips the engines' .005-boundary disagreement
+            # (hit at sf0.01: 2320476.655 → .66 vs .65)
+            F.round(
+                _dec_sum(_REV(), 6)
+                - _dec_sum(F.col("p_retailprice") * F.col("l_quantity"), 6),
+                2,
+            ).cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select("nation", "ship_year", "profit", "n_lines")
+        .orderBy("nation", F.desc("ship_year"))
+    )
+
+
+Q9_SQL = """
+SELECT sn.n_name AS nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6)))
+                  - SUM(CAST(p.p_retailprice * l.l_quantity
+                             AS DECIMAL(30,6))), 2) AS DOUBLE) AS profit,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2
+ORDER BY nation, ship_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: late-shipment priority accounting. The schema has
+# no shipmode, so the two "modes" are the lineitem's return/status
+# classes shipped in 1997; the two-level CASE count (high-priority vs
+# low-priority orders per class) is the query's actual shape and
+# survives the adaptation intact.
+# ---------------------------------------------------------------------------
+
+def q12_priority_shipments(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l.l_returnflag, l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 EXT5_QUERIES = {
     "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
@@ -444,5 +588,8 @@ EXT5_QUERIES = {
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "q16_supplier_counts": (q16_supplier_counts, Q16_SQL),
     "q19_disjunctive_revenue": (q19_disjunctive_revenue, Q19_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q9_nation_profit": (q9_nation_profit, Q9_SQL),
+    "q12_priority_shipments": (q12_priority_shipments, Q12_SQL),
     "containment_dedup_pairs": (containment_dedup_pairs, CONTAINMENT_SQL),
 }
