@@ -581,6 +581,140 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# √-temperature sampling mix (the multilingual-corpus reweighting of
+# mBERT/XLM-R, temperature α = 0.5): per-language mass c_i (total
+# chars — an exact integer) is flattened to w_i = √c_i and normalized,
+# up-weighting tail languages relative to proportional sampling.
+# Bit-exact cross-engine BY CONSTRUCTION: √ is IEEE-correctly-rounded
+# in both engines (unlike pow/exp, which is why α is 0.5 and not the
+# usual 0.7 — same flattening idea, deterministic arithmetic), each
+# √c_i is cast to DECIMAL(30,12) and EXACT-summed for the denominator
+# (a 5-double float sum would ride partition order), and the final
+# division is one IEEE op on identical inputs.
+# ---------------------------------------------------------------------------
+
+def sqrt_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.sum("n_chars").alias("lang_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    w = per_lang.withColumn("w", F.sqrt(F.col("lang_chars").cast("double")))
+    denom = w.agg(
+        F.sum(F.col("w").cast("decimal(30,12)")).alias("_d")
+    )
+    return (
+        w.crossJoin(F.broadcast(denom))  # 1-row side
+        .select(
+            "lang", "lang_chars", "n_docs",
+            F.round(F.col("w") / F.col("_d").cast("double"), 6).alias(
+                "sample_weight"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQRT_TEMPERATURE_SQL = """
+WITH per_lang AS (
+  SELECT lang, SUM(n_chars)::BIGINT AS lang_chars, COUNT(*) AS n_docs,
+         sqrt(CAST(SUM(n_chars) AS DOUBLE)) AS w
+  FROM documents GROUP BY lang
+),
+d AS (SELECT SUM(CAST(w AS DECIMAL(30,12))) AS _d FROM per_lang)
+SELECT lang, lang_chars, n_docs,
+       ROUND(w / CAST(_d AS DOUBLE), 6) AS sample_weight
+FROM per_lang, d
+ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection, 64 → 16 dims: y_j =
+# (Σ_i x_i·s_ij)/√16 with a DETERMINISTIC ±1 matrix derived from
+# md5(i||'_'||j) (Achlioptas 2003 sign matrices need only 4-wise
+# independence, which a cryptographic digest over-delivers; md5 is
+# the one hash both engines compute identically, the same trick as
+# the repo's md5-uniform weighted sampling). Everything is bit-exact:
+# the per-component fold runs in fixed index order (Spark F.aggregate
+# ≡ DuckDB list_reduce, both sequential), products and adds are IEEE
+# doubles in identical order, and the final /4 is an exact binary
+# scaling. No Python, no shuffle — one narrow map over the vectors;
+# at 100 TB this is embarrassingly parallel and the 1,024-entry sign
+# matrix is a plan-time constant.
+# ---------------------------------------------------------------------------
+
+_JL_IN, _JL_OUT = 64, 16
+
+
+def _jl_signs(j: int) -> list[float]:
+    """Column j of the ±1 matrix, derived ONCE at plan-build time from
+    md5('i_j') (hashlib md5 ≡ the engines' md5 — the ORACLE recomputes
+    these in-engine, cross-checking this derivation). Baking the 1,024
+    constants into the plan removes 1,280 runtime digest evaluations
+    per row (measured 6.1 s → sub-second at sf0.1)."""
+    import hashlib
+
+    return [
+        1.0 if hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0] < "8" else -1.0
+        for i in range(_JL_IN)
+    ]
+
+
+def jl_project_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    x = F.col("embedding")
+
+    def comp(j: int) -> F.Column:
+        signs = F.array(*[F.lit(s) for s in _jl_signs(j)])
+        return (
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(_JL_IN - 1)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(x, i + 1).cast("double")
+                * F.element_at(signs, i + 1),
+            )
+            / F.lit(4.0)  # √16 — exact binary scaling
+        )
+
+    # two projections so each component is EVALUATED ONCE: the norm
+    # reads the materialized y columns instead of re-expanding 16 more
+    # fold trees (a single-select formulation re-evaluated every comp
+    # inside the norm — measured 2.1 s; a fully unrolled 1,280-term
+    # chain was worse still, 6.9 s, blowing the codegen budget).
+    norm = F.lit(0.0)
+    for j in range(_JL_OUT):
+        norm = norm + F.col(f"y{j}") * F.col(f"y{j}")
+    return (
+        emb.select(
+            "vec_id", *[comp(j).alias(f"y{j}") for j in range(_JL_OUT)]
+        )
+        .select("vec_id", "y0", "y1", "y2", "y3", norm.alias("proj_sq_norm"))
+        .orderBy("vec_id")
+    )
+
+
+def _jl_sql_comp(j: int) -> str:
+    return (
+        "list_reduce(list_transform(range(0, 64), i -> "
+        "CAST(embedding[i + 1] AS DOUBLE) * "
+        f"(CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_' || '{j}'), 1, 1)"
+        " < '8' THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b) / 4.0"
+    )
+
+
+JL_PROJECT_SQL = (
+    "SELECT vec_id, "
+    + ", ".join(f"{_jl_sql_comp(j)} AS y{j}" for j in range(4))
+    + ", list_reduce(list_transform(["
+    + ", ".join(_jl_sql_comp(j) for j in range(_JL_OUT))
+    + "], y -> y * y), (a, b) -> a + b) AS proj_sq_norm"
+    + " FROM embeddings ORDER BY vec_id"
+)
+
+
 EXT5_QUERIES = {
     "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
@@ -592,4 +726,6 @@ EXT5_QUERIES = {
     "q9_nation_profit": (q9_nation_profit, Q9_SQL),
     "q12_priority_shipments": (q12_priority_shipments, Q12_SQL),
     "containment_dedup_pairs": (containment_dedup_pairs, CONTAINMENT_SQL),
+    "sqrt_temperature_mix": (sqrt_temperature_mix, SQRT_TEMPERATURE_SQL),
+    "jl_project_embeddings": (jl_project_embeddings, JL_PROJECT_SQL),
 }
