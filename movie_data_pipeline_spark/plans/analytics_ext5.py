@@ -715,6 +715,231 @@ JL_PROJECT_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# JL distortion gate: the projection above is only useful if it
+# preserves pairwise geometry, so this check computes the
+# squared-distance ratio proj²/orig² for every pair among the first
+# 16 vectors (120 pairs — a bounded sample independent of corpus
+# size) and pins: the exact pair count, ratio extremes inside a
+# generous JL band for k=16, and the mean ratio near 1 (the JL
+# expectation E[‖Py‖²/‖y‖²] = 1). All distances are fixed-order
+# in-row folds (bit-exact cross-engine, like the projection); the
+# mean is an exact decimal sum of ratios over the pair count.
+# ---------------------------------------------------------------------------
+
+def jl_distortion_check(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") < 16)
+
+    def proj_cols(side: str):
+        x = F.col(f"{side}_emb")
+
+        def comp(j: int) -> F.Column:
+            signs = F.array(*[F.lit(s) for s in _jl_signs(j)])
+            return (
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(_JL_IN - 1)),
+                    F.lit(0.0),
+                    lambda acc, i: acc
+                    + F.element_at(x, i + 1).cast("double")
+                    * F.element_at(signs, i + 1),
+                )
+                / F.lit(4.0)
+            )
+        return F.array(*[comp(j) for j in range(_JL_OUT)])
+
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("b_emb"))
+    pairs = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .withColumn("pa", proj_cols("a"))
+        .withColumn("pb", proj_cols("b"))
+        .withColumn(
+            "d_orig",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(_JL_IN - 1)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + (
+                    F.element_at(F.col("a_emb"), i + 1).cast("double")
+                    - F.element_at(F.col("b_emb"), i + 1).cast("double")
+                )
+                * (
+                    F.element_at(F.col("a_emb"), i + 1).cast("double")
+                    - F.element_at(F.col("b_emb"), i + 1).cast("double")
+                ),
+            ),
+        )
+        .withColumn(
+            "d_proj",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(_JL_OUT - 1)),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + (
+                    F.element_at(F.col("pa"), j + 1)
+                    - F.element_at(F.col("pb"), j + 1)
+                )
+                * (
+                    F.element_at(F.col("pa"), j + 1)
+                    - F.element_at(F.col("pb"), j + 1)
+                ),
+            ),
+        )
+        .withColumn("ratio", F.col("d_proj") / F.col("d_orig"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("ratio"), 6).alias("min_ratio"),
+        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        (
+            (F.sum(F.col("ratio").cast("decimal(30,12)")).cast("double")
+             / F.count(F.lit(1)))
+            .between(0.7, 1.3)
+        ).alias("mean_ratio_ok"),
+        (F.min("ratio") > 0.1).alias("lower_ok"),
+        (F.max("ratio") < 3.0).alias("upper_ok"),
+    )
+
+
+_JL_SQL_PROJ = (
+    "["
+    + ", ".join(
+        "list_reduce(list_transform(range(0, 64), i -> "
+        "CAST(e[i + 1] AS DOUBLE) * (CASE WHEN "
+        f"substring(md5(CAST(i AS VARCHAR) || '_' || '{j}'), 1, 1) < '8' "
+        "THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) / 4.0"
+        for j in range(_JL_OUT)
+    )
+    + "]"
+)
+
+JL_DISTORTION_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding AS e, {_JL_SQL_PROJ.replace('e[', 'embedding[')} AS p
+  FROM embeddings WHERE vec_id < 16
+),
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         list_reduce(list_transform(range(0, 64), i ->
+           (CAST(a.e[i + 1] AS DOUBLE) - CAST(b.e[i + 1] AS DOUBLE))
+           * (CAST(a.e[i + 1] AS DOUBLE) - CAST(b.e[i + 1] AS DOUBLE))),
+           (x, y) -> x + y) AS d_orig,
+         list_reduce(list_transform(range(0, 16), j ->
+           (a.p[j + 1] - b.p[j + 1]) * (a.p[j + 1] - b.p[j + 1])),
+           (x, y) -> x + y) AS d_proj
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+),
+r AS (SELECT d_proj / d_orig AS ratio FROM pairs)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(MIN(ratio), 6) AS min_ratio,
+       ROUND(MAX(ratio), 6) AS max_ratio,
+       CAST(SUM(CAST(ratio AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+         BETWEEN 0.7 AND 1.3 AS mean_ratio_ok,
+       MIN(ratio) > 0.1 AS lower_ok,
+       MAX(ratio) < 3.0 AS upper_ok
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windowed EXACT rolling median (7-event window per user). The window
+# is deliberately ODD and emitted only once FULL (row_number ≥ 7):
+# the median of 7 values is the 4th order statistic — an ELEMENT of
+# the input, bit-identical cross-engine — whereas even/ragged windows
+# interpolate, and the two engines' interpolation arithmetic is not
+# bit-compatible. One user-keyed window pass, no joins.
+# ---------------------------------------------------------------------------
+
+def rolling_median_values(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select("user_id", "event_id", "ts_us", "value")
+    e.createOrReplaceTempView("_rmv_events")
+    return spark.sql("""
+        SELECT user_id, event_id,
+               ROUND(med7, 6) AS med7
+        FROM (
+          SELECT user_id, event_id,
+                 percentile(CAST(value AS DOUBLE), 0.5) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+          FROM _rmv_events
+        )
+        WHERE rn >= 7
+        ORDER BY user_id, event_id
+    """)
+
+
+ROLLING_MEDIAN_SQL = """
+SELECT user_id, event_id, ROUND(med7, 6) AS med7
+FROM (
+  SELECT user_id, event_id,
+         median(CAST(value AS DOUBLE)) OVER w AS med7,
+         ROW_NUMBER() OVER w AS rn
+  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+WHERE rn >= 7
+ORDER BY user_id, event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Cascade-delete audit (GDPR/right-to-be-forgotten shape): given a
+# delete set (customers in deep debit), report how many rows each
+# downstream table would lose — customers themselves, their orders,
+# and those orders' lineitems. Three semi-join counts unioned into a
+# per-table report; at scale each arm is one keyed semi-join, and the
+# chain reuses the shrinking key set (orders' keys feed lineitem's
+# probe) instead of re-deriving from customers.
+# ---------------------------------------------------------------------------
+
+def cascade_delete_audit(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    del_cust = cust.filter(F.col("c_acctbal") < -900).select("c_custkey")
+    del_orders = orders.join(
+        del_cust, orders.o_custkey == del_cust.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_orders, li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+    n_c = del_cust.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("customer").alias("table_name"), "n"
+    )
+    n_o = del_orders.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("orders").alias("table_name"), "n"
+    )
+    n_l = del_li.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("lineitem").alias("table_name"), "n"
+    )
+    return (
+        n_c.unionByName(n_o).unionByName(n_l)
+        .select("table_name", F.col("n").alias("n_rows_to_delete"))
+        .orderBy("table_name")
+    )
+
+
+CASCADE_DELETE_SQL = """
+WITH del_cust AS (SELECT c_custkey FROM customer WHERE c_acctbal < -900),
+del_orders AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+)
+SELECT 'customer' AS table_name, COUNT(*) AS n_rows_to_delete FROM del_cust
+UNION ALL
+SELECT 'orders', COUNT(*) FROM del_orders
+UNION ALL
+SELECT 'lineitem', COUNT(*) FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+ORDER BY table_name
+"""
+
+
 EXT5_QUERIES = {
     "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
@@ -728,4 +953,7 @@ EXT5_QUERIES = {
     "containment_dedup_pairs": (containment_dedup_pairs, CONTAINMENT_SQL),
     "sqrt_temperature_mix": (sqrt_temperature_mix, SQRT_TEMPERATURE_SQL),
     "jl_project_embeddings": (jl_project_embeddings, JL_PROJECT_SQL),
+    "jl_distortion_check": (jl_distortion_check, JL_DISTORTION_SQL),
+    "rolling_median_values": (rolling_median_values, ROLLING_MEDIAN_SQL),
+    "cascade_delete_audit": (cascade_delete_audit, CASCADE_DELETE_SQL),
 }
