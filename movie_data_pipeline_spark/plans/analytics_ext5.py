@@ -940,8 +940,101 @@ ORDER BY table_name
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority checking — count orders placed in one
+# quarter having at least one LATE lineitem. The schema has no
+# commit/receipt dates, so "late" is shipped > 60 days after the order
+# date (same correlated-EXISTS shape, adapted predicate). The EXISTS
+# compiles to a left-semi join on the orderkey equi-hash with the
+# lateness residual — no nested loop.
+# ---------------------------------------------------------------------------
+
+def q4_priority_check(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_PRIORITY_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND date_diff('day', CAST(o.o_orderdate AS DATE),
+                    CAST(l.l_shipdate AS DATE)) > 60)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting — top 20 customers by
+# revenue lost to returns in one quarter. Join topology and
+# aggregation identical to the classic; the LIMIT carries the
+# customer-key tie-break per the repo's total-order rule.
+# ---------------------------------------------------------------------------
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf, "customer")
+    nat = load_table(spark, sf, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(_dec_sum(_REV(), 6).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_return_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_return_lines
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 EXT5_QUERIES = {
     "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
+    "q4_priority_check": (q4_priority_check, Q4_PRIORITY_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q13_custdist": (q13_custdist, Q13_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),

@@ -1903,3 +1903,44 @@ def test_table_diff_key_only_table(spark):
         for r in table_diff(old2, new2, ["a", "b"]).collect()
     }
     assert got2 == {(1, "x"): "removed", (2, "z"): "added"}
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one has high
+    containment but low Jaccard — the planted case for the asymmetric
+    metric (plans/analytics_ext5.py::containment_dedup_pairs)."""
+    import movie_data_pipeline_spark.plans.analytics_ext5 as ext5
+    from movie_data_pipeline_spark.sources import catalog as cat
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        ["doc_id", "text"],
+    )
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda _s, _sf, name: docs  # only documents used
+        ext5.load_table = cat.load_table
+        got = ext5.containment_dedup_pairs(spark, "unused", threshold=0.9).collect()
+    finally:
+        cat.load_table = orig
+        ext5.load_table = orig
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id_a, r.id_b, r.a_is_smaller) == (1, 2, True)
+    assert r.containment == 1.0
+
+    # the symmetric metric would have rejected this pair
+    from movie_data_pipeline_spark.operators.dedup import with_hashed_shingles
+    from pyspark.sql import functions as F
+
+    sh = (
+        with_hashed_shingles(docs, "text", 3, out="sh")
+        .select("doc_id", F.array_distinct("sh").alias("s"))
+        .collect()
+    )
+    sets = {r.doc_id: set(r.s) for r in sh}
+    jac = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    assert jac < 0.5  # well under any dedup threshold
