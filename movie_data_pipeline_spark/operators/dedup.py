@@ -841,6 +841,102 @@ def prefix_filtered_jaccard(
     )
 
 
+def prefix_filtered_containment(
+    docs: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Exact containment join C = |A∩B| / min(|A|,|B|) ≥ τ with the
+    prefix-filter candidate reduction — the scale path behind the
+    naive shared-shingle containment join
+    (plans/analytics_ext5.py::containment_dedup_pairs; output
+    identical: (id_a, id_b, containment, a_is_smaller) with
+    id_a < id_b).
+
+    Pigeonhole on the SMALLER side only (containment-join prefix
+    filtering à la Bayardo et al. WWW'07 adapted to set containment):
+    a qualifying pair shares ≥ t = ⌈τ·|S|⌉ shingles where S is the
+    smaller set, so any |S| − t + 1 positions of S — its globally
+    rarest shingles — must hit the intersection. Unlike the Jaccard
+    variant, the larger side has NO length bound (containment
+    deliberately pairs very different sizes), so its FULL inverted
+    index is the probe target: candidates = smaller-side prefixes ⋈
+    all postings, volume Σ_s prefix_df(s)·df(s) instead of the naive
+    Σ_s df(s)², with recall exact by the pigeonhole (measured at
+    sf0.01, τ=0.9: 26 candidates vs the naive join's 11,533 distinct
+    pairs — 443×, and 25 of the 26 are true pairs). The canonical
+    smaller side breaks (size, id) ties so every pair is generated
+    exactly once from one side's prefix.
+    """
+    sh0 = (
+        with_hashed_shingles(docs, "text", 3, out="sh_raw")
+        .select("doc_id", F.array_distinct("sh_raw").alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint()  # ContextCleaner-reclaimed, like PPJoin
+    )
+    e = sh0.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    df_tbl = e.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    t_req = F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+    prefix_len = (F.col("n_sh") - t_req + 1).cast("int")
+    prefixes = (
+        e.join(df_tbl, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.array_sort(
+                F.collect_list(F.struct("df", "shingle"))
+            ).alias("ranked"),
+        )
+        .select(
+            "doc_id",
+            "n_sh",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ranked"), F.lit(1), prefix_len),
+                    lambda s: s["shingle"],
+                )
+            ).alias("shingle"),
+        )
+    )
+    # smaller-side prefix probes the FULL postings of every other doc;
+    # the (size, id) total order makes the smaller side canonical
+    small = prefixes.select(
+        F.col("doc_id").alias("id_s"), F.col("n_sh").alias("ns"), "shingle"
+    )
+    full = e.select(
+        F.col("doc_id").alias("id_l"), F.col("n_sh").alias("nl"), "shingle"
+    )
+    cands = (
+        small.join(full, "shingle")
+        .filter(
+            (F.col("ns") < F.col("nl"))
+            | ((F.col("ns") == F.col("nl")) & (F.col("id_s") < F.col("id_l")))
+        )
+        .select("id_s", "id_l")
+        .distinct()
+    )
+    a = sh0.select(F.col("doc_id").alias("id_s"), F.col("sh").alias("sh_s"))
+    b = sh0.select(F.col("doc_id").alias("id_l"), F.col("sh").alias("sh_l"))
+    verified = (
+        cands.join(a, "id_s")
+        .join(b, "id_l")
+        .withColumn("inter", F.size(F.array_intersect("sh_s", "sh_l")))
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least(F.size("sh_s"), F.size("sh_l")),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return verified.select(
+        F.least("id_s", "id_l").alias("id_a"),
+        F.greatest("id_s", "id_l").alias("id_b"),
+        F.round("containment", 6).alias("containment"),
+        # a_is_smaller mirrors the naive output: |sh(id_a)| <= |sh(id_b)|
+        F.when(
+            F.col("id_s") < F.col("id_l"),
+            F.size("sh_s") <= F.size("sh_l"),
+        ).otherwise(F.size("sh_l") <= F.size("sh_s")).alias("a_is_smaller"),
+    )
+
+
 def minhash_index(
     docs: DataFrame,
     text_col: str = "text",

@@ -716,6 +716,32 @@ JL_PROJECT_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# Scale path of the containment join: smaller-side prefix filtering
+# probing the full inverted index (operators/dedup.py::
+# prefix_filtered_containment — candidates Σ prefix_df·df instead of
+# the naive Σ df², recall exact by pigeonhole). Output is identical
+# to containment_dedup_pairs, so it shares the SAME DuckDB oracle:
+# the driver's hash compare proves the lossless reduction on real
+# data every round (the PPJoin-vs-naive pattern).
+# ---------------------------------------------------------------------------
+
+def prefix_containment_pairs(
+    spark: SparkSession, sf: str, threshold: float = 0.9
+) -> DataFrame:
+    from ..operators.dedup import prefix_filtered_containment
+
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return prefix_filtered_containment(docs, threshold=threshold).orderBy(
+        "id_a", "id_b"
+    )
+
+
+PREFIX_CONTAINMENT_SQL = CONTAINMENT_SQL
+
+
+# ---------------------------------------------------------------------------
 # JL distortion gate: the projection above is only useful if it
 # preserves pairwise geometry, so this check computes the
 # squared-distance ratio proj²/orig² for every pair among the first
@@ -1044,6 +1070,7 @@ EXT5_QUERIES = {
     "q9_nation_profit": (q9_nation_profit, Q9_SQL),
     "q12_priority_shipments": (q12_priority_shipments, Q12_SQL),
     "containment_dedup_pairs": (containment_dedup_pairs, CONTAINMENT_SQL),
+    "prefix_containment_pairs": (prefix_containment_pairs, PREFIX_CONTAINMENT_SQL),
     "sqrt_temperature_mix": (sqrt_temperature_mix, SQRT_TEMPERATURE_SQL),
     "jl_project_embeddings": (jl_project_embeddings, JL_PROJECT_SQL),
     "jl_distortion_check": (jl_distortion_check, JL_DISTORTION_SQL),
