@@ -975,7 +975,7 @@ ORDER BY table_name
 # lateness residual — no nested loop.
 # ---------------------------------------------------------------------------
 
-def q4_priority_check(spark: SparkSession, sf: str) -> DataFrame:
+def q4_late_orders(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= "1997-01-01")
         & (F.col("o_orderdate") < "1997-04-01")
@@ -1059,7 +1059,7 @@ LIMIT 20
 
 EXT5_QUERIES = {
     "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
-    "q4_priority_check": (q4_priority_check, Q4_PRIORITY_SQL),
+    "q4_late_orders": (q4_late_orders, Q4_PRIORITY_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q13_custdist": (q13_custdist, Q13_SQL),
