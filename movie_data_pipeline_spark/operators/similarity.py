@@ -653,6 +653,86 @@ def pq_knn(
     ).select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
 
 
+def ivfpq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist_mult: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composed index (the classic Faiss IndexIVFPQ pairing,
+    Jégou et al. TPAMI'11): the coarse k-means quantizer routes each
+    query to its ``nprobe`` nearest inverted lists, and WITHIN the
+    probed lists distances come from PQ codes via ADC — so the scan
+    touches only probed-list code rows (≈ corpus × nprobe / nlist ×
+    m bytes), never raw vectors, until the exact cosine re-rank of
+    the ``k × shortlist_mult`` shortlist. Both index artifacts are
+    trained once on bounded samples (the Faiss discipline the IVF and
+    PQ paths already follow) and the at-rest state — (id, list_id,
+    codes) — is persistable like ``pq_encode``'s.
+
+    Scale shape: coarse assignment and encoding are narrow Arrow
+    maps; the probe join keys on list_id (corpus side
+    pre-partitionable by list); ADC cost is m table lookups per
+    candidate; recall tunes with nprobe × shortlist_mult, and the
+    exact re-rank keeps returned similarities exact."""
+    coded = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(
+            _nearest_lists_udf(centroids, 1)(F.col(vec_col)), 1
+        ).alias("list_id"),
+        _pq_encode_udf(books)(F.col(vec_col)).alias("codes"),
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        .withColumn(
+            "probe_lists", _nearest_lists_udf(centroids, nprobe)(F.col("q_vec"))
+        )
+        .withColumn("list_id", F.explode("probe_lists"))
+        .drop("probe_lists")
+    )
+    scored = (
+        coded.join(F.broadcast(q), "list_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "adc",
+            _adc_dist_udf(books)(
+                F.col("query_id"), F.col("q_vec"), F.col("codes")
+            ),
+        )
+    )
+    short = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc").asc(), F.col("neighbor_id").asc()],
+        k * shortlist_mult,
+    ).select("query_id", "q_vec", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    reranked = short.join(c, "neighbor_id").withColumn(
+        "cos_sim",
+        cosine(
+            F.col("q_vec").cast("array<double>"),
+            F.col("c_vec").cast("array<double>"),
+        ),
+    )
+    return top_k_per_group(
+        reranked,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id").asc()],
+        k,
+    ).select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,

@@ -714,6 +714,31 @@ def pq_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def ivfpq_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows-only: the COMPOSED IVF-PQ index (round 7) — coarse
+    k-means routing to probed lists, PQ/ADC scoring inside them, the
+    classic Faiss IndexIVFPQ pairing that bounds BOTH the scan (only
+    probed lists) and the bytes per candidate (m codes). nprobe=10 of
+    nlist=16 at the test corpus's near-uniform geometry (same probe
+    breadth knn_recall_check uses for IVF-Flat); gated by
+    `ivfpq_recall_check` in the driver suite."""
+    from ..operators.similarity import (
+        get_ivf_centroids,
+        get_pq_codebooks,
+        ivfpq_knn,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = get_ivf_centroids(emb, sf, nlist=16)
+    books = get_pq_codebooks(emb, sf, m=16, nbits=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_knn(
+        emb, queries, centroids, books, k=5, nprobe=10
+    ).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Analytic-function breadth: ntile / percent_rank / dense_rank
 # ---------------------------------------------------------------------------
@@ -963,5 +988,6 @@ EXT_QUERIES = {
     "audio_windows": (audio_windows, AUDIO_WINDOWS_SQL),
     "ivf_knn_embeddings": (ivf_knn_embeddings, None),
     "pq_knn_embeddings": (pq_knn_embeddings, None),
+    "ivfpq_knn_embeddings": (ivfpq_knn_embeddings, None),
     "winnow_pairs": (winnow_pairs, None),
 }

@@ -247,6 +247,44 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def ivfpq_recall_check(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ (composed index, round 7) recall@5 vs brute force —
+    same harness as `pq_recall_check`. The compounding error sources
+    are (a) a true neighbor's list not probed and (b) ADC dropping it
+    from the shortlist; nprobe=10 + the exact re-rank measured 1.0
+    recall at all three SFs on this corpus → assert ≥ 0.8."""
+    from ..operators.similarity import (
+        brute_force_knn,
+        get_ivf_centroids,
+        get_pq_codebooks,
+        ivfpq_knn,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_knn(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = ivfpq_knn(
+        emb, q,
+        get_ivf_centroids(emb, sf, nlist=16),
+        get_pq_codebooks(emb, sf, m=16, nbits=8),
+        k=5, nprobe=10,
+    ).select("query_id", "neighbor_id")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_found = exact.join(approx, ["query_id", "neighbor_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return _one_row(n_exact, n_found).select(
+        "n_exact",
+        (F.col("n_found") >= 0.8 * F.col("n_exact")).alias("ivfpq_recall_ok"),
+    )
+
+
+IVFPQ_RECALL_SQL = """
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_exact, TRUE AS ivfpq_recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Banded sign-LSH near-dup vs exact brute-force cosine pairs
 # ---------------------------------------------------------------------------
@@ -384,6 +422,8 @@ VERIFY_QUERIES = {
     "semantic_dedup_check": (semantic_dedup_check, SEMANTIC_DEDUP_CHECK_SQL),
     # round-5 addition: registered AFTER the 50 pinned driver slots
     "pq_recall_check": (pq_recall_check, PQ_RECALL_SQL),
+    # round-7: the composed IVF-PQ index gate
+    "ivfpq_recall_check": (ivfpq_recall_check, IVFPQ_RECALL_SQL),
 }
 
 
@@ -642,6 +682,9 @@ def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
         # its siblings — engine and SQL sides change together
         norm(pq_recall_check(spark, sf), "pq",
              "n_exact", None, "pq_recall_ok", None),
+        # 16th family (round 7): the composed IVF-PQ gate
+        norm(ivfpq_recall_check(spark, sf), "ivfpq",
+             "n_exact", None, "ivfpq_recall_ok", None),
         qs,
     ]
     # Families 10-15 (round 6): the iterative/ML gates, normalized the
@@ -703,6 +746,8 @@ APPROX_SUITE_SQL = "\nUNION ALL\n".join(
                       "n_exact", None, "recall_one", None),
         _suite_member("pq", PQ_RECALL_SQL,
                       "n_exact", None, "pq_recall_ok", None),
+        _suite_member("ivfpq", IVFPQ_RECALL_SQL,
+                      "n_exact", None, "ivfpq_recall_ok", None),
         (
             "SELECT 'quantile_sketch' AS family, CAST(COUNT(*) AS BIGINT) AS m1, "
             "CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS m2, "
