@@ -1057,8 +1057,114 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) between the event stream's two time halves
+# — the training-data monitoring primitive ("did this source's value
+# distribution move?"). Binning is fixed-width over the observed
+# [min, max] (identical IEEE arithmetic from identical scalar inputs
+# on both engines — deciles would interpolate engine-specifically);
+# Laplace-smoothed shares guard empty bins; each PSI term
+# (p−q)·ln(p/q) rounds to 6 decimals BEFORE the exact decimal sum —
+# the charlm log discipline (curation.py:378-392) that absorbs any
+# last-ulp libm ln() divergence. One scan + one 1-row broadcast of
+# the global bounds; at 100 TB this is a single pass per monitored
+# column.
+# ---------------------------------------------------------------------------
+
+def value_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select("ts_sec", F.col("value").cast("double"))
+    bounds = e.agg(
+        F.min("ts_sec").alias("t0"),
+        F.max("ts_sec").alias("t1"),
+        F.min("value").alias("v0"),
+        F.max("value").alias("v1"),
+    )
+    binned = (
+        e.crossJoin(F.broadcast(bounds))  # 1-row side
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("v0"))
+                    / ((F.col("v1") - F.col("v0")) / F.lit(10.0))
+                ).cast("int"),
+                F.lit(9),
+            ).alias("bin_id"),
+            (F.col("ts_sec") * 2 < F.col("t0") + F.col("t1")).alias("early"),
+        )
+    )
+    counts = binned.groupBy("bin_id").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("n_early"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("n_late"),
+    )
+    totals = counts.agg(
+        F.sum("n_early").alias("te"), F.sum("n_late").alias("tl")
+    )
+    p = (F.col("n_early") + 1) / (F.col("te") + 10)
+    q = (F.col("n_late") + 1) / (F.col("tl") + 10)
+    per_bin = (
+        counts.crossJoin(F.broadcast(totals))  # 1-row side
+        .select(
+            "bin_id", "n_early", "n_late",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+    )
+    total = per_bin.agg(
+        F.lit(-1).alias("bin_id"),
+        F.sum("n_early").alias("n_early"),
+        F.sum("n_late").alias("n_late"),
+        F.round(
+            F.sum(F.col("psi_term").cast("decimal(30,6)")).cast("double"), 6
+        ).alias("psi_term"),
+    )
+    return per_bin.unionByName(total).orderBy("bin_id")
+
+
+VALUE_DRIFT_PSI_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+),
+b AS (SELECT MIN(ts_sec) AS t0, MAX(ts_sec) AS t1,
+             MIN(value) AS v0, MAX(value) AS v1 FROM e),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((value - v0) / ((v1 - v0) / 10.0)) AS INT), 9)
+           AS bin_id,
+         ts_sec * 2 < t0 + t1 AS early
+  FROM e, b
+),
+counts AS (
+  SELECT bin_id,
+         SUM(CASE WHEN early THEN 1 ELSE 0 END)::BIGINT AS n_early,
+         SUM(CASE WHEN early THEN 0 ELSE 1 END)::BIGINT AS n_late
+  FROM binned GROUP BY bin_id
+),
+t AS (SELECT SUM(n_early) AS te, SUM(n_late) AS tl FROM counts),
+per_bin AS (
+  SELECT bin_id, n_early, n_late,
+         ROUND((CAST(n_early + 1 AS DOUBLE) / (te + 10)
+                - CAST(n_late + 1 AS DOUBLE) / (tl + 10))
+               * ln((CAST(n_early + 1 AS DOUBLE) / (te + 10))
+                    / (CAST(n_late + 1 AS DOUBLE) / (tl + 10))), 6)
+           AS psi_term
+  FROM counts, t
+)
+SELECT * FROM (
+  SELECT bin_id, n_early, n_late, psi_term FROM per_bin
+  UNION ALL
+  SELECT -1, SUM(n_early)::BIGINT, SUM(n_late)::BIGINT,
+         ROUND(CAST(SUM(CAST(psi_term AS DECIMAL(30,6))) AS DOUBLE), 6)
+  FROM per_bin
+)
+ORDER BY bin_id
+"""
+
+
 EXT5_QUERIES = {
     "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
+    "value_drift_psi": (value_drift_psi, VALUE_DRIFT_PSI_SQL),
     "q4_late_orders": (q4_late_orders, Q4_PRIORITY_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
