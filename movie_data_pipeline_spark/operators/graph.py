@@ -33,6 +33,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 10,
+    weight: str | None = None,
 ) -> DataFrame:
     """Ranks for every node appearing in ``edges`` (either endpoint),
     after ``n_iter`` synchronous power-iteration rounds from the
@@ -40,7 +41,13 @@ def pagerank(
 
     Parallel edges are legitimate weight (each contributes its own
     share); callers wanting simple-graph semantics should distinct()
-    the edge list first.
+    the edge list first. With ``weight`` set, each edge carries that
+    column's (positive) value and a node's rank splits across its
+    out-edges proportionally — contrib = rank·w / W_out(src), the
+    weighted power iteration. The unweighted path is the w ≡ 1
+    special case of the same dataflow (out-strength = out-degree), so
+    conservation (Σ ranks = N with dangling redistribution) holds
+    identically.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
@@ -50,15 +57,20 @@ def pagerank(
     # materialize the edge relation once — it joins into every round,
     # and a DERIVED edge list (the trade graph is a fact-fact join +
     # distinct) would otherwise recompute per iteration
+    w_col = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    ).alias("w")
     e = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        w_col,
     ).localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     # degree-annotated node table, reused every round (deg NULL = dangling)
     base = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
         "node", "deg"
@@ -72,7 +84,9 @@ def pagerank(
         )
         contrib = (
             ranks.join(e, ranks.node == e.src)
-            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                "dst", (F.col("rank") * F.col("w") / F.col("deg")).alias("c")
+            )
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )

@@ -286,8 +286,93 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
 """
 
 
+# ---------------------------------------------------------------------------
+# Weighted PageRank (round 7): the same trade graph with each edge
+# carrying its relationship STRENGTH — the number of distinct orders
+# linking the customer and supplier — so rank splits across a node's
+# partners proportionally to trade volume instead of uniformly. Same
+# verification discipline as the unweighted path: rows-only ranks, an
+# oracled gate pinning exact graph cardinalities + the conservation
+# law (Σ ranks = N holds for ANY positive weighting — the transition
+# matrix stays column-stochastic) and the (1−d) teleport floor, and a
+# planted unit against the scalar weighted recurrence.
+# ---------------------------------------------------------------------------
+
+def _trade_edges_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            (-F.col("l_suppkey")).alias("supp"),
+            "o_orderkey",
+        )
+        .distinct()  # one vote per (cust, supp, order)
+        .groupBy("cust", "supp")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pairs.select(
+        F.col("cust").alias("src"), F.col("supp").alias("dst"), "w"
+    ).unionAll(
+        pairs.select(
+            F.col("supp").alias("src"), F.col("cust").alias("dst"), "w"
+        )
+    )
+
+
+def trade_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    return pagerank(
+        _trade_edges_weighted(spark, sf), n_iter=10, weight="w"
+    ).orderBy("node")
+
+
+def weighted_pagerank_check(spark: SparkSession, sf: str) -> DataFrame:
+    edges = _trade_edges_weighted(spark, sf)
+    ranks = pagerank(edges, n_iter=10, weight="w")
+    stats = ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("rank").alias("total_rank"),
+        F.min("rank").alias("min_rank"),
+    )
+    agg_e = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum("w").alias("total_w"),
+    )
+    return stats.crossJoin(agg_e).select(  # both sides 1 row
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("total_w").cast("long").alias("total_w"),
+        (
+            F.abs(F.col("total_rank") - F.col("n_nodes"))
+            <= 1e-6 * F.col("n_nodes")
+        ).alias("rank_conserved"),
+        (F.col("min_rank") >= 0.15 - 1e-9).alias("rank_floor_ok"),
+    )
+
+
+WEIGHTED_PAGERANK_CHECK_SQL = """
+WITH pairs AS (
+  SELECT o_custkey AS cust, -l_suppkey AS supp,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS w
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY 1, 2
+),
+nodes AS (
+  SELECT cust AS node FROM pairs UNION SELECT supp FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(2 * COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(2 * SUM(w) AS BIGINT) FROM pairs) AS total_w,
+       TRUE AS rank_conserved,
+       TRUE AS rank_floor_ok
+"""
+
+
 GRAPH_QUERIES = {
     "trade_pagerank": (trade_pagerank, None),
+    "trade_pagerank_weighted": (trade_pagerank_weighted, None),
+    "weighted_pagerank_check": (weighted_pagerank_check, WEIGHTED_PAGERANK_CHECK_SQL),
     "pagerank_check": (pagerank_check, PAGERANK_CHECK_SQL),
     "supplier_cotrade_triangles": (supplier_cotrade_triangles, SUPPLIER_TRIANGLES_SQL),
     "trade_kcore": (trade_kcore, None),

@@ -335,6 +335,58 @@ def test_pagerank_star_closed_form(spark):
         pagerank(spark.createDataFrame([(0, 1)], ["src", "dst"]), damping=1.5)
 
 
+def test_weighted_pagerank_matches_scalar(spark):
+    """Weighted rank splits proportionally to edge weight: the
+    distributed iterate over a small weighted digraph must match a
+    scalar synchronous recurrence at equal iteration count, and the
+    w≡1 weighted path must equal the unweighted operator exactly."""
+    from collections import defaultdict
+
+    from movie_data_pipeline_spark.operators.graph import pagerank
+
+    d, iters = 0.85, 10
+    edges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 5.0), (1, 0, 1.0)]
+    got = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(edges, ["src", "dst", "w"]),
+            n_iter=iters, weight="w",
+        ).collect()
+    }
+
+    out_w = defaultdict(float)
+    for s, _, w in edges:
+        out_w[s] += w
+    ranks = {n: 1.0 for n in (0, 1, 2)}
+    for _ in range(iters):
+        contrib = defaultdict(float)
+        for s, t, w in edges:
+            contrib[t] += ranks[s] * w / out_w[s]
+        ranks = {n: (1 - d) + d * contrib[n] for n in ranks}
+    for n in (0, 1, 2):
+        assert abs(got[n] - ranks[n]) < 1e-9
+    assert abs(sum(got.values()) - 3) < 1e-9  # conservation
+
+    # w ≡ 1 degenerates to the unweighted operator
+    uw_edges = [(s, t) for s, t, _ in edges]
+    plain = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(uw_edges, ["src", "dst"]), n_iter=iters
+        ).collect()
+    }
+    ones = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(
+                [(s, t, 1.0) for s, t in uw_edges], ["src", "dst", "w"]
+            ),
+            n_iter=iters, weight="w",
+        ).collect()
+    }
+    assert plain == ones
+
+
 def test_enrichment_fallback_priority(spark):
     movies = spark.createDataFrame(
         [
