@@ -110,6 +110,93 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    weight: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank (Jeh & Widom WWW'03 random-surfer form):
+    teleportation lands uniformly on the SOURCE set instead of the
+    whole graph, so rank measures proximity to the sources. Returns
+    (node, rank) with Σ ranks = 1 (probability convention — dangling
+    mass also teleports to the sources, keeping the chain stochastic).
+
+    Same execution discipline as ``pagerank``: per-round keyed
+    shuffles linear in |E|, per-round localCheckpoint, the only
+    driver values are 1-row aggregates and the bounded node/source
+    counts. ``sources`` is a 1-column DataFrame of node ids; ids
+    absent from the graph are ignored (they could never receive
+    mass)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    w_col = (
+        F.col(weight).cast("double") if weight else F.lit(1.0)
+    ).alias("w")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        w_col,
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    s = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("node")
+    ).distinct()
+    base = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left")
+        .join(s.withColumn("_is_src", F.lit(True)), "node", "left")
+        .select("node", "deg", F.coalesce("_is_src", F.lit(False)).alias("is_src"))
+        .localCheckpoint()
+    )
+    n_src = base.filter("is_src").count()  # bounded driver scalar
+    if n_src == 0:
+        raise ValueError("no source id appears in the graph")
+    tele = F.when(F.col("is_src"), F.lit(1.0 / n_src)).otherwise(F.lit(0.0))
+
+    ranks = base.select("node", tele.alias("rank"), "deg", "is_src")
+    for _ in range(n_iter):
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .select(
+                "dst", (F.col("rank") * F.col("w") / F.col("deg")).alias("c")
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .crossJoin(dangling)  # 1-row side: the bounded pattern
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * tele
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") * tele
+                    )
+                ).alias("rank"),
+                "deg",
+                "is_src",
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", "rank")
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Exact triangle census of the undirected graph underlying
     ``edges`` (orientation/duplicates/self-loops ignored). Returns a

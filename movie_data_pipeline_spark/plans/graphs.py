@@ -369,10 +369,89 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
 """
 
 
+# ---------------------------------------------------------------------------
+# Personalized PageRank (round 7): proximity of every trade-graph
+# node to the customers of nation 0 — "which suppliers (and peer
+# customers) sit closest to this market segment's trade flows".
+# Probability convention: Σ ranks = 1 exactly in real arithmetic
+# (teleport AND dangling mass land on the source set), which the
+# oracled gate pins alongside exact node/edge/source counts and the
+# source-mass floor Σ_{s∈S} rank_s ≥ (1−d) (every round's teleport
+# deposits at least that much on the sources before any flow-back).
+# ---------------------------------------------------------------------------
+
+def trade_ppr_nation0(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    cust = load_table(spark, sf, "customer")
+    sources = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    return personalized_pagerank(
+        _trade_edges(spark, sf), sources, n_iter=10
+    ).orderBy("node")
+
+
+def ppr_check(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+
+    edges = _trade_edges(spark, sf)
+    cust = load_table(spark, sf, "customer")
+    sources = cust.filter(F.col("c_nationkey") == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    ranks = personalized_pagerank(edges, sources, n_iter=10)
+    src_mass = ranks.join(sources, "node", "left_semi").agg(
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("src_mass")
+    )
+    stats = ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("rank").alias("total_rank"),
+        F.min("rank").alias("min_rank"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_src = sources.join(
+        edges.select(F.col("src").alias("node")).union(
+            edges.select(F.col("dst").alias("node"))
+        ).distinct(),
+        "node",
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_sources"))
+    return stats.crossJoin(n_edges).crossJoin(n_src).crossJoin(src_mass).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        (F.abs(F.col("total_rank") - 1.0) <= 1e-9).alias("rank_conserved"),
+        (F.col("src_mass") >= 0.15 - 1e-9).alias("source_mass_floor_ok"),
+        (F.col("min_rank") >= 0.0).alias("nonnegative_ok"),
+    )
+
+
+PPR_CHECK_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS cust, -l_suppkey AS supp
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+nodes AS (
+  SELECT cust AS node FROM pairs UNION SELECT supp FROM pairs
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+       (SELECT CAST(2 * COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+        WHERE c_nationkey = 0
+          AND c_custkey IN (SELECT node FROM nodes)) AS n_sources,
+       TRUE AS rank_conserved,
+       TRUE AS source_mass_floor_ok,
+       TRUE AS nonnegative_ok
+"""
+
+
 GRAPH_QUERIES = {
     "trade_pagerank": (trade_pagerank, None),
     "trade_pagerank_weighted": (trade_pagerank_weighted, None),
     "weighted_pagerank_check": (weighted_pagerank_check, WEIGHTED_PAGERANK_CHECK_SQL),
+    "trade_ppr_nation0": (trade_ppr_nation0, None),
+    "ppr_check": (ppr_check, PPR_CHECK_SQL),
     "pagerank_check": (pagerank_check, PAGERANK_CHECK_SQL),
     "supplier_cotrade_triangles": (supplier_cotrade_triangles, SUPPLIER_TRIANGLES_SQL),
     "trade_kcore": (trade_kcore, None),

@@ -1996,3 +1996,51 @@ def test_containment_catches_what_jaccard_misses(spark):
     sets = {r.doc_id: set(r.s) for r in sh}
     jac = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
     assert jac < 0.5  # well under any dedup threshold
+
+
+def test_personalized_pagerank_matches_scalar(spark):
+    """PPR on a planted digraph vs the scalar synchronous recurrence
+    (teleport + dangling mass both land uniformly on the sources);
+    conservation Σ = 1 and source locality hold."""
+    from collections import defaultdict
+
+    import pytest as _pytest
+
+    from movie_data_pipeline_spark.operators.graph import personalized_pagerank
+
+    d, iters = 0.85, 10
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3)]  # 3 is dangling
+    srcs = [0]
+    got = {
+        r.node: r.rank
+        for r in personalized_pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            spark.createDataFrame([(s,) for s in srcs], ["node"]),
+            n_iter=iters,
+        ).collect()
+    }
+
+    out_deg = defaultdict(int)
+    for s, _ in edges:
+        out_deg[s] += 1
+    tele = {n: (1.0 / len(srcs) if n in srcs else 0.0) for n in (0, 1, 2, 3)}
+    ranks = dict(tele)
+    for _ in range(iters):
+        dmass = sum(r for n, r in ranks.items() if out_deg[n] == 0)
+        contrib = defaultdict(float)
+        for s, t in edges:
+            contrib[t] += ranks[s] / out_deg[s]
+        ranks = {
+            n: (1 - d) * tele[n] + d * (contrib[n] + dmass * tele[n])
+            for n in ranks
+        }
+    for n in ranks:
+        assert abs(got[n] - ranks[n]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert got[0] > got[3]  # locality: source outranks the far sink
+
+    with _pytest.raises(ValueError):
+        personalized_pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            spark.createDataFrame([(99,)], ["node"]),  # not in graph
+        )
