@@ -60,11 +60,20 @@ def pagerank(
     w_col = (
         F.col(weight).cast("double") if weight else F.lit(1.0)
     ).alias("w")
-    e = edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
-        w_col,
-    ).localCheckpoint()
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+            w_col,
+        )
+        # NULL / zero / negative weights carry no mass by definition;
+        # keeping them would make contrib compute rank*0/0 = NaN when
+        # a node's whole out-weight is 0 and silently poison every
+        # reachable rank. Dropped edges may demote a node to dangling
+        # (correct) or remove it from the graph entirely.
+        .filter(F.col("w") > 0)
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -138,11 +147,20 @@ def personalized_pagerank(
     w_col = (
         F.col(weight).cast("double") if weight else F.lit(1.0)
     ).alias("w")
-    e = edges.select(
-        F.col(src).cast("long").alias("src"),
-        F.col(dst).cast("long").alias("dst"),
-        w_col,
-    ).localCheckpoint()
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+            w_col,
+        )
+        # NULL / zero / negative weights carry no mass by definition;
+        # keeping them would make contrib compute rank*0/0 = NaN when
+        # a node's whole out-weight is 0 and silently poison every
+        # reachable rank. Dropped edges may demote a node to dangling
+        # (correct) or remove it from the graph entirely.
+        .filter(F.col("w") > 0)
+        .localCheckpoint()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
@@ -306,6 +324,15 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         n_keep = keep.count()  # 1-row convergence probe
         if n_keep == n_nodes:
             break
+        # the cap is checked BEFORE peeling again, so a graph that
+        # converges in exactly max_iter peels succeeds — the raise
+        # fires only when peel #(max_iter+1) would actually be needed
+        if max_iter is not None and rounds >= max_iter:
+            raise RuntimeError(
+                f"k_core did not converge within max_iter={max_iter} "
+                f"rounds ({n_keep} nodes still peeling); pass "
+                f"max_iter=None for the unbounded fixpoint"
+            )
         n_nodes = n_keep
         adj = (
             adj.join(keep, "node", "left_semi")
@@ -315,12 +342,6 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         if n_keep == 0:
             break
         rounds += 1
-        if max_iter is not None and rounds >= max_iter:
-            raise RuntimeError(
-                f"k_core did not converge within max_iter={max_iter} "
-                f"rounds ({n_keep} nodes still peeling); pass "
-                f"max_iter=None for the unbounded fixpoint"
-            )
     return (
         adj.groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))

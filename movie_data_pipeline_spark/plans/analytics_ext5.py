@@ -1084,10 +1084,18 @@ def value_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
     binned = (
         e.crossJoin(F.broadcast(bounds))  # 1-row side
         .select(
+            # greatest(width, 1e-300) guards the constant-column case
+            # (v1 == v0 — a stuck sensor is exactly what a drift
+            # monitor sees): 0/0 would NaN-bin on Spark and CRASH the
+            # DuckDB cast; with the floor every value lands in bin 0
+            # identically on both engines.
             F.least(
                 F.floor(
                     (F.col("value") - F.col("v0"))
-                    / ((F.col("v1") - F.col("v0")) / F.lit(10.0))
+                    / F.greatest(
+                        (F.col("v1") - F.col("v0")) / F.lit(10.0),
+                        F.lit(1e-300),
+                    )
                 ).cast("int"),
                 F.lit(9),
             ).alias("bin_id"),
@@ -1130,7 +1138,8 @@ WITH e AS (
 b AS (SELECT MIN(ts_sec) AS t0, MAX(ts_sec) AS t1,
              MIN(value) AS v0, MAX(value) AS v1 FROM e),
 binned AS (
-  SELECT LEAST(CAST(FLOOR((value - v0) / ((v1 - v0) / 10.0)) AS INT), 9)
+  SELECT LEAST(CAST(FLOOR((value - v0)
+                          / GREATEST((v1 - v0) / 10.0, 1e-300)) AS INT), 9)
            AS bin_id,
          ts_sec * 2 < t0 + t1 AS early
   FROM e, b

@@ -633,8 +633,9 @@ VERIFY_QUERIES.update(
 # Combined suite: every one-row twin above, normalized to a uniform
 # (family, m1, m2, ok_a, ok_b) row and unioned. The driver's
 # correctness gate records only a bounded prefix of the registry, so
-# this single entry carries all FIFTEEN family gates (nine
-# approximate families + the six round-6 iterative/ML gates) in one
+# this single entry carries all SIXTEEN family gates (ten
+# approximate families including the round-7 IVF-PQ gate + the six
+# round-6 iterative/ML gates) in one
 # driver row-set; the individual twins stay registered for local runs.
 # ---------------------------------------------------------------------------
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 DOCS_SCHEMA = T.StructType(
@@ -62,7 +63,23 @@ def run_streaming_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index = spark.read.parquet(index_path).select("doc_id", "sh", "bands")
+        # anti-join out the batch's own ids before probing: an
+        # at-least-once REPLAY of a batch whose index fold already
+        # committed would otherwise probe an index containing the
+        # batch itself, violating delta_near_dup_pairs' id-disjointness
+        # precondition (self-pairs at jaccard 1.0, duplicated
+        # internal pairs) — and the overwrite would replace the
+        # original correct pairs file with the polluted set. With the
+        # anti-join, replay rewrites byte-equivalent output.
+        index = (
+            spark.read.parquet(index_path)
+            .select("doc_id", "sh", "bands")
+            .join(
+                batch_df.select(F.col("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        )
         pairs = delta_near_dup_pairs(index, batch_df, threshold=threshold)
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"batch_id={batch_id}")

@@ -1718,6 +1718,15 @@ def test_k_core_max_iter_raises_not_superset(spark):
     # unbounded default reaches the true (empty) fixpoint
     assert k_core(edges, k=2).count() == 0
 
+    # converging in EXACTLY max_iter peels must succeed (the cap fires
+    # only when one MORE peel would be needed): triangle + pendant
+    # reaches its 2-core in one peel
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 9)], ["src", "dst"]
+    )
+    got = {r.node for r in k_core(tri, k=2, max_iter=1).collect()}
+    assert got == {0, 1, 2}
+
 
 def test_delta_dedup_corpus_hot_bucket_cap(spark):
     """The delta-vs-corpus band probe honors max_bucket on the CORPUS
@@ -1744,6 +1753,9 @@ def test_delta_dedup_corpus_hot_bucket_cap(spark):
     got_capped = sorted(r.match_id for r in capped.collect())
     # every band bucket holds the same 6 ids -> same sorted prefix kept
     assert got_capped == [10, 11, 12]
+
+
+def test_bitmap_prefilter_no_false_negatives(spark):
     from movie_data_pipeline_spark.operators.prune import (
         bitmap_prefilter,
         bucket_bitmap,

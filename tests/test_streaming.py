@@ -415,3 +415,32 @@ def test_streaming_dedup_index_equals_batch(spark, tmp_path):
     # at least one cross-batch pair proves index state carried over
     b1_ids = {r.doc_id for r in b1.select("doc_id").collect()}
     assert any(m in b1_ids for _, m in got)
+
+    # REPLAY safety: re-processing a batch whose index fold already
+    # committed (crash-after-fold, at-least-once redelivery) must
+    # rewrite the SAME pairs — no self-pairs at jaccard 1.0, no
+    # duplicated internal pairs (the probe anti-joins the batch's own
+    # ids out of the index). Simulate by draining a fresh stream of
+    # just b1 with a NEW checkpoint against the already-folded state.
+    before = {
+        (r.delta_id, r.match_id, r.in_corpus)
+        for r in spark.read.parquet(pairs_path + "/batch_id=0").collect()
+    }
+    import shutil
+
+    shutil.rmtree(index_path + "/batch_id=1")  # state as of the crash
+    replay_in = str(tmp_path / "replay")
+    os.makedirs(replay_in)
+    b1.toPandas().to_parquet(replay_in + "/b1.parquet", index=False)
+    SD.run_streaming_dedup(
+        SD.read_docs_stream(spark, replay_in),
+        index_path,
+        pairs_path,
+        str(tmp_path / "ckpt_replay"),
+        threshold=0.5,
+    )
+    after = {
+        (r.delta_id, r.match_id, r.in_corpus)
+        for r in spark.read.parquet(pairs_path + "/batch_id=0").collect()
+    }
+    assert after == before

@@ -43,9 +43,15 @@ def audit_plan(plan: str) -> dict[str, object]:
     }
 
 
-def broadcast_metrics(node) -> list[tuple[int, int]]:
+def broadcast_metrics(node, skip_bnlj: bool = False, parent: str = "") -> list[tuple[int, int]]:
     """(numOutputRows, dataSize bytes) of every BroadcastExchange in an
     EXECUTED plan, descending through AQE and query-stage wrappers.
+    With ``skip_bnlj``, exchanges whose direct consumer is a
+    BroadcastNestedLoopJoin are EXCLUDED: Spark must broadcast one
+    side of a cross/non-equi join regardless of
+    autoBroadcastJoinThreshold, so in the threshold=-1 attribution run
+    those exchanges are forced by the JOIN TYPE, not by a hint, and
+    counting them would blame hints for broadcasts no hint caused.
 
     Interpretation: an AQE/CBO-chosen broadcast is bounded by
     autoBroadcastJoinThreshold by construction and flips to a shuffle
@@ -56,7 +62,9 @@ def broadcast_metrics(node) -> list[tuple[int, int]]:
     driver-OOM-at-scale signature (round 1's BM25 lengths table)."""
     out: list[tuple[int, int]] = []
     name = node.getClass().getSimpleName()
-    if "BroadcastExchange" in name:
+    if "BroadcastExchange" in name and not (
+        skip_bnlj and "BroadcastNestedLoopJoin" in parent
+    ):
         try:
             m = node.metrics()
             rows = m.get("numOutputRows")
@@ -71,14 +79,14 @@ def broadcast_metrics(node) -> list[tuple[int, int]]:
             pass
     try:
         if name == "AdaptiveSparkPlanExec":
-            return out + broadcast_metrics(node.executedPlan())
+            return out + broadcast_metrics(node.executedPlan(), skip_bnlj, parent)
         if "QueryStage" in name:
-            return out + broadcast_metrics(node.plan())
+            return out + broadcast_metrics(node.plan(), skip_bnlj, parent)
     except Exception:  # noqa: BLE001
         pass
     it = node.children().iterator()
     while it.hasNext():
-        out.extend(broadcast_metrics(it.next()))
+        out.extend(broadcast_metrics(it.next(), skip_bnlj, name))
     return out
 
 
@@ -107,7 +115,12 @@ def hinted_broadcast_max(spark, builder, sf_dir: str) -> int:
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         df = builder(spark, sf_dir)
         df.collect()
-        bcast = broadcast_metrics(df._jdf.queryExecution().executedPlan())
+        # skip_bnlj: cross/non-equi joins broadcast regardless of the
+        # -1 threshold (the join TYPE forces it), so those exchanges
+        # must not be attributed to hints
+        bcast = broadcast_metrics(
+            df._jdf.queryExecution().executedPlan(), skip_bnlj=True
+        )
         return max((r for r, _ in bcast), default=0)
     finally:
         for k, v in saved.items():
