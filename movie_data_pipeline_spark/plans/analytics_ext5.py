@@ -1171,9 +1171,58 @@ ORDER BY bin_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped heavy hitters: exact top-5 tokens PER LANGUAGE (the
+# per-stratum complement of the global approx_top_k sketch entry
+# `token_heavy_hitters`). One explode + one (lang, token) count +
+# one WindowGroupLimit top-k cut under the deterministic
+# (count desc, token) order — per-group top-k never materializes a
+# global sort, and the grouped count is map-side combinable.
+# ---------------------------------------------------------------------------
+
+def token_top_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import bpe_ish_tokens
+
+    docs = load_table(spark, sf, "documents")
+    counts = (
+        docs.select("lang", F.explode(bpe_ish_tokens(F.col("text"))).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", F.col("rnk").cast("int").alias("rnk"), "token", "n")
+        .orderBy("lang", "rnk")
+    )
+
+
+TOKEN_TOP_BY_LANG_SQL = r"""
+WITH t AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                            x -> x != '')) AS token
+  FROM documents
+),
+c AS (SELECT lang, token, COUNT(*) AS n FROM t GROUP BY lang, token),
+r AS (
+  SELECT lang, token, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY n DESC, token ASC) AS INT) AS rnk
+  FROM c
+)
+SELECT lang, rnk, token, n FROM r WHERE rnk <= 5
+ORDER BY lang, rnk
+"""
+
+
 EXT5_QUERIES = {
     "q7_nation_trade_volume": (q7_nation_trade_volume, Q7_SQL),
     "value_drift_psi": (value_drift_psi, VALUE_DRIFT_PSI_SQL),
+    "token_top_by_lang": (token_top_by_lang, TOKEN_TOP_BY_LANG_SQL),
     "q4_late_orders": (q4_late_orders, Q4_PRIORITY_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
