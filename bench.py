@@ -37,6 +37,14 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # Machine-load watermark BEFORE any Spark work: 1-min loadavg here
+    # is pure ambient load (other tenants of this box), the one thing
+    # that has repeatedly contaminated cross-round comparisons
+    # (BASELINE.md documents the threshold). load1_end additionally
+    # includes our own decaying bench load and is recorded for
+    # completeness only.
+    load1_start = round(os.getloadavg()[0], 2)
+
     spark = get_spark("bench")
 
     # warm-up: JVM, codegen, parquet footers, and the Python worker
@@ -96,6 +104,11 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    load = {
+        "load1_start": load1_start,
+        "load1_end": round(os.getloadavg()[0], 2),
+        "cpus": os.cpu_count(),
+    }
 
     # The driver keeps only the final ~2000 chars of output; round 2's
     # full per-query dict pushed the JSON line past that and the driver
@@ -103,7 +116,10 @@ def main() -> None:
     # "other" rollup; "value" still sums EVERY query) and write the
     # complete timings next to it for the judge.
     Path(__file__).parent.joinpath("BENCH_FULL.json").write_text(
-        json.dumps({"sf": sf, "total_sec": total, "queries": timings}, indent=1)
+        json.dumps(
+            {"sf": sf, "total_sec": total, "load": load, "queries": timings},
+            indent=1,
+        )
     )
     headline = [
         "q1_top_part", "q2_top_regions", "q3_top_segment",
@@ -124,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": q,
                 "sf": sf,
+                "load": load,
             }
         )
 

@@ -462,11 +462,14 @@ def _winnow64(texts: pd.Series) -> pd.Series:
     """
     K, W = 8, 16  # k-gram size, winnow window
     B = np.uint64(1000003)  # polynomial base
-    # powers B^(K-1) .. B^0 under uint64 wraparound
+    # powers B^(K-1) .. B^0 — mod-2⁶⁴ wraparound is the INTENDED
+    # Rabin-Karp arithmetic; suppress numpy's scalar-overflow warning
+    # here only, so real overflow bugs elsewhere stay visible
     POWS = np.empty(K, dtype=np.uint64)
     POWS[K - 1] = np.uint64(1)
-    for j in range(K - 2, -1, -1):
-        POWS[j] = POWS[j + 1] * B
+    with np.errstate(over="ignore"):
+        for j in range(K - 2, -1, -1):
+            POWS[j] = POWS[j + 1] * B
 
     from numpy.lib.stride_tricks import sliding_window_view
 
@@ -975,7 +978,7 @@ def delta_near_dup_pairs(
     num_perm: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
-    max_bucket: int = 1000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicates of a NEW batch against an existing minhash
     index (plus duplicates within the batch itself) without touching
@@ -989,10 +992,16 @@ def delta_near_dup_pairs(
     bands. The corpus-sided work is one shuffle of slim band keys +
     the verify join on matched candidates only — independent of
     corpus text size, which is the whole point of maintaining index
-    state. ``max_bucket`` caps BOTH candidate paths: batch-internal
-    buckets through pairs_within_groups and corpus band buckets
-    through a deterministic sorted-prefix cap before the probe join,
-    so one boilerplate-heavy band key cannot go quadratic."""
+    state. ``max_bucket`` (when set) caps BOTH candidate paths:
+    batch-internal buckets through pairs_within_groups and corpus
+    band buckets through a deterministic sorted-prefix cap before the
+    probe join, so one boilerplate-heavy band key cannot go
+    quadratic. The library default is None — full recall, every
+    candidate in every bucket — because a silent cap is a recall
+    change; SCALE-PATH callers (the registry's incremental/streaming
+    dedup entries) opt in explicitly with max_bucket=1000. A match
+    dropped by the cap is one that sorts past the prefix in every
+    shared band bucket."""
     # localCheckpoint over persist() for the same session-hygiene
     # reason as prefix_filtered_jaccard: blocks are reclaimed by the
     # ContextCleaner after the plan is dropped, not pinned until an
@@ -1016,15 +1025,16 @@ def delta_near_dup_pairs(
     # on the join keys, so the join reuses its exchange (no extra
     # corpus-side shuffle beyond the one the join needs anyway).
     ci = explode_bands(index.select(F.col("doc_id").alias("match_id"), "bands"), "match_id")
-    ci = (
-        ci.groupBy("band_idx", "band_hash")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("match_id")), 1, max_bucket
-            ).alias("ids")
+    if max_bucket is not None:
+        ci = (
+            ci.groupBy("band_idx", "band_hash")
+            .agg(
+                F.slice(
+                    F.array_sort(F.collect_list("match_id")), 1, max_bucket
+                ).alias("ids")
+            )
+            .select("band_idx", "band_hash", F.explode("ids").alias("match_id"))
         )
-        .select("band_idx", "band_hash", F.explode("ids").alias("match_id"))
-    )
     di = explode_bands(d.select("delta_id", "bands"), "delta_id")
     cross = (
         di.join(ci, ["band_idx", "band_hash"])
@@ -1036,7 +1046,7 @@ def delta_near_dup_pairs(
         di.select("band_idx", "band_hash", F.col("delta_id").alias("doc_id")),
         ["band_idx", "band_hash"],
         "doc_id",
-        max_bucket,
+        max_bucket if max_bucket is not None else 2**31 - 1,
     ).dropDuplicates(["id_a", "id_b"]).select(
         F.col("id_a").alias("delta_id"), F.col("id_b").alias("match_id"),
         F.lit(False).alias("in_corpus"),

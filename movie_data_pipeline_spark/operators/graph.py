@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import shuffle_parallelism
+
 
 def pagerank(
     edges: DataFrame,
@@ -385,7 +387,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     # exactly ONCE — fused into the src-keyed checkpoint — and the
     # dst-keyed copy + node set read that checkpoint, not the facts.
     sess = edges.sparkSession
-    npart = int(sess.conf.get("spark.sql.shuffle.partitions"))
+    npart = shuffle_parallelism(sess)
     e_by_src = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()

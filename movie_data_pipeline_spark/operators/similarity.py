@@ -663,6 +663,7 @@ def ivfpq_knn(
     shortlist_mult: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """IVF-PQ composed index (the classic Faiss IndexIVFPQ pairing,
     Jégou et al. TPAMI'11): the coarse k-means quantizer routes each
@@ -679,7 +680,13 @@ def ivfpq_knn(
     maps; the probe join keys on list_id (corpus side
     pre-partitionable by list); ADC cost is m table lookups per
     candidate; recall tunes with nprobe × shortlist_mult, and the
-    exact re-rank keeps returned similarities exact."""
+    exact re-rank keeps returned similarities exact.
+
+    ``broadcast_queries`` (default True) PRESUPPOSES a bounded query
+    set — nprobe × |queries| rows must fit in an executor (the same
+    precondition ``pq_knn`` documents). For query sets that are
+    themselves corpus-scale, pass False: the probe join then shuffles
+    on ``list_id`` and AQE picks the build side."""
     coded = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.element_at(
@@ -698,7 +705,7 @@ def ivfpq_knn(
         .drop("probe_lists")
     )
     scored = (
-        coded.join(F.broadcast(q), "list_id")
+        coded.join(F.broadcast(q) if broadcast_queries else q, "list_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "adc",

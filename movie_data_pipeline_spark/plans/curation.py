@@ -714,9 +714,11 @@ def incremental_dedup_delta(spark: SparkSession, sf: str) -> DataFrame:
     # deriving it lazily here would recompute the corpus signatures
     # for the band probe AND the verify fetch
     idx = minhash_index(corpus).localCheckpoint()
-    return delta_near_dup_pairs(idx, delta, threshold=0.7).orderBy(
-        "delta_id", "match_id"
-    )
+    # scale-path caller: opt into the hot-bucket cap explicitly (the
+    # library default is uncapped full recall)
+    return delta_near_dup_pairs(
+        idx, delta, threshold=0.7, max_bucket=1000
+    ).orderBy("delta_id", "match_id")
 
 
 def incremental_dedup_check(spark: SparkSession, sf: str) -> DataFrame:

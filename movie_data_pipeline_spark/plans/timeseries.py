@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import shuffle_parallelism
 from ..sources.catalog import load_table
 from .analytics import _dec_sum, load_events
 
@@ -249,7 +250,7 @@ def ewma_user_values(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
     e = load_events(spark, sf).select("user_id", "event_id", "ts_us", "value")
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    npart = shuffle_parallelism(spark)
 
     def gen(batches):
         cur_uid = None
@@ -536,7 +537,7 @@ def value_anomaly_flags(spark: SparkSession, sf: str) -> DataFrame:
     import pandas as pd
 
     e = load_events(spark, sf).select("user_id", "event_id", "ts_us", "value")
-    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    npart = shuffle_parallelism(spark)
 
     def gen(batches):
         cur_uid = None

@@ -52,6 +52,18 @@ def get_spark(
     return spark
 
 
+def shuffle_parallelism(spark: SparkSession) -> int:
+    """The session's shuffle width as an int, robust to non-numeric
+    configs. ``spark.sql.shuffle.partitions`` may be ``"auto"`` (or any
+    vendor string) outside this repo's controlled session; fall back to
+    ``sparkContext.defaultParallelism`` rather than raising mid-plan.
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return spark.sparkContext.defaultParallelism
+
+
 def clear_state(spark: SparkSession) -> None:
     """Release ALL block-manager state: cached tables AND
     persisted/localCheckpointed RDD blocks.

@@ -63,31 +63,43 @@ def run_streaming_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # anti-join out the batch's own ids before probing: an
-        # at-least-once REPLAY of a batch whose index fold already
-        # committed would otherwise probe an index containing the
-        # batch itself, violating delta_near_dup_pairs' id-disjointness
-        # precondition (self-pairs at jaccard 1.0, duplicated
-        # internal pairs) — and the overwrite would replace the
-        # original correct pairs file with the polluted set. With the
-        # anti-join, replay rewrites byte-equivalent output.
+        # Replay safety rides on the batch_id partition column the
+        # index layout gives us for free: drop THIS batch's own prior
+        # fold (partition-pruned, so an at-least-once replay sees
+        # exactly the index the original run saw), then anti-join out
+        # the batch's ids — a doc_id is its logical identity, so a
+        # probe must never pair a doc with an index entry carrying the
+        # same id (delta_near_dup_pairs' id-disjointness
+        # precondition). Replay therefore rewrites byte-equivalent
+        # pairs and fold files.
+        prior = spark.read.parquet(index_path).filter(
+            F.col("batch_id") != F.lit(batch_id)
+        )
         index = (
-            spark.read.parquet(index_path)
-            .select("doc_id", "sh", "bands")
+            prior.select("doc_id", "sh", "bands")
             .join(
                 batch_df.select(F.col("doc_id")).distinct(),
                 "doc_id",
                 "left_anti",
             )
         )
-        pairs = delta_near_dup_pairs(index, batch_df, threshold=threshold)
+        pairs = delta_near_dup_pairs(
+            index, batch_df, threshold=threshold, max_bucket=1000
+        )
         pairs.write.mode("overwrite").parquet(
             os.path.join(pairs_path, f"batch_id={batch_id}")
         )
         # fold the batch into the index AFTER the probe: signing is
         # hash-deterministic, so these signatures are byte-identical
-        # to the ones the probe derived internally.
-        minhash_index(batch_df).write.mode("overwrite").parquet(
+        # to the ones the probe derived internally. Only FIRST
+        # occurrences fold — a doc_id that legitimately recurs in a
+        # later micro-batch keeps its original signature instead of
+        # gaining a duplicate index entry that every future probe
+        # would double-match against.
+        new_docs = batch_df.join(
+            prior.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        minhash_index(new_docs).write.mode("overwrite").parquet(
             os.path.join(index_path, f"batch_id={batch_id}")
         )
 

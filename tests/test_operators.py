@@ -2056,3 +2056,27 @@ def test_personalized_pagerank_matches_scalar(spark):
             spark.createDataFrame(edges, ["src", "dst"]),
             spark.createDataFrame([(99,)], ["node"]),  # not in graph
         )
+
+
+def test_shuffle_parallelism_fallback(spark):
+    """shuffle_parallelism reads the session conf, but must not raise
+    on platforms where spark.sql.shuffle.partitions is non-numeric
+    (e.g. 'auto') — it falls back to defaultParallelism (r7 ADVICE)."""
+    from movie_data_pipeline_spark.session import shuffle_parallelism
+
+    assert shuffle_parallelism(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    class _Conf:
+        def get(self, k):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 7
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert shuffle_parallelism(_Fake()) == 7

@@ -444,3 +444,54 @@ def test_streaming_dedup_index_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(pairs_path + "/batch_id=0").collect()
     }
     assert after == before
+
+
+def test_streaming_dedup_recurring_doc_id_single_index_entry(spark, tmp_path):
+    """A doc_id that legitimately recurs in a LATER micro-batch must
+    not gain a second index entry (which every future probe would
+    double-match against): only first occurrences fold, so the index
+    holds exactly one signature per doc_id for the stream's lifetime."""
+    import os
+    import time as _time
+
+    from movie_data_pipeline_spark.streaming import docs as SD
+
+    index_path = str(tmp_path / "index")
+    pairs_path = str(tmp_path / "pairs")
+    stream_in = str(tmp_path / "incoming")
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    seed = spark.createDataFrame([(100, text)], ["doc_id", "text"])
+    from movie_data_pipeline_spark.operators.dedup import minhash_index
+
+    minhash_index(seed).write.parquet(index_path + "/batch_id=-1")
+
+    os.makedirs(stream_in)
+    b1 = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    # doc_id=1 recurs in the later batch, alongside a genuinely new doc
+    b2 = spark.createDataFrame([(1, text), (2, text)], ["doc_id", "text"])
+    b1.toPandas().to_parquet(stream_in + "/b1.parquet", index=False)
+    b2.toPandas().to_parquet(stream_in + "/b2.parquet", index=False)
+    base = _time.time()
+    os.utime(stream_in + "/b1.parquet", (base, base))
+    os.utime(stream_in + "/b2.parquet", (base + 5, base + 5))
+
+    SD.run_streaming_dedup(
+        SD.read_docs_stream(spark, stream_in),
+        index_path,
+        pairs_path,
+        str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+
+    idx = spark.read.parquet(index_path)
+    per_id = {r.doc_id: r.n for r in idx.groupBy("doc_id").count().withColumnRenamed("count", "n").collect()}
+    assert per_id == {100: 1, 1: 1, 2: 1}
+    # batch 2's probe reports each near-dup pair exactly once: the
+    # recurring doc 1 pairs with doc 2 batch-internally (not once per
+    # index copy), and each delta doc matches the corpus entry once
+    got = sorted(
+        (r.delta_id, r.match_id, r.in_corpus)
+        for r in spark.read.parquet(pairs_path + "/batch_id=1").collect()
+    )
+    assert got == [(1, 2, False), (1, 100, True), (2, 100, True)]

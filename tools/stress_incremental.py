@@ -128,7 +128,9 @@ def main() -> None:
         print(f"  index build {label:4s} ({n_idx} docs)   {t_build:7.2f}s")
         probe_times[label] = timed(
             f"delta probe {label}",
-            lambda i=idx: delta_near_dup_pairs(i, delta, threshold=0.7),
+            lambda i=idx: delta_near_dup_pairs(
+                i, delta, threshold=0.7, max_bucket=1000
+            ),
         )
         clear_state(spark)
     r = probe_times[f"{k}x"] / probe_times["1x"]
