@@ -58,10 +58,18 @@ def pagerank(
 
     # materialize the edge relation once — it joins into every round,
     # and a DERIVED edge list (the trade graph is a fact-fact join +
-    # distinct) would otherwise recompute per iteration
+    # distinct) would otherwise recompute per iteration. Same shuffle
+    # discipline as ``hits`` (A/B-measured −15% there, BASELINE.md r8):
+    # the checkpoint pins hash(src) on exactly the shuffle width, and
+    # ``base`` comes out of joins keyed on node, so every round's
+    # score join lines up two pre-partitioned sides and
+    # EnsureRequirements inserts NO exchange — the edge relation is
+    # shuffled once at setup instead of once per round; the only
+    # per-round shuffle left is the contrib groupBy.
     w_col = (
         F.col(weight).cast("double") if weight else F.lit(1.0)
     ).alias("w")
+    npart = shuffle_parallelism(edges.sparkSession)
     e = (
         edges.select(
             F.col(src).cast("long").alias("src"),
@@ -74,6 +82,7 @@ def pagerank(
         # reachable rank. Dropped edges may demote a node to dangling
         # (correct) or remove it from the graph entirely.
         .filter(F.col("w") > 0)
+        .repartition(npart, "src")
         .localCheckpoint()
     )
     nodes = (
@@ -82,7 +91,10 @@ def pagerank(
         .distinct()
     )
     out_deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
-    # degree-annotated node table, reused every round (deg NULL = dangling)
+    # degree-annotated node table, reused every round (deg NULL =
+    # dangling); both join inputs are already hash-partitioned on the
+    # key (distinct on node / groupBy on pre-partitioned src), and the
+    # left join's output keeps the node partitioning the rounds need
     base = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
         "node", "deg"
     ).localCheckpoint()
@@ -149,6 +161,9 @@ def personalized_pagerank(
     w_col = (
         F.col(weight).cast("double") if weight else F.lit(1.0)
     ).alias("w")
+    # same setup-time co-partitioning as pagerank/hits: edges keyed by
+    # src once, so the per-round score join is exchange-free
+    npart = shuffle_parallelism(edges.sparkSession)
     e = (
         edges.select(
             F.col(src).cast("long").alias("src"),
@@ -161,6 +176,7 @@ def personalized_pagerank(
         # reachable rank. Dropped edges may demote a node to dangling
         # (correct) or remove it from the graph entirely.
         .filter(F.col("w") > 0)
+        .repartition(npart, "src")
         .localCheckpoint()
     )
     nodes = (
@@ -307,9 +323,16 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # node-keyed adjacency (hits/pagerank shuffle discipline): the
+    # per-round degree groupBy and the node-side semi-join then reuse
+    # this partitioning exchange-free; only the nbr-side semi-join and
+    # the post-peel re-keying shuffle the surviving adjacency — 2
+    # saved full-relation exchanges per peel round
+    npart = shuffle_parallelism(edges.sparkSession)
     adj = (
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .repartition(npart, "node")
         .localCheckpoint()
     )
     # Peel to the TRUE fixpoint: path/tree-like graphs can need O(n)
@@ -339,6 +362,7 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         adj = (
             adj.join(keep, "node", "left_semi")
             .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .repartition(npart, "node")
             .localCheckpoint()
         )
         if n_keep == 0:
