@@ -888,6 +888,7 @@ from .curation import CURATION_QUERIES  # noqa: E402
 from .graphs import GRAPH_QUERIES  # noqa: E402
 from .stats import STATS_QUERIES  # noqa: E402
 from .timeseries import TIMESERIES_QUERIES  # noqa: E402
+from .analytics_ext6 import EXT6_QUERIES  # noqa: E402
 from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
@@ -899,6 +900,10 @@ QUERIES.update(TIMESERIES_QUERIES)
 QUERIES.update(STATS_QUERIES)
 QUERIES.update(GRAPH_QUERIES)
 QUERIES.update(VERIFY_QUERIES)
+# round-8 batch appends AFTER the verification gates so the frozen
+# first-50 driver slots (and everything the r4-r7 CORRECTNESS rows
+# compare against) keep their byte-identical order.
+QUERIES.update(EXT6_QUERIES)
 
 # Driver-slot curation. The round driver's correctness gate records
 # only the first 50 registry entries (rounds 1-3 each produced exactly

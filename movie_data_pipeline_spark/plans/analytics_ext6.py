@@ -1,0 +1,353 @@
+"""Sixth registry batch (round 8): training-data curation depth —
+exact repeated n-gram SPAN detection (the token-level shape of Lee et
+al. 2022's "Deduplicating Training Data Makes Language Models Better"
+ExactSubstr dedup: find every maximal run of text whose fixed-length
+windows all recur elsewhere in the corpus), the per-document
+duplication profile built on it (the "what fraction of this doc is
+memorized-elsewhere text" filter signal), and DSIR-style hashed
+n-gram importance weights (Xie et al., NeurIPS'23: log-likelihood
+ratio of a target vs raw hashed-feature distribution — the classic
+cheap data-selection score).
+
+Same contract rules as plans/analytics.py: identical column aliases
+in the DataFrame plan and the DuckDB oracle SQL, per-term rounding to
+6 decimals BEFORE exact decimal sums (the charlm_doc_scores
+discipline — float summation order can never flip the hash), md5 as
+the cross-engine-portable hash (the jl_project trick: both engines
+agree byte-for-byte on md5 hex of a UTF-8 string), deterministic
+total-order sort keys, and broadcast hints only on relations bounded
+by construction (here: the 256-row DSIR bucket model).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# window length (tokens) for exact repeated-span detection; spans are
+# maximal unions of overlapping duplicated windows, so the MINIMUM
+# reportable duplicated run is L tokens — Lee et al. use 50 BPE
+# tokens at web scale; the synthetic corpus's ~60-token docs need a
+# smaller L to exercise the merge logic.
+_SPAN_L = 8
+
+# DSIR hashed-feature space size (buckets); two md5 hex chars.
+_DSIR_B = 256
+
+
+def _dec_sum(col: F.Column, scale: int = 6) -> F.Column:
+    """Partition-order-independent sum (plans/analytics.py::_dec_sum
+    discipline, redefined locally for import-order independence)."""
+    return F.sum(col.cast(f"decimal(30,{scale})"))
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated n-gram spans (token-level ExactSubstr dedup).
+#
+# Shape: one pass extracts every L-token window as (doc_id, pos, win,
+# h=xxhash64(win)); the HASH relation (8 B + ids, not the ~40 B
+# window strings) takes the first full-corpus shuffle to find hot
+# hashes; only hash-hot windows — the true duplicates plus a
+# vanishing set of 64-bit collisions — re-shuffle as strings for the
+# exact group-by-window verify. Duplicated positions then merge into
+# maximal spans per doc with one islands-and-gaps window pass (two
+# same-length windows overlap/touch iff their starts differ by ≤ L).
+# At 100 TB the window relation is corpus_tokens × 1 rows (the
+# rolling window is a narrow map off one scan), the heavy shuffle
+# moves fixed-width hashes, and nothing is driver-side.
+# ---------------------------------------------------------------------------
+
+
+def _dup_window_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every L-token window that occurs at ≥ 2
+    distinct (doc, pos) sites corpus-wide — including a window
+    repeated within one document (self-repetition is duplication for
+    the memorization risk this measures)."""
+    tk = F.split(F.col("text"), " ")
+    w = (
+        docs.select(F.col("doc_id"), tk.alias("tk"))
+        .filter(F.size("tk") >= _SPAN_L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {_SPAN_L - 1}), "
+                    f"p -> struct(p AS pos, "
+                    f"array_join(slice(tk, p, {_SPAN_L}), ' ') AS win))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.win").alias("win"))
+        .withColumn("h", F.xxhash64("win"))
+        # reused by the hot-hash prefilter AND the exact verify — one
+        # materialization, ContextCleaner-reclaimed with the result
+        .localCheckpoint()
+    )
+    hot = w.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    ).select("h")
+    cand = w.join(hot, "h", "left_semi")
+    dup_win = (
+        cand.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("win")
+    )
+    return cand.join(dup_win, "win", "left_semi").select("doc_id", "pos")
+
+
+def _span_rows(docs: DataFrame) -> DataFrame:
+    pos = _dup_window_positions(docs)
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grouped = (
+        pos.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(by_doc) <= _SPAN_L, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("isl", F.sum("brk").over(by_doc))
+    )
+    return grouped.groupBy("doc_id", "isl").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(_SPAN_L - 1)).alias("end_tok"),
+        (F.max("pos") + F.lit(_SPAN_L) - F.min("pos")).alias("span_toks"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+
+
+def repeated_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return _span_rows(docs).select(
+        "doc_id", "start_tok", "end_tok", "span_toks", "n_windows"
+    ).orderBy("doc_id", "start_tok")
+
+
+_SPAN_WINDOWS_CTE = f"""
+WITH tk AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+w AS (
+  SELECT doc_id, CAST(gs AS BIGINT) AS pos,
+         array_to_string(list_slice(tk, CAST(gs AS BIGINT),
+                                    CAST(gs AS BIGINT) + {_SPAN_L - 1}), ' ')
+           AS win
+  FROM tk, UNNEST(range(1, len(tk) - {_SPAN_L - 2})) AS u(gs)
+  WHERE len(tk) >= {_SPAN_L}
+),
+dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+d AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (win)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   <= {_SPAN_L} THEN 0 ELSE 1 END AS brk
+  FROM d
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS start_tok,
+         MAX(pos) + {_SPAN_L - 1} AS end_tok,
+         MAX(pos) + {_SPAN_L} - MIN(pos) AS span_toks,
+         COUNT(*) AS n_windows
+  FROM grp GROUP BY doc_id, isl
+)
+"""
+
+REPEATED_SPANS_SQL = (
+    _SPAN_WINDOWS_CTE
+    + """
+SELECT doc_id, start_tok, end_tok, span_toks,
+       CAST(n_windows AS BIGINT) AS n_windows
+FROM spans ORDER BY doc_id, start_tok
+"""
+)
+
+
+def dup_span_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplication profile over the exact spans: token
+    count, tokens covered by corpus-duplicated runs, and the covered
+    fraction — the filter signal ("drop documents that are mostly
+    text found elsewhere") ExactSubstr pipelines threshold on. Every
+    document appears (zero-span docs score 0.0), so the output joins
+    straight into a curation gate."""
+    docs = load_table(spark, sf, "documents")
+    per_doc = _span_rows(docs).groupBy("doc_id").agg(
+        F.sum("span_toks").alias("dup_toks")
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_toks")
+    )
+    return (
+        n_tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("dup_toks", F.lit(0)).alias("dup_toks"),
+            F.round(
+                F.coalesce("dup_toks", F.lit(0))
+                / F.col("n_toks").cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DUP_SPAN_STATS_SQL = (
+    _SPAN_WINDOWS_CTE
+    + """
+, per_doc AS (
+  SELECT doc_id, SUM(span_toks) AS dup_toks FROM spans GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.tk) AS INT) AS n_toks,
+       CAST(COALESCE(p.dup_toks, 0) AS BIGINT) AS dup_toks,
+       ROUND(COALESCE(p.dup_toks, 0) / CAST(len(t.tk) AS DOUBLE), 6)
+         AS dup_fraction
+FROM tk t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed n-gram importance weights (Xie et al., NeurIPS'23).
+#
+# Features are unigrams + bigrams hashed into 256 buckets; the target
+# distribution is estimated from the lang='en' slice, the raw
+# distribution from the whole corpus, both add-1 smoothed; each doc
+# scores Σ_ngram log(p_target(bucket)/p_raw(bucket)). High scores =
+# looks like the target slice; sampling ∝ exp(score) is the DSIR
+# selection step (deterministic here — the weights ARE the output).
+#
+# Cross-engine exactness: the bucket is two md5 hex chars (portable),
+# each bucket's log-ratio is a natural log of ONE double quotient of
+# exactly-representable integer products (IEEE-identical both
+# engines) rounded to 6 dp, and the per-doc total is an exact decimal
+# sum of (integer count × rounded ratio) — the charlm discipline.
+#
+# Scale shape: the explode collapses immediately to per-(doc, bucket)
+# counts (map-side combinable; B=256 caps distinct values per doc);
+# the model is 256 rows FOREVER (hint-broadcast legitimately); the
+# totals ride a 1-row broadcast. One corpus scan, one bounded join.
+# ---------------------------------------------------------------------------
+
+_BUCKET_EXPR = (
+    "(instr('0123456789abcdef', substring(md5(ngram), 1, 1)) - 1) * 16 + "
+    "instr('0123456789abcdef', substring(md5(ngram), 2, 1)) - 1"
+)
+
+
+def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    tk = F.split(F.col("text"), " ")
+    ng = (
+        docs.select("doc_id", "lang", tk.alias("tk"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "concat(tk, CASE WHEN size(tk) >= 2 THEN "
+                    "transform(sequence(1, size(tk) - 1), "
+                    "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+                    "ELSE array() END)"
+                )
+            ).alias("ngram"),
+        )
+        .withColumn("bucket", F.expr(_BUCKET_EXPR))
+    )
+    per = ng.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    cnt = ng.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    tot = cnt.agg(
+        F.sum("cr").alias("tr_tot"), F.sum("ct").alias("tt_tot")
+    )
+    lr = (
+        cnt.crossJoin(F.broadcast(tot))  # 1-row totals
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.col("ct") + F.lit(1.0))
+                        * (F.col("tr_tot") + F.lit(_DSIR_B)).cast("double")
+                    )
+                    / (
+                        (F.col("cr") + F.lit(1.0))
+                        * (F.col("tt_tot") + F.lit(_DSIR_B)).cast("double")
+                    )
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    return (
+        # the model is ≤ 256 rows by construction — broadcast hint is
+        # within the repo policy (PLANS.md bounded-relation rule)
+        per.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_ngrams"),
+            F.round(
+                _dec_sum(
+                    F.col("n").cast("decimal(18,0)")
+                    * F.col("lr").cast("decimal(18,6)"),
+                    6,
+                ).cast("double"),
+                6,
+            ).alias("dsir_logratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+),
+ng AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substring(md5(u.ngram), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substring(md5(u.ngram), 2, 1)) - 1
+           AS bucket
+  FROM tk, UNNEST(list_concat(tk,
+         CASE WHEN len(tk) >= 2 THEN
+           list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+         ELSE [] END)) AS u(ngram)
+),
+per AS (
+  SELECT doc_id, bucket, COUNT(*) AS n FROM ng GROUP BY doc_id, bucket
+),
+cnt AS (
+  SELECT bucket, COUNT(*) AS cr,
+         COUNT(*) FILTER (WHERE lang = 'en') AS ct
+  FROM ng GROUP BY bucket
+),
+tot AS (SELECT SUM(cr) AS tr_tot, SUM(ct) AS tt_tot FROM cnt),
+lr AS (
+  SELECT bucket,
+         ROUND(ln(((ct + 1.0) * CAST(tr_tot + {_DSIR_B} AS DOUBLE))
+                  / ((cr + 1.0) * CAST(tt_tot + {_DSIR_B} AS DOUBLE))), 6)
+           AS lr
+  FROM cnt, tot
+)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_ngrams,
+       ROUND(CAST(SUM(CAST(n AS DECIMAL(18,0)) * CAST(lr AS DECIMAL(18,6)))
+                  AS DOUBLE), 6) AS dsir_logratio
+FROM per JOIN lr USING (bucket)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+EXT6_QUERIES = {
+    "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_SPANS_SQL),
+    "dup_span_doc_stats": (dup_span_doc_stats, DUP_SPAN_STATS_SQL),
+    "dsir_importance_weights": (dsir_importance_weights, DSIR_SQL),
+}

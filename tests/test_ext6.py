@@ -1,0 +1,172 @@
+"""Planted-corpus tests for the round-8 batch (plans/analytics_ext6):
+exact repeated n-gram spans, per-doc duplication stats, and DSIR
+hashed n-gram importance weights — expected values derived
+independently in Python (hashlib md5 for DSIR, hand-constructed
+duplication geometry for the spans)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from movie_data_pipeline_spark.plans.analytics_ext6 import (
+    _DSIR_B,
+    _SPAN_L,
+    _span_rows,
+    dup_span_doc_stats,
+    dsir_importance_weights,
+    repeated_ngram_spans,
+)
+
+assert _SPAN_L == 8  # the planted geometry below assumes L=8
+
+
+def _toks(prefix: str, n: int, start: int = 0) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(start, start + n))
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_repeated_spans_planted(spark):
+    shared12 = _toks("s", 12)         # 12-token run shared by docs 1/2
+    run8 = _toks("r", 8)              # 8-token run repeated INSIDE doc 3
+    rows = [
+        # docs 1 and 2: unique prefixes/suffixes around the shared run
+        (1, _toks("a", 5) + " " + shared12 + " " + _toks("b", 5), "en", "s"),
+        (2, _toks("c", 3) + " " + shared12 + " " + _toks("d", 9), "en", "s"),
+        # doc 3: the same 8-token run twice, separated by 10 unique toks
+        (3, run8 + " " + _toks("e", 10) + " " + run8, "en", "s"),
+        # doc 4: long, fully unique — must produce NO span rows
+        (4, _toks("u", 40), "en", "s"),
+        # doc 5: shorter than L — no windows at all
+        (5, _toks("v", 5), "en", "s"),
+    ]
+    spans = {
+        (r.doc_id, r.start_tok): (r.end_tok, r.span_toks, r.n_windows)
+        for r in _span_rows(_docs_df(spark, rows)).collect()
+    }
+    # doc 1: shared12 occupies token positions 6..17 → 5 windows
+    # (starts 6..10) merge into one span of 12 tokens
+    assert spans[(1, 6)] == (17, 12, 5)
+    # doc 2: shared12 at positions 4..15
+    assert spans[(2, 4)] == (15, 12, 5)
+    # doc 3: run8 at 1..8 and again at 19..26 (gap 10 > L keeps them
+    # separate islands), single window each
+    assert spans[(3, 1)] == (8, 8, 1)
+    assert spans[(3, 19)] == (26, 8, 1)
+    assert len(spans) == 4  # docs 4/5 contribute nothing
+
+
+def test_dup_span_doc_stats_planted(spark):
+    shared = _toks("s", 8)
+    rows = [
+        (1, shared + " " + _toks("a", 8), "en", "s"),   # 8 of 16 dup
+        (2, _toks("b", 4) + " " + shared, "en", "s"),   # 8 of 12 dup
+        (3, _toks("u", 20), "en", "s"),                  # clean
+    ]
+    docs = _docs_df(spark, rows).withColumnRenamed("source", "src")
+    # dup_span_doc_stats loads from parquet via the registry path;
+    # test the same logic composition directly on the planted frame
+    from pyspark.sql import functions as F
+
+    per_doc = _span_rows(docs).groupBy("doc_id").agg(
+        F.sum("span_toks").alias("dup_toks")
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_toks")
+    )
+    got = {
+        r.doc_id: (r.n_toks, r.dup_toks, r.frac)
+        for r in n_tok.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("dup_toks", F.lit(0)).alias("dup_toks"),
+            F.round(
+                F.coalesce("dup_toks", F.lit(0)) / F.col("n_toks").cast("double"), 6
+            ).alias("frac"),
+        )
+        .collect()
+    }
+    assert got[1] == (16, 8, 0.5)
+    assert got[2] == (12, 8, round(8 / 12, 6))
+    assert got[3] == (20, 0, 0.0)
+
+
+def _bucket(ngram: str) -> int:
+    h = hashlib.md5(ngram.encode()).hexdigest()
+    hexd = "0123456789abcdef"
+    return hexd.index(h[0]) * 16 + hexd.index(h[1])
+
+
+def _expected_dsir(rows):
+    per: dict[tuple[int, int], int] = {}
+    cr: dict[int, int] = {}
+    ct: dict[int, int] = {}
+    for doc_id, text, lang, _src in rows:
+        toks = text.split(" ")
+        ngrams = toks + [
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        ]
+        for ng in ngrams:
+            b = _bucket(ng)
+            per[(doc_id, b)] = per.get((doc_id, b), 0) + 1
+            cr[b] = cr.get(b, 0) + 1
+            if lang == "en":
+                ct[b] = ct.get(b, 0) + 1
+    tr_tot = sum(cr.values())
+    tt_tot = sum(ct.get(b, 0) for b in cr)
+    lr = {
+        b: round(
+            math.log(
+                ((ct.get(b, 0) + 1.0) * float(tr_tot + _DSIR_B))
+                / ((cr[b] + 1.0) * float(tt_tot + _DSIR_B))
+            ),
+            6,
+        )
+        for b in cr
+    }
+    out: dict[int, float] = {}
+    cnt: dict[int, int] = {}
+    for (doc_id, b), n in per.items():
+        out[doc_id] = round(out.get(doc_id, 0.0) + n * lr[b], 6)
+        cnt[doc_id] = cnt.get(doc_id, 0) + n
+    return cnt, out
+
+
+def test_dsir_weights_planted(spark, tmp_path):
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en", "s0"),
+        (2, "delta epsilon zeta", "fr", "s1"),
+        (3, "alpha beta delta", "en", "s0"),
+        (4, "zeta zeta zeta eta", "de", "s2"),
+        (5, "solo", "fr", "s1"),  # single token: no bigrams
+    ]
+    from pyspark.sql import functions as F
+
+    # the registry entry reads {sf}/documents.parquet — write the
+    # planted corpus through the same surface it consumes
+    df = _docs_df(spark, rows).withColumn("n_chars", F.length("text"))
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_ngrams, r.dsir_logratio)
+        for r in dsir_importance_weights(spark, str(tmp_path)).collect()
+    }
+    cnt, exp = _expected_dsir(rows)
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][0] == cnt[d], d
+        assert abs(got[d][1] - exp[d]) < 2e-6, (d, got[d][1], exp[d])
+    # direction: the all-target-vocabulary doc must outrank the
+    # all-non-target doc (per-doc signs are noisy at 5 docs, the
+    # RANKING is what DSIR selection consumes)
+    assert got[1][1] > 0
+    assert got[1][1] > got[4][1]
+    assert got[4][1] < 0
+
+
+def test_registry_entries_run_at_sf0001(spark):
+    for fn in (repeated_ngram_spans, dup_span_doc_stats, dsir_importance_weights):
+        assert fn(spark, "/root/testdata/sf0.001").count() >= 0
