@@ -346,8 +346,117 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Dedup survivor selection — the decision step EVERY dedup pipeline
+# runs after clustering: keep exactly one representative per
+# duplicate cluster, chosen by quality (ties broken by doc_id so the
+# pick is deterministic); singletons keep themselves. Full-output
+# oracled: the clusters come from the SQL-derivable exact-Jaccard
+# pairs (the cluster_check discipline — DuckDB recursive-CTE
+# transitive closure), the quality score is the driver-verified
+# doc_quality formula, and the pick is one ROW_NUMBER window.
+#
+# Scale shape: CC runs on the near-dup PAIR graph (tiny vs corpus),
+# quality is one corpus scan, and the pick is a window over
+# cluster_id — one shuffle keyed on clusters. 100 TB: identical plan.
+# ---------------------------------------------------------------------------
+
+
+def dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import duplicate_clusters
+    from .analytics import doc_quality, ngram_jaccard_exact
+
+    pairs = ngram_jaccard_exact(spark, sf, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    clusters = duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    qual = doc_quality(spark, sf)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        qual.join(clusters, "doc_id", "left")
+        .withColumn(
+            "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+        )
+        .withColumn("kept", F.row_number().over(w) == 1)
+        .select("doc_id", "cluster_id", "quality", "kept")
+        .orderBy("doc_id")
+    )
+
+
+# clusters: the cluster_check recursive closure over exact-Jaccard
+# pairs; quality: the doc_quality twin — both already driver-verified
+# on their own rows, composed here into the keep/drop decision.
+DEDUP_SURVIVORS_SQL = r"""
+WITH RECURSIVE
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                                    i -> array_to_string(toks[i:i+2], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS shset
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^\w'']+'),
+                       x -> x != '') AS toks
+    FROM documents
+  )
+),
+ex AS (SELECT doc_id, len(shset) AS n_sh, unnest(shset) AS shingle FROM sh),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / (any_value(a.n_sh) + any_value(b.n_sh) - COUNT(*)) >= 0.7
+),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+reach(node, r) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node
+),
+cl AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node),
+t AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
+         list_filter(string_split_regex(lower(text), '[^\w'']+'), x -> x != '') AS toks,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[\w\s]', '', 'g')) / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN len(list_filter(toks, x -> x IN
+                   ('the','and','of','to','in','is','that','it','for','with')))
+                   / len(toks)
+              ELSE 0.0 END AS stop_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         ROUND((least(n_tokens / 100.0, 1.0)
+              + (1.0 - least(punct_ratio * 5.0, 1.0))
+              + (1.0 - least(abs(stop_ratio - 0.4) * 2.0, 1.0))) / 3.0, 6)
+           AS quality
+  FROM s
+)
+SELECT q.doc_id, COALESCE(cl.cluster_id, q.doc_id) AS cluster_id, q.quality,
+       (ROW_NUMBER() OVER (PARTITION BY COALESCE(cl.cluster_id, q.doc_id)
+                           ORDER BY q.quality DESC, q.doc_id) = 1) AS kept
+FROM q LEFT JOIN cl USING (doc_id)
+ORDER BY q.doc_id
+"""
+
+
 EXT6_QUERIES = {
     "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_SPANS_SQL),
     "dup_span_doc_stats": (dup_span_doc_stats, DUP_SPAN_STATS_SQL),
     "dsir_importance_weights": (dsir_importance_weights, DSIR_SQL),
+    "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
 }

@@ -170,3 +170,26 @@ def test_dsir_weights_planted(spark, tmp_path):
 def test_registry_entries_run_at_sf0001(spark):
     for fn in (repeated_ngram_spans, dup_span_doc_stats, dsir_importance_weights):
         assert fn(spark, "/root/testdata/sf0.001").count() >= 0
+
+
+def test_dedup_survivors_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.plans.analytics_ext6 import dedup_survivors
+
+    out = dedup_survivors(spark, "/root/testdata/sf0.001").localCheckpoint()
+    n_docs = out.count()
+    assert n_docs == 500  # every document gets a keep/drop decision
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("kept").cast("int")).alias("n_kept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # exactly one survivor per cluster, singletons keep themselves
+    assert per_cluster.filter(F.col("n_kept") != 1).count() == 0
+    # within every multi-doc cluster the survivor has max quality
+    # (doc_id tie-break: no member may STRICTLY exceed the winner)
+    winners = out.filter("kept").select(
+        "cluster_id", F.col("quality").alias("wq")
+    )
+    losers = out.filter(~F.col("kept")).join(winners, "cluster_id")
+    assert losers.filter(F.col("quality") > F.col("wq")).count() == 0
