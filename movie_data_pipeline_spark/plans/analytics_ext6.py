@@ -81,14 +81,17 @@ def _dup_window_positions(docs: DataFrame) -> DataFrame:
         )
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.win").alias("win"))
         .withColumn("h", F.xxhash64("win"))
-        # reused by the hot-hash prefilter AND the exact verify — one
-        # materialization, ContextCleaner-reclaimed with the result
-        .localCheckpoint()
     )
     hot = w.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     ).select("h")
-    cand = w.join(hot, "h", "left_semi")
+    # materialize only the POST-prefilter candidate subset (true
+    # duplicates + vanishing 64-bit collisions): the full window
+    # relation is corpus_tokens-sized and is cheaper to re-derive
+    # from the scan (it feeds exactly two actions, both here) than to
+    # checkpoint at 100 TB; the candidates it collapses to are what
+    # the verify and the final semi-join both reuse.
+    cand = w.join(hot, "h", "left_semi").localCheckpoint()
     dup_win = (
         cand.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
