@@ -457,9 +457,101 @@ ORDER BY q.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD (median absolute deviation)
+# per event_type — the heavy-tail-safe complement of the IQR and
+# z-score families (one wild value moves a mean/stddev fence, not a
+# MAD fence). Cross-engine exactness: both medians are LOWER medians
+# — the k = ⌊(n+1)/2⌋-th ORDER STATISTIC, an element of the data, so
+# no interpolation (the engines' percentile interpolation is not
+# bit-compatible — the rolling_median_values lesson); |x−med|,
+# 3·mad, and the comparison are identical IEEE ops on identical
+# doubles. Scale shape: two sort-within-type window passes plus
+# per-type median tables AQE is free to broadcast (one row per
+# distinct event_type — not bounded by construction, so no hint) — the per-type sort is the
+# honest cost of an exact order statistic at scale (approximate
+# alternatives live in approx_quantiles_lineitem / the KLL gate).
+# ---------------------------------------------------------------------------
+
+
+def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    ev = load_events(spark, sf).select("event_type", "event_id", "value")
+    by_val = Window.partitionBy("event_type").orderBy("value", "event_id")
+    n_w = Window.partitionBy("event_type")
+    k = F.floor((F.count(F.lit(1)).over(n_w) + 1) / 2)
+    med = (
+        ev.withColumn("rn", F.row_number().over(by_val))
+        .withColumn("k", k)
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    by_dev = Window.partitionBy("event_type").orderBy("d", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(by_dev))
+        .withColumn("k", k)
+        .filter(F.col("rn") == F.col("k"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.col("d") > F.lit(3.0) * F.col("mad")).cast("int")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_MAD_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events
+),
+ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         CAST(FLOOR((COUNT(*) OVER (PARTITION BY event_type) + 1) / 2)
+              AS BIGINT) AS k
+  FROM ev
+),
+med AS (SELECT event_type, value AS med FROM ranked WHERE rn = k),
+dev AS (
+  SELECT e.event_type, e.event_id, e.value, m.med,
+         ABS(e.value - m.med) AS d
+  FROM ev e JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, d,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY d, event_id) AS rn,
+         CAST(FLOOR((COUNT(*) OVER (PARTITION BY event_type) + 1) / 2)
+              AS BIGINT) AS k
+  FROM dev
+),
+mad AS (SELECT event_type, d AS mad FROM dranked WHERE rn = k)
+SELECT v.event_type, COUNT(*) AS n,
+       ANY_VALUE(v.med) AS med, ANY_VALUE(a.mad) AS mad,
+       CAST(SUM(CASE WHEN v.d > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM dev v JOIN mad a USING (event_type)
+GROUP BY v.event_type ORDER BY v.event_type
+"""
+
+
 EXT6_QUERIES = {
     "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_SPANS_SQL),
     "dup_span_doc_stats": (dup_span_doc_stats, DUP_SPAN_STATS_SQL),
     "dsir_importance_weights": (dsir_importance_weights, DSIR_SQL),
     "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
+    "value_mad_outliers": (value_mad_outliers, VALUE_MAD_SQL),
 }

@@ -172,6 +172,35 @@ def test_registry_entries_run_at_sf0001(spark):
         assert fn(spark, "/root/testdata/sf0.001").count() >= 0
 
 
+def test_value_mad_outliers_planted(spark, tmp_path):
+    """Hand-computed MAD geometry: values [1,2,3,4,100] → lower median
+    3 (k = 3 of 5), deviations [2,1,0,1,97] → MAD 1, fence 3·1 = 3,
+    outliers = {97} → 1. A second type with constant values has
+    MAD 0 and the strict > fence flags nothing."""
+    import datetime as dt
+
+    from movie_data_pipeline_spark.plans.analytics_ext6 import (
+        value_mad_outliers,
+    )
+
+    rows = [
+        (i + 1, dt.datetime(2024, 1, 1, 0, i), 1, "a", v, "{}")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ] + [
+        (i + 10, dt.datetime(2024, 1, 1, 1, i), 2, "b", 7.0, "{}")
+        for i in range(3)
+    ]
+    spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r.event_type: (r.n, r.med, r.mad, r.n_outliers)
+        for r in value_mad_outliers(spark, str(tmp_path)).collect()
+    }
+    assert got["a"] == (5, 3.0, 1.0, 1)
+    assert got["b"] == (3, 7.0, 0.0, 0)
+
+
 def test_dedup_survivors_invariants(spark):
     from pyspark.sql import functions as F
 
