@@ -548,10 +548,62 @@ GROUP BY v.event_type ORDER BY v.event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Z-order clustering key (operators/zorder.py): the Morton interleave
+# of (lang dictionary rank, n_chars) per document — the sort key a
+# Delta-style OPTIMIZE ZORDER BY would cluster files on so parquet
+# min/max stats prune on EITHER column. The rank comes from a
+# dim-sized sorted-distinct join (never a global-window rank); the
+# interleave is pure bit arithmetic generated by the SAME unroller
+# for the Spark plan and the SQL twin. The physical write path
+# (repartitionByRange + sortWithinPartitions) is exercised by the
+# row-group-stats test, which measures the min/max narrowing.
+# ---------------------------------------------------------------------------
+
+
+def zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.zorder import morton2
+
+    docs = load_table(spark, sf, "documents")
+    lang_rank = (
+        docs.select("lang")
+        .distinct()
+        .withColumn(
+            "lang_rank",
+            F.row_number().over(Window.orderBy("lang")) - 1,
+        )
+    )
+    return (
+        docs.join(lang_rank, "lang")
+        .select(
+            "doc_id",
+            morton2(F.col("lang_rank"), F.col("n_chars")).alias("zkey"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _zorder_sql() -> str:
+    from ..operators.zorder import morton2_sql
+
+    return f"""
+WITH lr AS (
+  SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT)
+           AS lang_rank
+  FROM (SELECT DISTINCT lang FROM documents)
+)
+SELECT d.doc_id,
+       {morton2_sql("lr.lang_rank", "d.n_chars")} AS zkey
+FROM documents d JOIN lr USING (lang)
+ORDER BY d.doc_id
+"""
+
+
 EXT6_QUERIES = {
     "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_SPANS_SQL),
     "dup_span_doc_stats": (dup_span_doc_stats, DUP_SPAN_STATS_SQL),
     "dsir_importance_weights": (dsir_importance_weights, DSIR_SQL),
     "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
     "value_mad_outliers": (value_mad_outliers, VALUE_MAD_SQL),
+    "zorder_docs": (zorder_docs, _zorder_sql()),
 }
