@@ -549,20 +549,22 @@ GROUP BY v.event_type ORDER BY v.event_type
 
 
 # ---------------------------------------------------------------------------
-# Z-order clustering key (operators/zorder.py): the Morton interleave
-# of (lang dictionary rank, n_chars) per document — the sort key a
-# Delta-style OPTIMIZE ZORDER BY would cluster files on so parquet
-# min/max stats prune on EITHER column. The rank comes from a
-# dim-sized sorted-distinct join (never a global-window rank); the
-# interleave is pure bit arithmetic generated by the SAME unroller
-# for the Spark plan and the SQL twin. The physical write path
-# (repartitionByRange + sortWithinPartitions) is exercised by the
-# row-group-stats test, which measures the min/max narrowing.
+# Z-order clustering key: the Morton interleave of (lang dictionary
+# rank, n_chars) per document — the sort key sinks.write_zordered
+# clusters files on so parquet min/max stats prune on EITHER column
+# (the Delta OPTIMIZE ZORDER BY shape; the write path and its
+# measured row-group narrowing are unit-tested in
+# tests/test_operators.py). This entry puts the KEY COMPUTATION
+# itself — sinks.zorder_key's exact bit layout, col i bit b → key
+# position b·n+i — under the driver's cross-engine hash via an SQL
+# twin generated by a mirror unroller. The lang rank comes from a
+# dim-sized sorted-distinct join (never a global-window rank);
+# n_chars is already a bounded non-negative int, used raw.
 # ---------------------------------------------------------------------------
 
 
 def zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.zorder import morton2
+    from ..sources.sinks import zorder_key
 
     docs = load_table(spark, sf, "documents")
     lang_rank = (
@@ -577,15 +579,23 @@ def zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
         docs.join(lang_rank, "lang")
         .select(
             "doc_id",
-            morton2(F.col("lang_rank"), F.col("n_chars")).alias("zkey"),
+            zorder_key(
+                [F.col("lang_rank"), F.col("n_chars")], bits=16
+            ).alias("zkey"),
         )
         .orderBy("doc_id")
     )
 
 
-def _zorder_sql() -> str:
-    from ..operators.zorder import morton2_sql
-
+def _zorder_sql(bits: int = 16) -> str:
+    # mirror of sinks.zorder_key's unroller: col i bit b → position b·n+i
+    cols = ["lr.lang_rank", "d.n_chars"]
+    terms = [
+        f"((({c} >> {b}) & 1) << {b * len(cols) + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    interleave = "(" + " | ".join(terms) + ")"
     return f"""
 WITH lr AS (
   SELECT lang, CAST(ROW_NUMBER() OVER (ORDER BY lang) - 1 AS BIGINT)
@@ -593,7 +603,7 @@ WITH lr AS (
   FROM (SELECT DISTINCT lang FROM documents)
 )
 SELECT d.doc_id,
-       {morton2_sql("lr.lang_rank", "d.n_chars")} AS zkey
+       {interleave} AS zkey
 FROM documents d JOIN lr USING (lang)
 ORDER BY d.doc_id
 """

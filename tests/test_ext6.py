@@ -167,71 +167,6 @@ def test_dsir_weights_planted(spark, tmp_path):
     assert got[4][1] < 0
 
 
-def test_morton2_planted(spark):
-    from pyspark.sql import functions as F
-
-    from movie_data_pipeline_spark.operators.zorder import morton2
-
-    # morton2(a, b): a bits land on even positions, b bits on odd.
-    # (3, 1): a = 0b11 -> out 0,2 ; b = 0b1 -> out 1  => 0b111 = 7
-    # (5, 6): a = 0b101 -> out 0,4 (17); b = 0b110 -> out 3,5 (40) => 57
-    rows = [(3, 1, 7), (5, 6, 57), (0, 0, 0), (0, 1, 2), (1, 0, 1)]
-    df = spark.createDataFrame(rows, ["a", "b", "want"]).withColumn(
-        "got", morton2(F.col("a"), F.col("b"))
-    )
-    assert df.filter(F.col("got") != F.col("want")).count() == 0
-
-
-def test_zorder_write_narrows_both_dims(spark, tmp_path):
-    """The data-skipping claim, measured: z-ordered files cover
-    compact Morton rectangles, so PER-FILE min/max spans narrow on
-    BOTH dimensions; a sequential (insertion-ordered) write keeps x
-    local but leaves y spanning its whole range in every file."""
-    from pathlib import Path
-
-    import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
-
-    from movie_data_pipeline_spark.operators.zorder import zorder_write
-
-    df = (
-        spark.range(8192)
-        .select(
-            (F.col("id") / 32).cast("long").alias("x"),  # 0..255, sorted
-            ((F.col("id") * 37) % 256).alias("y"),       # 0..255, scattered
-        )
-    )
-    zpath, npath = str(tmp_path / "z"), str(tmp_path / "n")
-    zorder_write(df, zpath, F.col("x"), F.col("y"), n_files=8, bits=8)
-    df.coalesce(8).write.mode("overwrite").parquet(npath)
-
-    def spans(path, col):
-        out = []
-        for f in sorted(Path(path).glob("*.parquet")):
-            md = pq.ParquetFile(str(f)).metadata
-            idx = md.schema.names.index(col)
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(idx).statistics
-                out.append(st.max - st.min)
-        return out
-
-    # naive write: y spans ~the full 0..255 range in every row group
-    assert min(spans(npath, "y")) > 200
-    # z-ordered: the TYPICAL row group covers a narrow rectangle on
-    # BOTH dims (a sampled range boundary may straddle one Morton
-    # high-bit flip, so one straggler group per dim is allowed —
-    # range partitioning's documented approximation)
-    for col in ("x", "y"):
-        sp = sorted(spans(zpath, col))
-        assert sp[len(sp) // 2] <= 160, (col, sp)
-        assert sum(1 for s in sp if s <= 160) >= len(sp) - 1, (col, sp)
-    # and the table is the same multiset of rows
-    assert (
-        spark.read.parquet(zpath).exceptAll(df).count() == 0
-        and df.exceptAll(spark.read.parquet(zpath)).count() == 0
-    )
-
-
 def test_registry_entries_run_at_sf0001(spark):
     for fn in (repeated_ngram_spans, dup_span_doc_stats, dsir_importance_weights):
         assert fn(spark, "/root/testdata/sf0.001").count() >= 0
