@@ -609,6 +609,152 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Model-evaluation ops over the scored embeddings — the metrics a
+# training pipeline computes at data scale (score a 100 TB eval set,
+# aggregate; no driver-side sklearn). Both reuse the fixed sigmoid
+# scorer of stats.py::embedding_model_scores (bit-exactness
+# precedent: fixed-order fold + identical double literals) against
+# the synthetic binary target label >= 5.
+#
+# Exactness: per-row scores round to 6 dp before the exact decimal
+# sum (charlm discipline); counts are integers; every ratio divides
+# once and rounds to 6. The PR sweep crossJoins a 9-row literal
+# threshold frame (bounded by construction — broadcast is free
+# either way, AQE handles it).
+# ---------------------------------------------------------------------------
+
+_SCORE_W = [((-1.0) ** j) / (j + 1.0) for j in range(64)]
+
+
+def _sigmoid_score() -> F.Column:
+    w_col = F.array(*[F.lit(float(x)) for x in _SCORE_W])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), w_col, lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return 1.0 / (1.0 + F.exp(-dot))
+
+
+_SCORE_SQL = (
+    "1.0 / (1.0 + exp(-list_reduce(list_transform(range(0, 64), "
+    "j -> CAST(CAST(embedding AS FLOAT[])[j + 1] AS DOUBLE) * "
+    "CAST((-1.0) ** j / (j + 1.0) AS DOUBLE)), (a, b) -> a + b)))"
+)
+
+
+def score_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram input: per score decile, the mean
+    predicted probability vs the observed positive rate — a
+    calibrated model tracks the diagonal. One scan, one 10-group
+    aggregate."""
+    emb = load_table(spark, sf, "embeddings")
+    s = emb.select(
+        F.floor(_sigmoid_score() * 10).cast("int").alias("bin"),
+        F.round(_sigmoid_score(), 6).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+    )
+    return (
+        s.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                _dec_sum(F.col("score")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_score"),
+            F.round(F.sum("pos") / F.count(F.lit(1)), 6).alias("pos_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+SCORE_CALIBRATION_SQL = f"""
+WITH s AS (
+  SELECT CAST(FLOOR({_SCORE_SQL} * 10) AS INT) AS bin,
+         ROUND({_SCORE_SQL}, 6) AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+)
+SELECT bin, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_score,
+       ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+FROM s GROUP BY bin ORDER BY bin
+"""
+
+
+def score_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall at nine thresholds (0.1 … 0.9) in one
+    conditional aggregation — the threshold frame is a 9-row literal,
+    so the sweep costs one scan regardless of corpus size."""
+    emb = load_table(spark, sf, "embeddings")
+    s = emb.select(
+        _sigmoid_score().alias("score"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+    )
+    thresholds = spark.createDataFrame(
+        [(i, float(repr(i / 10))) for i in range(1, 10)], ["ti", "t"]
+    )
+    agg = (
+        s.crossJoin(thresholds)  # 9-row side, bounded by construction
+        .groupBy("ti", "t")
+        .agg(
+            F.sum(
+                ((F.col("score") >= F.col("t")) & (F.col("pos") == 1)).cast("long")
+            ).alias("tp"),
+            F.sum(
+                ((F.col("score") >= F.col("t")) & (F.col("pos") == 0)).cast("long")
+            ).alias("fp"),
+            F.sum(
+                ((F.col("score") < F.col("t")) & (F.col("pos") == 1)).cast("long")
+            ).alias("fn"),
+        )
+    )
+    return agg.select(
+        F.col("ti").cast("int").alias("ti"),
+        F.round("t", 1).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall"),
+    ).orderBy("ti")
+
+
+SCORE_PR_SQL = f"""
+WITH s AS (
+  SELECT {_SCORE_SQL} AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+t AS (SELECT CAST(i AS INT) AS ti, i / 10.0 AS t
+      FROM UNNEST(range(1, 10)) AS u(i)),
+agg AS (
+  SELECT ti, t,
+         SUM(CASE WHEN score >= t AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+         SUM(CASE WHEN score >= t AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+         SUM(CASE WHEN score <  t AND pos = 1 THEN 1 ELSE 0 END) AS fn
+  FROM s, t GROUP BY ti, t
+)
+SELECT ti, ROUND(t, 1) AS threshold,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       CASE WHEN tp + fp > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+       CASE WHEN tp + fn > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall
+FROM agg ORDER BY ti
+"""
+
+
 EXT6_QUERIES = {
     "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_SPANS_SQL),
     "dup_span_doc_stats": (dup_span_doc_stats, DUP_SPAN_STATS_SQL),
@@ -616,4 +762,6 @@ EXT6_QUERIES = {
     "dedup_survivors": (dedup_survivors, DEDUP_SURVIVORS_SQL),
     "value_mad_outliers": (value_mad_outliers, VALUE_MAD_SQL),
     "zorder_docs": (zorder_docs, _zorder_sql()),
+    "score_calibration_bins": (score_calibration_bins, SCORE_CALIBRATION_SQL),
+    "score_pr_curve": (score_pr_curve, SCORE_PR_SQL),
 }

@@ -201,6 +201,37 @@ def test_value_mad_outliers_planted(spark, tmp_path):
     assert got["b"] == (3, 7.0, 0.0, 0)
 
 
+def test_score_pr_curve_planted(spark, tmp_path):
+    """The scorer's weight vector has w[0] = 1.0, so an embedding
+    [x, 0, ..., 0] scores sigmoid(x) exactly — plant four vectors at
+    known scores and check the confusion counts at every threshold
+    against a Python reimplementation."""
+    import math
+
+    from movie_data_pipeline_spark.plans.analytics_ext6 import score_pr_curve
+
+    xs = [(-2.0, 9), (0.0, 3), (2.0, 7), (1.0, 1)]  # (x, label)
+    rows = [
+        (i, [float(x)] + [0.0] * 63, lab) for i, (x, lab) in enumerate(xs)
+    ]
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).selectExpr(
+        "vec_id", "CAST(embedding AS array<float>) AS embedding",
+        "CAST(label AS int) AS label"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    scores = [(1.0 / (1.0 + math.exp(-x)), lab >= 5) for x, lab in xs]
+    got = {r.ti: (r.tp, r.fp, r.fn, r.precision, r.recall)
+           for r in score_pr_curve(spark, str(tmp_path)).collect()}
+    for ti in range(1, 10):
+        t = float(repr(ti / 10))
+        tp = sum(1 for s, p in scores if s >= t and p)
+        fp = sum(1 for s, p in scores if s >= t and not p)
+        fn = sum(1 for s, p in scores if s < t and p)
+        prec = round(tp / (tp + fp), 6) if tp + fp else None
+        rec = round(tp / (tp + fn), 6) if tp + fn else None
+        assert got[ti] == (tp, fp, fn, prec, rec), (ti, got[ti])
+
+
 def test_dedup_survivors_invariants(spark):
     from pyspark.sql import functions as F
 
