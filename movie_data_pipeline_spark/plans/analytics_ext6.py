@@ -755,6 +755,68 @@ FROM agg ORDER BY ti
 """
 
 
+def score_auc(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact ROC-AUC as the Mann–Whitney U rank statistic:
+    AUC = (Σ midrank(positives) − n₊(n₊+1)/2) / (n₊·n₋), with
+    midranks (RANK + (ties−1)/2) handling equal scores exactly — the
+    textbook identity, no curve integration, no thresholds. Midranks
+    are exact .0/.5 doubles, so the decimal sum is lossless and the
+    single division rounds once. Scale shape: one global sort of
+    (score) — the honest cost of an exact rank statistic (the
+    approximate path at 100 TB buckets scores through
+    approx_percentile and loses exactness); everything after the
+    rank is a 1-row aggregate."""
+    emb = load_table(spark, sf, "embeddings")
+    s = emb.select(
+        _sigmoid_score().alias("score"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+    )
+    ranked = s.select(
+        "pos",
+        (
+            F.rank().over(Window.orderBy("score"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
+        ).alias("midrank"),
+    )
+    return ranked.agg(
+        F.sum("pos").alias("n_pos"),
+        F.sum(1 - F.col("pos")).alias("n_neg"),
+        F.round(
+            (
+                _dec_sum(F.when(F.col("pos") == 1, F.col("midrank"))).cast(
+                    "double"
+                )
+                - (F.sum("pos") * (F.sum("pos") + 1)) / 2.0
+            )
+            / (F.sum("pos") * F.sum(1 - F.col("pos"))),
+            6,
+        ).alias("auc"),
+    )
+
+
+SCORE_AUC_SQL = f"""
+WITH s AS (
+  SELECT {_SCORE_SQL} AS score,
+         CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+  FROM embeddings
+),
+r AS (
+  SELECT pos,
+         RANK() OVER (ORDER BY score)
+         + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS midrank
+  FROM s
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+       ROUND((CAST(SUM(CASE WHEN pos = 1
+                            THEN CAST(midrank AS DECIMAL(30,6)) END)
+                   AS DOUBLE)
+              - (SUM(pos) * (SUM(pos) + 1)) / 2.0)
+             / (SUM(pos) * SUM(1 - pos)), 6) AS auc
+FROM r
+"""
+
+
 EXT6_QUERIES = {
     "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_SPANS_SQL),
     "dup_span_doc_stats": (dup_span_doc_stats, DUP_SPAN_STATS_SQL),
@@ -764,4 +826,5 @@ EXT6_QUERIES = {
     "zorder_docs": (zorder_docs, _zorder_sql()),
     "score_calibration_bins": (score_calibration_bins, SCORE_CALIBRATION_SQL),
     "score_pr_curve": (score_pr_curve, SCORE_PR_SQL),
+    "score_auc": (score_auc, SCORE_AUC_SQL),
 }

@@ -231,6 +231,13 @@ def test_score_pr_curve_planted(spark, tmp_path):
         rec = round(tp / (tp + fn), 6) if tp + fn else None
         assert got[ti] == (tp, fp, fn, prec, rec), (ti, got[ti])
 
+    # AUC over the same planted scores: positives {σ(-2), σ(2)},
+    # negatives {σ(0), σ(1)} — exactly 2 of 4 pos>neg pairs → 0.5
+    from movie_data_pipeline_spark.plans.analytics_ext6 import score_auc
+
+    auc_row = score_auc(spark, str(tmp_path)).collect()[0]
+    assert (auc_row.n_pos, auc_row.n_neg, auc_row.auc) == (2, 2, 0.5)
+
 
 def test_dedup_survivors_invariants(spark):
     from pyspark.sql import functions as F
