@@ -1,13 +1,22 @@
-"""Sixth registry batch (round 8): training-data curation depth —
-exact repeated n-gram SPAN detection (the token-level shape of Lee et
-al. 2022's "Deduplicating Training Data Makes Language Models Better"
-ExactSubstr dedup: find every maximal run of text whose fixed-length
-windows all recur elsewhere in the corpus), the per-document
-duplication profile built on it (the "what fraction of this doc is
-memorized-elsewhere text" filter signal), and DSIR-style hashed
-n-gram importance weights (Xie et al., NeurIPS'23: log-likelihood
-ratio of a target vs raw hashed-feature distribution — the classic
-cheap data-selection score).
+"""Sixth registry batch (round 8): training-data curation depth and
+model-evaluation metrics —
+
+- exact repeated n-gram SPAN detection (the token-level shape of Lee
+  et al. 2022's "Deduplicating Training Data Makes Language Models
+  Better" ExactSubstr dedup) + the per-document duplication profile
+  built on it (the "what fraction of this doc is memorized-elsewhere
+  text" filter signal);
+- DSIR-style hashed n-gram importance weights (Xie et al.,
+  NeurIPS'23: log-likelihood ratio of a target vs raw hashed-feature
+  distribution — the classic cheap data-selection score);
+- dedup survivor selection (one best-quality representative per
+  duplicate cluster — the keep/drop decision after clustering);
+- robust median/MAD outlier fences (exact order statistics);
+- the Z-order clustering key (sinks.zorder_key's exact Morton bit
+  layout under the driver's cross-engine hash);
+- model evaluation at data scale: calibration bins, a one-scan
+  precision/recall threshold sweep, and exact ROC-AUC via the
+  Mann–Whitney rank statistic.
 
 Same contract rules as plans/analytics.py: identical column aliases
 in the DataFrame plan and the DuckDB oracle SQL, per-term rounding to

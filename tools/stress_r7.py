@@ -62,17 +62,39 @@ def timed(label: str, build) -> float:
 
 
 def build_warehouse(spark, k: int) -> str:
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text"
+    docs_full = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs = docs_full.select("doc_id", "text")
+    n_docs = docs.count()
+    # re-attach the metadata columns the curation/DSIR entries read
+    # (perturbed_copies keeps only doc_id/text; copy i of doc d has
+    # id d + i·n, so d = id % n recovers the original's lang/source)
+    meta = docs_full.select(
+        F.col("doc_id").alias("orig_id"), "lang", "source"
     )
-    perturbed_copies(docs, k).write.mode("overwrite").parquet(
-        f"{TMP}/documents.parquet"
+    (
+        perturbed_copies(docs, k)
+        .withColumn("orig_id", F.col("doc_id") % n_docs)
+        .join(meta, "orig_id")
+        .select(
+            "doc_id", "text", "lang", "source",
+            F.length("text").alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{TMP}/documents.parquet")
     )
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
-        "vec_id", "embedding"
-    )
-    perturbed_vectors(emb, k).write.mode("overwrite").parquet(
-        f"{TMP}/embeddings.parquet"
+    emb_full = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb_full.select("vec_id", "embedding")
+    n_vecs = emb.count()
+    # carry label through the copies (perturbed_vectors keeps only
+    # vec_id/embedding; copy i of vector v has id v + i·n)
+    vmeta = emb_full.select(F.col("vec_id").alias("orig_vid"), "label")
+    (
+        perturbed_vectors(emb, k)
+        .withColumn("orig_vid", F.col("vec_id") % n_vecs)
+        .join(vmeta, "orig_vid")
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite")
+        .parquet(f"{TMP}/embeddings.parquet")
     )
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     me = ev.agg(F.max("event_id")).collect()[0][0] + 1
