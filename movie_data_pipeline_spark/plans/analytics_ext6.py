@@ -707,7 +707,10 @@ def score_pr_curve(spark: SparkSession, sf: str) -> DataFrame:
         [(i, float(repr(i / 10))) for i in range(1, 10)], ["ti", "t"]
     )
     agg = (
-        s.crossJoin(thresholds)  # 9-row side, bounded by construction
+        # hint the 9-row literal frame (bounded by construction):
+        # unhinted, AQE broadcast the CORPUS side at test SF — the
+        # reversed build side a 100 TB eval set cannot survive
+        s.crossJoin(F.broadcast(thresholds))
         .groupBy("ti", "t")
         .agg(
             F.sum(
