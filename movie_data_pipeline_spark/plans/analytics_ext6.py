@@ -829,6 +829,53 @@ FROM r
 """
 
 
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding — the leakage-safe categorical
+# feature: each row's encoding is its group's target mean COMPUTED
+# WITHOUT THE ROW ((Σ_grp − x) / (n_grp − 1)), so a model can't read
+# its own label back out of the feature. Exactness: the group sum is
+# one exact decimal aggregate; the subtraction stays in decimal
+# (cents are exact); the single division rounds once. Singleton
+# groups encode NULL (no leave-one-out mean exists — the caller
+# falls back to a global prior). One window pass, no joins.
+# ---------------------------------------------------------------------------
+
+
+def priority_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    grp = Window.partitionBy("o_orderpriority")
+    tot = F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(grp)
+    n = F.count(F.lit(1)).over(grp)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(
+                n > 1,
+                F.round(
+                    (tot - F.col("o_totalprice").cast("decimal(30,2)"))
+                    .cast("double")
+                    / (n - 1),
+                    6,
+                ),
+            ).alias("loo_mean_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+PRIORITY_LOO_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CASE WHEN COUNT(*) OVER (PARTITION BY o_orderpriority) > 1
+            THEN ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2)))
+                              OVER (PARTITION BY o_orderpriority)
+                            - CAST(o_totalprice AS DECIMAL(30,2)) AS DOUBLE)
+                       / (COUNT(*) OVER (PARTITION BY o_orderpriority) - 1), 6)
+       END AS loo_mean_price
+FROM orders ORDER BY o_orderkey
+"""
+
+
 EXT6_QUERIES = {
     "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_SPANS_SQL),
     "dup_span_doc_stats": (dup_span_doc_stats, DUP_SPAN_STATS_SQL),
@@ -839,4 +886,5 @@ EXT6_QUERIES = {
     "score_calibration_bins": (score_calibration_bins, SCORE_CALIBRATION_SQL),
     "score_pr_curve": (score_pr_curve, SCORE_PR_SQL),
     "score_auc": (score_auc, SCORE_AUC_SQL),
+    "priority_loo_encoding": (priority_loo_encoding, PRIORITY_LOO_SQL),
 }

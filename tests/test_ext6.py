@@ -239,6 +239,34 @@ def test_score_pr_curve_planted(spark, tmp_path):
     assert (auc_row.n_pos, auc_row.n_neg, auc_row.auc) == (2, 2, 0.5)
 
 
+def test_priority_loo_encoding_planted(spark, tmp_path):
+    """Group [10, 20, 60]: loo(10) = 40.0, loo(20) = 35.0,
+    loo(60) = 15.0; a singleton group encodes NULL."""
+    import datetime as dt
+
+    from movie_data_pipeline_spark.plans.analytics_ext6 import (
+        priority_loo_encoding,
+    )
+
+    d = dt.date(2024, 1, 1)
+    rows = [
+        (1, 1, "O", 10.0, d, "1-URGENT"),
+        (2, 1, "O", 20.0, d, "1-URGENT"),
+        (3, 1, "O", 60.0, d, "1-URGENT"),
+        (4, 1, "O", 99.0, d, "5-LOW"),
+    ]
+    spark.createDataFrame(
+        rows,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    got = {
+        r.o_orderkey: r.loo_mean_price
+        for r in priority_loo_encoding(spark, str(tmp_path)).collect()
+    }
+    assert got == {1: 40.0, 2: 35.0, 3: 15.0, 4: None}
+
+
 def test_dedup_survivors_invariants(spark):
     from pyspark.sql import functions as F
 
