@@ -876,6 +876,123 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov drift statistic between the
+# event stream's time halves — the distribution-free complement of
+# value_drift_psi (PSI needs binning; KS is exact on the raw
+# values): D = max over distinct values of |ECDF_early − ECDF_late|.
+#
+# Scale-correct exact ECDF (no single-partition global window): a
+# 1-row bounds broadcast assigns each distinct value a fixed-width
+# BUCKET; cumulative counts run in parallel windows WITHIN each
+# bucket, and the cross-bucket prefix comes from a ≤256-row bucket
+# total table (bounded by construction → broadcast). The oracle
+# computes the same ECDFs with a plain cumulative window — identical
+# values, so the hash compare proves the parallel decomposition.
+# Precondition (holds for the event corpus): both halves non-empty.
+# ---------------------------------------------------------------------------
+
+
+def value_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
+    from .analytics import load_events
+
+    e = load_events(spark, sf).select("ts_sec", F.col("value").cast("double"))
+    bounds = e.agg(
+        F.min("ts_sec").alias("t0"), F.max("ts_sec").alias("t1"),
+        F.min("value").alias("v0"), F.max("value").alias("v1"),
+    )
+    g = (
+        e.crossJoin(F.broadcast(bounds))  # 1-row side
+        .select(
+            "value",
+            # same constant-column guard as value_drift_psi
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("v0"))
+                    / F.greatest(
+                        (F.col("v1") - F.col("v0")) / F.lit(256.0),
+                        F.lit(1e-300),
+                    )
+                ).cast("int"),
+                F.lit(255),
+            ).alias("bucket"),
+            (F.col("ts_sec") * 2 < F.col("t0") + F.col("t1")).alias("early"),
+        )
+        .groupBy("bucket", "value")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("ne"),
+            F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("nl"),
+        )
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("value")
+    g = g.select(
+        "bucket", "value",
+        F.sum("ne").over(in_bucket).alias("ce_in"),
+        F.sum("nl").over(in_bucket).alias("cl_in"),
+    )
+    # ≤256-row prefix table: totals per bucket, cumulated over the
+    # bucket ids (a window over a bounded relation), EXCLUSIVE prefix
+    btot = (
+        g.groupBy("bucket")
+        .agg(F.max("ce_in").alias("be"), F.max("cl_in").alias("bl"))
+    )
+    over_buckets = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = btot.select(
+        "bucket",
+        F.coalesce(F.sum("be").over(over_buckets), F.lit(0)).alias("pe"),
+        F.coalesce(F.sum("bl").over(over_buckets), F.lit(0)).alias("pl"),
+    )
+    cum = g.join(F.broadcast(prefix), "bucket").select(
+        (F.col("ce_in") + F.col("pe")).alias("ce"),
+        (F.col("cl_in") + F.col("pl")).alias("cl"),
+    )
+    tot = cum.agg(F.max("ce").alias("te"), F.max("cl").alias("tl"))
+    return (
+        cum.crossJoin(F.broadcast(tot))  # 1-row side
+        .agg(
+            F.max("te").alias("n_early"),
+            F.max("tl").alias("n_late"),
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ce") / F.col("te") - F.col("cl") / F.col("tl")
+                    )
+                ),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+VALUE_DRIFT_KS_SQL = """
+WITH e AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+         CAST(value AS DOUBLE) AS value
+  FROM events
+),
+b AS (SELECT MIN(ts_sec) AS t0, MAX(ts_sec) AS t1 FROM e),
+g AS (
+  SELECT value,
+         SUM(CASE WHEN e.ts_sec * 2 < b.t0 + b.t1 THEN 1 ELSE 0 END) AS ne,
+         SUM(CASE WHEN e.ts_sec * 2 < b.t0 + b.t1 THEN 0 ELSE 1 END) AS nl
+  FROM e, b GROUP BY value
+),
+c AS (
+  SELECT SUM(ne) OVER (ORDER BY value) AS ce,
+         SUM(nl) OVER (ORDER BY value) AS cl
+  FROM g
+),
+t AS (SELECT MAX(ce) AS te, MAX(cl) AS tl FROM c)
+SELECT CAST(MAX(t.te) AS BIGINT) AS n_early,
+       CAST(MAX(t.tl) AS BIGINT) AS n_late,
+       ROUND(MAX(ABS(CAST(c.ce AS DOUBLE) / t.te
+                     - CAST(c.cl AS DOUBLE) / t.tl)), 6) AS ks_stat
+FROM c, t
+"""
+
+
 EXT6_QUERIES = {
     "repeated_ngram_spans": (repeated_ngram_spans, REPEATED_SPANS_SQL),
     "dup_span_doc_stats": (dup_span_doc_stats, DUP_SPAN_STATS_SQL),
@@ -887,4 +1004,5 @@ EXT6_QUERIES = {
     "score_pr_curve": (score_pr_curve, SCORE_PR_SQL),
     "score_auc": (score_auc, SCORE_AUC_SQL),
     "priority_loo_encoding": (priority_loo_encoding, PRIORITY_LOO_SQL),
+    "value_drift_ks": (value_drift_ks, VALUE_DRIFT_KS_SQL),
 }
