@@ -773,22 +773,63 @@ def score_auc(spark: SparkSession, sf: str) -> DataFrame:
     midranks (RANK + (ties−1)/2) handling equal scores exactly — the
     textbook identity, no curve integration, no thresholds. Midranks
     are exact .0/.5 doubles, so the decimal sum is lossless and the
-    single division rounds once. Scale shape: one global sort of
-    (score) — the honest cost of an exact rank statistic (the
-    approximate path at 100 TB buckets scores through
-    approx_percentile and loses exactness); everything after the
-    rank is a 1-row aggregate."""
+    single division rounds once.
+
+    The global rank is computed WITHOUT a single-partition window
+    (the value_drift_ks decomposition): fixed-width score buckets
+    from a 1-row bounds broadcast, parallel in-bucket RANK windows,
+    and a ≤256-row cross-bucket prefix table. Equal scores land in
+    the same bucket (the bucket is a function of the score), so ties
+    never span buckets and global RANK = bucket prefix + in-bucket
+    RANK exactly; the tie count is a parallel per-score window. The
+    DuckDB twin ranks with a plain global window — the hash match
+    proves the decomposition."""
     emb = load_table(spark, sf, "embeddings")
     s = emb.select(
         _sigmoid_score().alias("score"),
         (F.col("label") >= 5).cast("int").alias("pos"),
     )
-    ranked = s.select(
-        "pos",
-        (
-            F.rank().over(Window.orderBy("score"))
-            + (F.count(F.lit(1)).over(Window.partitionBy("score")) - 1) / 2.0
-        ).alias("midrank"),
+    bounds = s.agg(F.min("score").alias("s0"), F.max("score").alias("s1"))
+    b = (
+        s.crossJoin(F.broadcast(bounds))  # 1-row side
+        .select(
+            "score", "pos",
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("s0"))
+                    / F.greatest(
+                        (F.col("s1") - F.col("s0")) / F.lit(256.0),
+                        F.lit(1e-300),
+                    )
+                ).cast("int"),
+                F.lit(255),
+            ).alias("bucket"),
+        )
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("score")
+    prefix_w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bn").over(prefix_w), F.lit(0)).alias("pfx"),
+        )
+    )
+    ranked = (
+        b.withColumn("r_in", F.rank().over(in_bucket))
+        .withColumn(
+            "ties", F.count(F.lit(1)).over(Window.partitionBy("score"))
+        )
+        .join(F.broadcast(prefix), "bucket")
+        .select(
+            "pos",
+            (
+                F.col("pfx") + F.col("r_in") + (F.col("ties") - 1) / 2.0
+            ).alias("midrank"),
+        )
     )
     return ranked.agg(
         F.sum("pos").alias("n_pos"),
