@@ -878,25 +878,31 @@ FROM r
 # one exact decimal aggregate; the subtraction stays in decimal
 # (cents are exact); the single division rounds once. Singleton
 # groups encode NULL (no leave-one-out mean exists — the caller
-# falls back to a global prior). One window pass, no joins.
+# falls back to a global prior). NOT a category-partitioned window
+# (5 categories = 5 giant window partitions at scale): the group
+# sums come from a parallel partial-aggregated groupBy collapsing to
+# a category-count-sized table, joined back (AQE broadcasts it), and
+# the LOO arithmetic is a narrow per-row map.
 # ---------------------------------------------------------------------------
 
 
 def priority_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders")
-    grp = Window.partitionBy("o_orderpriority")
-    tot = F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(grp)
-    n = F.count(F.lit(1)).over(grp)
+    grp = orders.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).alias("tot"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        orders.select(
+        orders.join(grp, "o_orderpriority")
+        .select(
             "o_orderkey",
             "o_orderpriority",
             F.when(
-                n > 1,
+                F.col("n") > 1,
                 F.round(
-                    (tot - F.col("o_totalprice").cast("decimal(30,2)"))
+                    (F.col("tot") - F.col("o_totalprice").cast("decimal(30,2)"))
                     .cast("double")
-                    / (n - 1),
+                    / (F.col("n") - 1),
                     6,
                 ),
             ).alias("loo_mean_price"),
