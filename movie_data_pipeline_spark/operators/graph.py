@@ -482,3 +482,62 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             F.coalesce("authority", F.lit(0.0)).alias("authority"),
         )
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source BFS: (node, hops) with the MINIMUM hop count from
+    any seed, explored ``max_hops`` synchronous frontier rounds.
+
+    Same execution discipline as the fixpoint family above: edges are
+    hash-partitioned on src once and localCheckpointed; each round is
+    one frontier⋈edges shuffle, a distinct() to collapse the frontier,
+    and an anti-join against the visited set — the Pregel BFS shape,
+    linear in the edges touched per round. A node's first discovery
+    round IS its minimum distance (frontier-order invariant), so no
+    per-node min aggregation is needed. All-integer state: the result
+    is exactly comparable across engines (the registry twin is a
+    recursive CTE).
+
+    ``max_hops`` is a true semantic bound (callers asking "within k
+    hops"), not a convergence heuristic — the loop needs no emptiness
+    probe, and an exhausted frontier just makes the remaining rounds
+    no-ops on empty relations.
+    """
+    spark = edges.sparkSession
+    npart = shuffle_parallelism(spark)
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .repartition(npart, "src")
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col(node).cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(new).localCheckpoint()
+        frontier = new.select("node")
+    return visited
