@@ -890,6 +890,7 @@ from .stats import STATS_QUERIES  # noqa: E402
 from .timeseries import TIMESERIES_QUERIES  # noqa: E402
 from .analytics_ext6 import EXT6_QUERIES  # noqa: E402
 from .analytics_ext7 import EXT7_QUERIES  # noqa: E402
+from .analytics_ext8 import EXT8_QUERIES  # noqa: E402
 from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
@@ -906,6 +907,7 @@ QUERIES.update(VERIFY_QUERIES)
 # compare against) keep their byte-identical order.
 QUERIES.update(EXT6_QUERIES)
 QUERIES.update(EXT7_QUERIES)
+QUERIES.update(EXT8_QUERIES)
 
 # Driver-slot curation. The round driver's correctness gate records
 # only the first 50 registry entries (rounds 1-3 each produced exactly
