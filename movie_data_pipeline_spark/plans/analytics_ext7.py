@@ -68,7 +68,10 @@ _RRF_TERMS = ["spark", "join", "window"]  # the registry's BM25 query
 _RRF_QVEC = 0        # query = embedding of vec_id 0
 
 
-def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+def rank_lists(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """The two ≤``_RRF_LIST``-row rankings fused by RRF (and compared
+    by RBO in analytics_ext9): (lexical doc_id+r_lex, vector
+    doc_id+r_vec)."""
     from ..operators.search import bm25_top_docs
     from ..operators.similarity import brute_force_knn
 
@@ -89,7 +92,11 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("int").alias("r_vec"),
     )
+    return lexr, vecr
 
+
+def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    lexr, vecr = rank_lists(spark, sf)
     fused = lexr.join(vecr, "doc_id", "full_outer")
     rrf = (
         F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
@@ -104,7 +111,9 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-HYBRID_RRF_SQL = rf"""
+# The lexical/vector rank-list CTE block is shared with the RBO
+# entry in analytics_ext9 (same two rankings, different combiner).
+RANKLISTS_CTE = rf"""
 WITH toks AS (
     SELECT doc_id,
            list_filter(string_split_regex(lower(text), '[^\w'']+'),
@@ -160,6 +169,9 @@ WITH toks AS (
         WHERE query_id != neighbor_id
     ) WHERE r_vec <= {_RRF_LIST}
 )
+"""
+
+HYBRID_RRF_SQL = RANKLISTS_CTE + f"""
 SELECT COALESCE(lexr.doc_id, vecr.doc_id) AS doc_id, r_lex, r_vec,
        ROUND(COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)
              + COALESCE(1.0 / ({_RRF_K} + r_vec), 0.0), 6) AS rrf
