@@ -461,26 +461,46 @@ _AFFINITY_K = 50
 def part_affinity_cosine(spark: SparkSession, sf: str) -> DataFrame:
     orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    # the incidence feeds BOTH the basket expansion and the degree
+    # table — materialize the join+distinct once (localCheckpoint, the
+    # repo's lineage-cut discipline) instead of recomputing it per arm
     cp = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
         )
         .distinct()
+        .localCheckpoint()
     )
-    a = cp.alias("a")
-    b = cp.alias("b")
+    # pair expansion ARRAY-SIDE: one groupBy(cust) shuffle of the
+    # incidence rows, then in-row combinations of the sorted basket
+    # (p1 < p2 by sort order) — vs the naive equi-self-join, which
+    # shuffles the incidence twice and pushes every expanded pair row
+    # through join machinery before any partial aggregation
+    # (measured: 14.9 → 6.6-8.7 s at sf0.1; 123 → 34 s at the 10×
+    # stress warehouse, ratio 8.2× → 3.9×).
+    baskets = cp.groupBy("cust").agg(
+        F.sort_array(F.collect_set("part")).alias("ps")
+    )
+    # each pair rides the shuffle as ONE packed long (p1·2³² + p2 —
+    # partkeys are far below 2³¹ at any shipped SF), halving shuffle
+    # width vs a two-long struct and making the aggregate key a
+    # primitive
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)), y ->"
+        " x * 4294967296L + y)))"
+    )
     co = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.part") < F.col("b.part")),
-        )
-        .groupBy(
-            F.col("a.part").alias("p1"), F.col("b.part").alias("p2")
-        )
+        baskets.select(F.explode(pair_expr).alias("pk"))
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= _AFFINITY_MIN_CO)
+        .select(
+            F.expr("pk DIV 4294967296L").alias("p1"),
+            F.expr("pk % 4294967296L").alias("p2"),
+            "co",
+        )
     )
     deg = cp.groupBy("part").agg(F.count(F.lit(1)).alias("d"))
     scored = (
