@@ -89,8 +89,16 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         seg.groupBy("r_q", "f_q", "m_q")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(
-                F.sum("m").cast("double") / F.count(F.lit(1)), 2
+            # mean spend to the cent in PURE INTEGER arithmetic —
+            # Σm/n lands exactly on .005 boundaries (two-decimal
+            # inputs), where a double ROUND is engine-dependent;
+            # round-half-up(c/n) for positive ints is (2c+n) DIV 2n
+            (
+                F.expr(
+                    "CAST((2 * CAST(sum(m) * 100 AS BIGINT) + count(1))"
+                    " DIV (2 * count(1)) AS DOUBLE)"
+                )
+                / 100.0
             ).alias("avg_monetary"),
         )
         .orderBy("r_q", "f_q", "m_q")
@@ -119,7 +127,8 @@ SELECT ((ri - 1) * 4) // n_total + 1 AS r_q,
        ((fi - 1) * 4) // n_total + 1 AS f_q,
        ((mi - 1) * 4) // n_total + 1 AS m_q,
        COUNT(*) AS n_customers,
-       ROUND(CAST(SUM(m) AS DOUBLE) / COUNT(*), 2) AS avg_monetary
+       CAST((2 * CAST(SUM(m) * 100 AS BIGINT) + COUNT(*))
+            // (2 * COUNT(*)) AS DOUBLE) / 100.0 AS avg_monetary
 FROM ranked
 GROUP BY 1, 2, 3
 ORDER BY r_q, f_q, m_q

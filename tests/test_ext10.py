@@ -1,0 +1,128 @@
+"""Planted-fixture tests for the round-8 ext10 batch: the reusable
+parallel row_number against plain sorts (global and grouped, with
+ties), phrase counting on crafted token streams, fuzzy-name cluster
+transitivity on a planted chain, the integer round-half-up mean, and
+the character profile arithmetic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.operators.ranks import parallel_row_number
+
+
+def test_parallel_row_number_global(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 40)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.i
+        for r in parallel_row_number(df, "v", ["k"], nbuckets=16).collect()
+    }
+    want = {
+        k: i
+        for i, (k, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0])), start=1
+        )
+    }
+    assert got == want
+
+
+def test_parallel_row_number_grouped(spark):
+    rows = [
+        ("a", 1, 3.0), ("a", 2, 1.0), ("a", 3, 3.0),
+        ("b", 4, 9.0), ("b", 5, 2.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    got = {
+        (r.g, r.k): r.i
+        for r in parallel_row_number(
+            df, "v", ["k"], part_cols=["g"], nbuckets=4
+        ).collect()
+    }
+    assert got == {
+        ("a", 2): 1, ("a", 1): 2, ("a", 3): 3,
+        ("b", 5): 1, ("b", 4): 2,
+    }
+
+
+def test_phrase_count_array_side(spark):
+    from movie_data_pipeline_spark.functions.text import bpe_ish_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "table scan table scan fast"),   # 2 matches
+            (2, "table fast scan"),               # 0 (not adjacent)
+            (3, "scan table"),                    # 0 (wrong order)
+            (4, "a table scan z"),                # 1
+        ],
+        ["doc_id", "text"],
+    )
+    counted = docs.select(
+        "doc_id", bpe_ish_tokens(F.col("text")).alias("t")
+    ).select(
+        "doc_id",
+        F.size(
+            F.expr(
+                "filter(sequence(1, size(t) - 1),"
+                " i -> t[i - 1] = 'table' AND t[i] = 'scan')"
+            )
+        ).alias("n"),
+    )
+    got = {r.doc_id: r.n for r in counted.collect()}
+    assert got == {1: 2, 2: 0, 3: 0, 4: 1}
+
+
+def test_fuzzy_clusters_transitive_chain(spark, tmp_path):
+    # planted chain: aaaa ~ aaab ~ aabb ~ abbb (each 1 edit apart,
+    # ends 3 apart — only transitivity links them) + a singleton
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from movie_data_pipeline_spark.plans.analytics_ext10 import (
+        fuzzy_name_clusters,
+    )
+
+    part = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(
+            ["aaaa", "aaab", "aabb", "abbb", "zzzz"]
+        )],
+        ["p_partkey", "p_name"],
+    )
+    d = tmp_path / "wh"
+    d.mkdir()
+    part.write.parquet(str(d / "part.parquet"))
+    got = {
+        r.name: (r.cluster_rep, r.cluster_size)
+        for r in fuzzy_name_clusters(spark, str(d)).collect()
+    }
+    assert got == {
+        "aaaa": ("aaaa", 4),
+        "aaab": ("aaaa", 4),
+        "aabb": ("aaaa", 4),
+        "abbb": ("aaaa", 4),
+        "zzzz": ("zzzz", 1),
+    }
+
+
+def test_round_half_up_integer_mean(spark):
+    # 2682767.445 exactly — the boundary that flipped the double
+    # ROUND between engines before the integer formulation
+    df = spark.createDataFrame(
+        [(1, 1341383.72), (1, 1341383.73)], ["g", "m"]
+    )
+    r = (
+        df.groupBy("g")
+        .agg(
+            (
+                F.expr(
+                    "CAST((2 * CAST(sum(CAST(m AS DECIMAL(30,2))) * 100 AS"
+                    " BIGINT) + count(1)) DIV (2 * count(1)) AS DOUBLE)"
+                )
+                / 100.0
+            ).alias("avg")
+        )
+        .collect()[0]
+    )
+    assert r.avg == 1341383.73  # half-up, engine-independent
