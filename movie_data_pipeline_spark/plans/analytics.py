@@ -893,6 +893,7 @@ from .analytics_ext7 import EXT7_QUERIES  # noqa: E402
 from .analytics_ext8 import EXT8_QUERIES  # noqa: E402
 from .analytics_ext9 import EXT9_QUERIES  # noqa: E402
 from .analytics_ext10 import EXT10_QUERIES  # noqa: E402
+from .analytics_ext11 import EXT11_QUERIES  # noqa: E402
 from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
@@ -912,6 +913,7 @@ QUERIES.update(EXT7_QUERIES)
 QUERIES.update(EXT8_QUERIES)
 QUERIES.update(EXT9_QUERIES)
 QUERIES.update(EXT10_QUERIES)
+QUERIES.update(EXT11_QUERIES)
 
 # Driver-slot curation. The round driver's correctness gate records
 # only the first 50 registry entries (rounds 1-3 each produced exactly
