@@ -62,7 +62,11 @@ def parallel_row_number(
             ).cast("int"),
             F.lit(nbuckets - 1),
         ),
-    )
+    # the bucketed relation feeds BOTH the in-bucket windows and the
+    # prefix aggregate — cut lineage so the upstream (scans, joins,
+    # prior rank calls) executes once, not once per consumer arm
+    # (pre-cut, a 3×-chained rfm ranking re-ran the base scan 69×)
+    ).localCheckpoint()
     in_bucket = Window.partitionBy(*part, "_b").orderBy(
         value_col, *tiebreaks
     )

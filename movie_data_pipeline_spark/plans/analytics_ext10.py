@@ -72,7 +72,7 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         F.max("day").alias("r"),
         F.count(F.lit(1)).alias("f"),
         F.sum("price").alias("m"),
-    )
+    ).localCheckpoint()  # consumed by 3 rank calls + the count agg
     ranked = parallel_row_number(rfm, "r", ["o_custkey"], out_col="ri")
     ranked = parallel_row_number(ranked, "f", ["o_custkey"], out_col="fi")
     ranked = parallel_row_number(ranked, "m", ["o_custkey"], out_col="mi")
