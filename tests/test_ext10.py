@@ -126,3 +126,37 @@ def test_round_half_up_integer_mean(spark):
         .collect()[0]
     )
     assert r.avg == 1341383.73  # half-up, engine-independent
+
+
+def test_parallel_row_number_property(spark):
+    """Property: the bucket decomposition ≡ a plain sorted enumerate,
+    over random value multisets (heavy ties, negative values,
+    single-value degenerate bucketing) and random bucket widths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-5, max_value=5), min_size=1, max_size=40
+        ),
+        nb=st.sampled_from([1, 2, 7, 64]),
+    )
+    def prop(vals, nb):
+        rows = list(enumerate(vals))
+        df = spark.createDataFrame(rows, ["k", "v"])
+        got = {
+            r.k: r.i
+            for r in parallel_row_number(
+                df, "v", ["k"], nbuckets=nb
+            ).collect()
+        }
+        want = {
+            k: i
+            for i, (k, _) in enumerate(
+                sorted(rows, key=lambda t: (t[1], t[0])), start=1
+            )
+        }
+        assert got == want
+
+    prop()

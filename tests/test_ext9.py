@@ -151,3 +151,34 @@ def test_dow_chi2_hand_computed(spark):
         6,
     )
     assert math.isclose(r.chi2, want, abs_tol=1e-9)
+
+
+def test_fuzzy_join_property_random_words(spark):
+    """Property: SymSpell deletion-neighborhood join ≡ brute-force
+    Levenshtein over random short strings (tight 2-letter alphabet so
+    near-matches are dense), including depth-1 vs depth-2 bounds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        words=st.lists(word, min_size=2, max_size=12, unique=True),
+        k=st.sampled_from([1, 2]),
+    )
+    def prop(words, k):
+        df = spark.createDataFrame([(w,) for w in words], ["name"])
+        got = sorted(
+            (r.name_a, r.name_b, r.dist)
+            for r in fuzzy_self_join(df, max_dist=k).collect()
+        )
+        want = sorted(
+            (min(a, b), max(a, b), _lev(a, b))
+            for i, a in enumerate(words)
+            for b in words[i + 1:]
+            if _lev(a, b) <= k
+        )
+        assert got == want
+
+    prop()
