@@ -434,3 +434,68 @@ def ewma_anomaly_flags(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting over a stream: maintain first-seen epoch-day per
+# user (the state behind "cumulative unique users") with a
+# foreachBatch MIN-merge.
+# ---------------------------------------------------------------------------
+
+
+def run_first_seen_sink(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+):
+    """foreachBatch MIN-merge sink: fold each micro-batch's per-user
+    minimum event day into a (user_id, day) parquet table. MIN is
+    idempotent AND associative/commutative, so at-least-once replay
+    and any micro-batch slicing converge to the same table — the
+    strongest replay-safety class a fold can have (last-write-wins
+    needs an order column; MIN needs nothing). The growth curve
+    (plans/analytics_ext11.cumulative_unique_users) then derives from
+    this dimension-sized table without rescanning the stream's
+    history — the streaming twin of the batch first-seen groupBy.
+
+    Scale note: each merge rewrites a table bounded by the USER
+    dimension, not stream length (the run_upsert_sink argument);
+    log-structured MERGE targets swap in without touching the fold.
+    """
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = (
+            batch_df.select(
+                "user_id",
+                F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+            )
+            .groupBy("user_id")
+            .agg(F.min("day").alias("day"))
+        )
+        try:
+            current = spark.read.parquet(path)
+            merged = (
+                current.unionByName(fresh)
+                .groupBy("user_id")
+                .agg(F.min("day").alias("day"))
+            )
+        except Exception:
+            merged = fresh
+        staged = path.rstrip("/") + "__staged"
+        merged.write.mode("overwrite").parquet(staged)
+        import os
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.rename(staged, path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

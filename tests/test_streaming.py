@@ -495,3 +495,59 @@ def test_streaming_dedup_recurring_doc_id_single_index_entry(spark, tmp_path):
         for r in spark.read.parquet(pairs_path + "/batch_id=1").collect()
     )
     assert got == [(1, 2, False), (1, 100, True), (2, 100, True)]
+
+
+def test_first_seen_fold_stream_equals_batch(
+    spark, staged_events_dir, batch_events, tmp_path
+):
+    """The foreachBatch MIN-merge first-seen table must equal the
+    batch groupBy-MIN over the same corpus (and so must the derived
+    cumulative-unique-users curve), including after a full replay
+    from a fresh checkpoint into the existing table (idempotence of
+    the MIN fold)."""
+    from pyspark.sql import Window
+
+    path = str(tmp_path / "first_seen")
+
+    def run(checkpoint: str) -> None:
+        stream = spark.readStream.schema(batch_events.schema).parquet(
+            staged_events_dir
+        )
+        SE.run_first_seen_sink(stream, path, str(tmp_path / checkpoint))
+
+    run("ck1")
+    batch_first = (
+        batch_events.select(
+            "user_id", F.expr("unix_micros(ts) DIV 86400000000").alias("day")
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+    )
+    got = {r.user_id: r.day for r in spark.read.parquet(path).collect()}
+    want = {r.user_id: r.day for r in batch_first.collect()}
+    assert got == want
+
+    # replay everything from a FRESH checkpoint into the same table:
+    # the MIN fold must leave it byte-equivalent
+    run("ck2")
+    again = {r.user_id: r.day for r in spark.read.parquet(path).collect()}
+    assert again == want
+
+    # derived growth curve == the batch cumulative formulation
+    daily = (
+        spark.read.parquet(path)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = [
+        (r.day, r.new_users, r.cum)
+        for r in daily.select(
+            "day", "new_users", F.sum("new_users").over(w).alias("cum")
+        )
+        .orderBy("day")
+        .collect()
+    ]
+    total = curve[-1][2]
+    assert total == len(want)
+    assert all(c[2] == sum(x[1] for x in curve[: i + 1]) for i, c in enumerate(curve))
