@@ -92,3 +92,68 @@ def parallel_row_number(
     return joined.withColumn(
         out_col, (F.col("_pfx") + F.col("_rin")).cast("long")
     ).drop("_s0", "_s1", "_b", "_bn", "_rin", "_pfx")
+
+
+def parallel_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    tiebreaks: Sequence[str],
+    nbuckets: int = 256,
+    scale: int = 6,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Append ``out_col`` = the EXACT-decimal running sum of
+    ``value_col`` over (ORDER BY order_col, *tiebreaks), with the
+    same bucket decomposition as parallel_row_number: in-bucket
+    cumulative decimal windows + a ≤nbuckets-row bucket-total prefix
+    table. Because the per-term casts and the decimal adds are exact,
+    the decomposition is EQUAL (not approximately equal) to a global
+    cumulative window — which is what lets registry oracles hash-
+    compare it against DuckDB's plain window.
+
+    Same 100-TB posture as parallel_row_number; same skew caveat
+    (value-concentrated order keys pile into few buckets).
+    """
+    dec = f"decimal(30,{scale})"
+    bounds = df.agg(
+        F.min(order_col).cast("double").alias("_s0"),
+        F.max(order_col).cast("double").alias("_s1"),
+    )
+    b = df.crossJoin(F.broadcast(bounds)).withColumn(  # 1-row side
+        "_b",
+        F.least(
+            F.floor(
+                (F.col(order_col).cast("double") - F.col("_s0"))
+                / F.greatest(
+                    (F.col("_s1") - F.col("_s0")) / F.lit(float(nbuckets)),
+                    F.lit(1e-300),
+                )
+            ).cast("int"),
+            F.lit(nbuckets - 1),
+        ),
+    ).localCheckpoint()  # feeds the window arm AND the prefix arm
+    in_bucket = (
+        Window.partitionBy("_b")
+        .orderBy(order_col, *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prefix_w = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = (
+        b.groupBy("_b")
+        .agg(F.sum(F.col(value_col).cast(dec)).alias("_bt"))
+        .select(
+            "_b",
+            F.coalesce(
+                F.sum("_bt").over(prefix_w), F.lit(0).cast(dec)
+            ).alias("_pfx"),
+        )
+    )
+    joined = b.withColumn(
+        "_cin", F.sum(F.col(value_col).cast(dec)).over(in_bucket)
+    ).join(F.broadcast(prefix), "_b")
+    return joined.withColumn(
+        out_col, (F.col("_pfx") + F.col("_cin")).cast(dec)
+    ).drop("_s0", "_s1", "_b", "_bt", "_cin", "_pfx")
