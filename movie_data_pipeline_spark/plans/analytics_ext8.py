@@ -70,7 +70,12 @@ _PMI_K = 30
 def pmi_bigrams_frame(docs: DataFrame) -> DataFrame:
     from ..functions.text import bpe_ish_tokens
 
-    toks = docs.select(bpe_ish_tokens(F.col("text")).alias("t"))
+    # size(t) >= 2 guard (mirrors the _SPAN_L guard in analytics_ext6):
+    # slice(t, 1, size(t) - 1) throws on a zero-token doc (negative
+    # slice length) where the oracle's range() just yields no rows.
+    toks = docs.select(bpe_ish_tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
     pairs = toks.select(
         F.explode(
             F.expr(

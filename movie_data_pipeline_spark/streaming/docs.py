@@ -96,7 +96,11 @@ def run_streaming_dedup(
         # later micro-batch keeps its original signature instead of
         # gaining a duplicate index entry that every future probe
         # would double-match against.
-        new_docs = batch_df.join(
+        # dropDuplicates: a doc_id duplicated WITHIN one micro-batch
+        # (two source files in one availableNow batch) must also fold
+        # exactly one signature — the anti-join only guards against
+        # PRIOR batches.
+        new_docs = batch_df.dropDuplicates(["doc_id"]).join(
             prior.select("doc_id").distinct(), "doc_id", "left_anti"
         )
         minhash_index(new_docs).write.mode("overwrite").parquet(

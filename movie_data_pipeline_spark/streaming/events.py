@@ -473,23 +473,38 @@ def run_first_seen_sink(
             .groupBy("user_id")
             .agg(F.min("day").alias("day"))
         )
-        try:
+        import os
+        import shutil
+
+        # Branch on existence, NOT on a bare except: a transient or
+        # corrupt read of an EXISTING table must raise (and let the
+        # checkpointed batch retry), never silently replace the
+        # accumulated first-seen state with only the current batch.
+        if os.path.exists(path):
             current = spark.read.parquet(path)
             merged = (
                 current.unionByName(fresh)
                 .groupBy("user_id")
                 .agg(F.min("day").alias("day"))
             )
-        except Exception:
+        else:
             merged = fresh
         staged = path.rstrip("/") + "__staged"
         merged.write.mode("overwrite").parquet(staged)
-        import os
-        import shutil
-
+        # Swap by renaming the old table ASIDE first: the only
+        # non-atomic window is between the two renames, and a crash
+        # there leaves path__old intact — recoverable state, unlike a
+        # rmtree-then-rename crash which loses the MIN fold that
+        # checkpointed replay cannot rebuild (earlier batches never
+        # replay under availableNow).
+        aside = path.rstrip("/") + "__old"
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
         if os.path.exists(path):
-            shutil.rmtree(path)
+            os.rename(path, aside)
         os.rename(staged, path)
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)
