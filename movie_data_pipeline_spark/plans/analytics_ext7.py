@@ -78,8 +78,12 @@ def rank_lists(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
     docs = load_table(spark, sf, "documents")
     lex = bm25_top_docs(docs, _RRF_TERMS, k=_RRF_LIST)
     # rank within a ≤50-row relation: the single-partition window is
-    # bounded by the list size, not the corpus
-    lex_w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    # bounded by the list size, not the corpus (warning-free key)
+    from ..operators.ranks import constant_partition_key
+
+    lex_w = Window.partitionBy(constant_partition_key("doc_id")).orderBy(
+        F.desc("bm25"), F.asc("doc_id")
+    )
     lexr = lex.select(
         "doc_id", F.row_number().over(lex_w).cast("int").alias("r_lex")
     )
@@ -385,7 +389,11 @@ def score_ndcg(spark: SparkSession, sf: str) -> DataFrame:
         # row_number inside the ≤20-row cut (single partition of 20
         # rows, bounded by k); re-sorting by the same keys inside the
         # window keeps positions identical to the cut order
-        w = Window.orderBy(*keys)
+        from ..operators.ranks import constant_partition_key
+
+        w = Window.partitionBy(constant_partition_key("vec_id")).orderBy(
+            *keys
+        )
         return top.select(
             F.round(
                 F.col("gain") * _pos_weight(F.row_number().over(w)), 6

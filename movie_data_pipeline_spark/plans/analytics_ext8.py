@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from ..operators.ranks import constant_partition_key
 from .analytics import load_events
 
 
@@ -304,8 +305,10 @@ def spend_gini_frame(orders: DataFrame) -> DataFrame:
         ).alias("bucket"),
     )
     in_bucket = Window.partitionBy("bucket").orderBy("spend", "o_custkey")
-    prefix_w = Window.orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, -1
+    prefix_w = (
+        Window.partitionBy(constant_partition_key("bucket"))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     prefix = (
         b.groupBy("bucket")

@@ -588,7 +588,7 @@ ORDER BY l_returnflag
 # ---------------------------------------------------------------------------
 
 def token_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.ranks import parallel_row_number
 
     docs = load_table(spark, sf, "documents")
     freqs = (
@@ -599,10 +599,16 @@ def token_zipf_fit(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = freqs.withColumn(
-        "rnk",
-        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("tok"))),
-    )
+    # rank = row_number over (freq DESC, tok ASC), vocabulary-sized but
+    # computed with the bucket-parallel operator anyway — ORDER BY
+    # -freq is the ASC image of the DESC sort, so the plain-window
+    # DuckDB oracle is unchanged
+    ranked = parallel_row_number(
+        freqs.withColumn("_negfreq", (-F.col("freq")).cast("long")),
+        "_negfreq",
+        ["tok"],
+        out_col="rnk",
+    ).drop("_negfreq")
     t = ranked.select(
         F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
         F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
@@ -1023,22 +1029,29 @@ ORDER BY tok_a, tok_b
 
 # ---------------------------------------------------------------------------
 # Quantile discretization (equal-frequency binning): assign each row
-# its price decile — the ML feature-prep transform. ntile over a
-# TOTAL order (price, orderkey, linenumber) so bin assignment is
+# its price decile — the ML feature-prep transform. Binning follows a
+# TOTAL order (price, orderkey, linenumber) so assignment is
 # deterministic under ties; per-decile profile is decimal-exact.
-# ⚠ scale note (same as customer_balance_tiles): an un-partitioned
-# ntile is a global sort — at 100 TB you bin against broadcast
-# approx-percentile cut points instead; the deterministic-tie
-# discipline carries over unchanged.
+# Scale posture: NO global single-partition window — the row number
+# comes from operators/ranks.py::parallel_row_number (bucket-parallel
+# windows + a ≤256-row prefix join) and the SQL-standard NTILE
+# placement is recovered exactly from (i, n) by ntile_expr's integer
+# arithmetic, so the plain-NTILE DuckDB oracle stays byte-identical.
+# (This was the registry's last fact-table global sort — the
+# `WindowExec: No Partition Defined` warning in earlier bench tails.)
 # ---------------------------------------------------------------------------
 
 def price_decile_profile(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.ranks import ntile_expr, parallel_row_number
 
     li = load_table(spark, sf, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = parallel_row_number(
+        li, "l_extendedprice", ["l_orderkey", "l_linenumber"], out_col="i"
+    )
+    n = li.agg(F.count(F.lit(1)).alias("n_total"))  # 1-row broadcast
     return (
-        li.withColumn("decile", F.ntile(10).over(w))
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("decile", ntile_expr("i", "n_total", 10))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

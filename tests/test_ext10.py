@@ -160,3 +160,115 @@ def test_parallel_row_number_property(spark):
         assert got == want
 
     prop()
+
+
+def _max_bucket_width(df, value_col, tiebreaks, nbuckets, split_floor):
+    from movie_data_pipeline_spark.operators.ranks import _adaptive_buckets
+
+    _, counts = _adaptive_buckets(
+        df, value_col, tiebreaks, [], nbuckets,
+        hot_factor=4, split_floor=split_floor,
+    )
+    return max(r._bn for r in counts.collect())
+
+
+def test_adaptive_split_all_equal_values(spark):
+    """Pathological all-equal value distribution: every row lands in
+    ONE first-level bucket; the adaptive split must re-spread it via
+    the tiebreak image AND keep the row numbers exact."""
+    n = 400
+    rows = [(k, 7) for k in range(n)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.i
+        for r in parallel_row_number(
+            df, "v", ["k"], nbuckets=8, split_floor=1
+        ).collect()
+    }
+    assert got == {k: k + 1 for k in range(n)}
+    width = _max_bucket_width(df, "v", ["k"], nbuckets=8, split_floor=1)
+    # 8 tiebreak sub-buckets of an integer key: bounded per-partition
+    assert width <= n / 4
+
+
+def test_adaptive_split_single_spike(spark):
+    """Single-spike distribution (95% of rows share one value inside a
+    spread): level 2 isolates the spike by value range, level 3
+    spreads it by STRING tiebreak — bounded width, exact ranks."""
+    spike = [(f"id{k:05d}", 100) for k in range(380)]
+    spread = [(f"xx{k:03d}", k) for k in range(20)]
+    rows = spike + spread
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.i
+        for r in parallel_row_number(
+            df, "v", ["k"], nbuckets=8, split_floor=1
+        ).collect()
+    }
+    want = {
+        k: i
+        for i, (k, _) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0])), start=1
+        )
+    }
+    assert got == want
+    width = _max_bucket_width(df, "v", ["k"], nbuckets=8, split_floor=1)
+    assert width <= len(rows) / 4
+
+
+def test_adaptive_split_property(spark):
+    """Property: with the split FORCED ON (floor=1), the adaptive
+    multi-level decomposition still equals a plain sorted enumerate
+    over skew-heavy random multisets (few distinct values → hot
+    buckets at every level)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=2), min_size=1, max_size=40
+        ),
+        nb=st.sampled_from([2, 4]),
+    )
+    def prop(vals, nb):
+        rows = list(enumerate(vals))
+        df = spark.createDataFrame(rows, ["k", "v"])
+        got = {
+            r.k: r.i
+            for r in parallel_row_number(
+                df, "v", ["k"], nbuckets=nb, split_floor=1
+            ).collect()
+        }
+        want = {
+            k: i
+            for i, (k, _) in enumerate(
+                sorted(rows, key=lambda t: (t[1], t[0])), start=1
+            )
+        }
+        assert got == want
+
+    prop()
+
+
+def test_adaptive_prefix_sum_skewed(spark):
+    """parallel_prefix_sum with the split forced on over an all-equal
+    order key with string tiebreaks: exact running sums."""
+    from decimal import Decimal
+
+    from movie_data_pipeline_spark.operators.ranks import (
+        parallel_prefix_sum,
+    )
+
+    rows = [(f"t{k:04d}", 5, k + 1) for k in range(100)]
+    df = spark.createDataFrame(rows, ["k", "o", "x"])
+    got = {
+        r.k: r.cum
+        for r in parallel_prefix_sum(
+            df, "x", "o", ["k"], nbuckets=4, split_floor=1
+        ).collect()
+    }
+    run = 0
+    for k, _, x in sorted(rows):
+        run += x
+        assert got[k] == Decimal(run), (k, got[k], run)
