@@ -453,33 +453,40 @@ SELECT dcg, idcg, ROUND(dcg / idcg, 6) AS ndcg FROM m CROSS JOIN i
 # collaborative-filtering similarity. Dataflow: distinct (customer,
 # part) incidence → within-customer pair expansion (p1 < p2) → pair
 # co-counts ⋈ per-part degrees → exact top-k. The pair expansion is
-# quadratic in per-customer basket size — bounded here (baskets are
-# order-limited), and the operator documents the DIMSUM-style
-# mitigation for heavy tails at 100 TB: cap or sample each basket at
-# m items (√(m choose 2) growth), which bounds every customer's
-# contribution while preserving high-similarity pairs with high
-# probability. Degrees join un-hinted: the part dimension scales
-# with SF, so AQE picks the strategy (the r6 broadcast-hint lesson).
+# quadratic in per-customer basket size, so the frame function takes
+# a DIMSUM-style ``max_basket`` cap: each oversized basket keeps the
+# max_basket parts with the smallest md5(cust:part) — a deterministic
+# per-customer uniform sample (md5 is the repo's engine-identical
+# hash), selected IN-ROW on the already-collected basket so the plan
+# gains no shuffle.
+#
+# Recall contract (stated like the dedup hot-bucket caps): with
+# cap m, a pair co-bought by a customer with basket b > m survives
+# that customer's basket with P ≈ (m/b)·((m−1)/(b−1)); co-counts are
+# LOWER bounds, exact for every pair all of whose supporting baskets
+# are ≤ m. Degrees (the cosine denominator) are always computed from
+# the FULL incidence. max_basket=None (the library default) is exact.
+# The registry entry caps at 64 — p99 basket is ~77 at the shipped
+# SFs, so the cap provably exercises the capped semantics against
+# the DuckDB oracle, which mirrors the same md5 selection.
+# Degrees join un-hinted: the part dimension scales with SF, so AQE
+# picks the strategy (the r6 broadcast-hint lesson).
 # ---------------------------------------------------------------------------
 
 _AFFINITY_MIN_CO = 2
 _AFFINITY_K = 50
+_AFFINITY_MAX_BASKET = 64
 
 
-def part_affinity_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    # the incidence feeds BOTH the basket expansion and the degree
-    # table — materialize the join+distinct once (localCheckpoint, the
-    # repo's lineage-cut discipline) instead of recomputing it per arm
-    cp = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
-        )
-        .distinct()
-        .localCheckpoint()
-    )
+def part_affinity_frame(
+    cp: DataFrame, max_basket: int | None = None
+) -> DataFrame:
+    """Top-k part pairs by incidence-cosine from a distinct
+    (cust, part) incidence frame. ``max_basket`` bounds every
+    customer's pair contribution to max_basket·(max_basket−1)/2 —
+    the skew guard a heavy-tailed key needs at scale (see the recall
+    contract above); None is exact."""
+    cp = cp.localCheckpoint()  # feeds the expansion AND the degrees
     # pair expansion ARRAY-SIDE: one groupBy(cust) shuffle of the
     # incidence rows, then in-row combinations of the sorted basket
     # (p1 < p2 by sort order) — vs the naive equi-self-join, which
@@ -490,6 +497,21 @@ def part_affinity_cosine(spark: SparkSession, sf: str) -> DataFrame:
     baskets = cp.groupBy("cust").agg(
         F.sort_array(F.collect_set("part")).alias("ps")
     )
+    if max_basket is not None:
+        m = int(max_basket)
+        # in-row capped selection: smallest m by (md5(cust:part), part)
+        # — deterministic, partition-invariant, and mirrored verbatim
+        # by the oracle's ROW_NUMBER-over-md5 window
+        baskets = baskets.select(
+            "cust",
+            F.expr(
+                "CASE WHEN size(ps) <= "
+                f"{m} THEN ps ELSE array_sort(transform(slice(array_sort("
+                "transform(ps, p -> struct(md5(concat(cast(cust AS string),"
+                " ':', cast(p AS string))) AS h, p AS p))), 1, "
+                f"{m}), s -> s.p)) END"
+            ).alias("ps"),
+        )
     # each pair rides the shuffle as ONE packed long (p1·2³² + p2 —
     # partkeys are far below 2³¹ at any shipped SF), halving shuffle
     # width vs a two-long struct and making the aggregate key a
@@ -530,16 +552,42 @@ def part_affinity_cosine(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(_AFFINITY_K)
 
 
+def part_affinity_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+    )
+    return part_affinity_frame(cp, max_basket=_AFFINITY_MAX_BASKET)
+
+
 PART_AFFINITY_SQL = f"""
 WITH cp AS (
     SELECT DISTINCT o_custkey AS cust, l_partkey AS part
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+), capped AS (
+    -- mirror of the Spark in-row cap: per customer keep the
+    -- {_AFFINITY_MAX_BASKET} parts with the smallest
+    -- (md5(cust:part), part)
+    SELECT cust, part FROM (
+        SELECT cust, part,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cust
+                   ORDER BY md5(CAST(cust AS VARCHAR) || ':' ||
+                                CAST(part AS VARCHAR)), part) AS rn
+        FROM cp)
+    WHERE rn <= {_AFFINITY_MAX_BASKET}
 ), co AS (
     SELECT a.part AS p1, b.part AS p2, COUNT(*) AS co
-    FROM cp a JOIN cp b ON a.cust = b.cust AND a.part < b.part
+    FROM capped a JOIN capped b ON a.cust = b.cust AND a.part < b.part
     GROUP BY a.part, b.part
     HAVING COUNT(*) >= {_AFFINITY_MIN_CO}
 ), deg AS (
+    -- degrees from the FULL incidence (cosine denominator is exact)
     SELECT part, COUNT(*) AS d FROM cp GROUP BY part
 )
 SELECT p1, p2, CAST(co AS BIGINT) AS co,

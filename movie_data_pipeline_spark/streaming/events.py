@@ -443,6 +443,28 @@ def ewma_anomaly_flags(
 # ---------------------------------------------------------------------------
 
 
+def _atomic_swap_parquet(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` next to ``path`` and swap it in by renaming
+    the old table ASIDE first: the only non-atomic window is between
+    the two renames, and a crash there leaves path__old intact —
+    recoverable state, unlike a rmtree-then-rename crash which loses
+    fold state that checkpointed replay cannot rebuild (earlier
+    batches never replay under availableNow)."""
+    import os
+    import shutil
+
+    staged = path.rstrip("/") + "__staged"
+    df.write.mode("overwrite").parquet(staged)
+    aside = path.rstrip("/") + "__old"
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+    if os.path.exists(path):
+        os.rename(path, aside)
+    os.rename(staged, path)
+    if os.path.exists(aside):
+        shutil.rmtree(aside)
+
+
 def run_first_seen_sink(
     stream: DataFrame,
     path: str,
@@ -474,7 +496,6 @@ def run_first_seen_sink(
             .agg(F.min("day").alias("day"))
         )
         import os
-        import shutil
 
         # Branch on existence, NOT on a bare except: a transient or
         # corrupt read of an EXISTING table must raise (and let the
@@ -489,22 +510,96 @@ def run_first_seen_sink(
             )
         else:
             merged = fresh
-        staged = path.rstrip("/") + "__staged"
-        merged.write.mode("overwrite").parquet(staged)
-        # Swap by renaming the old table ASIDE first: the only
-        # non-atomic window is between the two renames, and a crash
-        # there leaves path__old intact — recoverable state, unlike a
-        # rmtree-then-rename crash which loses the MIN fold that
-        # checkpointed replay cannot rebuild (earlier batches never
-        # replay under availableNow).
-        aside = path.rstrip("/") + "__old"
-        if os.path.exists(aside):
-            shutil.rmtree(aside)
-        if os.path.exists(path):
-            os.rename(path, aside)
-        os.rename(staged, path)
-        if os.path.exists(aside):
-            shutil.rmtree(aside)
+        _atomic_swap_parquet(merged, path)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_growth_accounting_sink(
+    stream: DataFrame,
+    incidence_path: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """Streaming twin of the batch growth-accounting family: fold each
+    micro-batch's distinct (user_id, day) into an activity-incidence
+    parquet table (a SET-UNION fold — idempotent, associative,
+    commutative, so at-least-once replay and any micro-batch slicing
+    converge, the same replay-safety class as the first-seen MIN
+    fold), then derive and publish
+
+    - ``out_dir/daily_new_vs_returning`` — per day: actives, news
+      (first-seen == day), returning (first-seen < day); first-seen is
+      a MIN over the incidence, so no second state table is needed;
+    - ``out_dir/wau_trailing_7d`` — per day: distinct users active in
+      [day-6, day], the calendar-bounded range join of the batch
+      entry (plans/analytics_ext12.wau_trailing_7d).
+
+    After the stream drains, both outputs equal the batch entries on
+    the same corpus — asserted by the stream≡batch tests.
+
+    Scale note: state is the (user, active-day) incidence — bounded
+    by users × calendar, not stream length; each publish recomputes
+    the two calendar-sized outputs from that dimension table (the
+    run_first_seen_sink argument). A MERGE-capable log-structured
+    target swaps in without touching the fold.
+    """
+    spark = stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        fresh = batch_df.select(
+            "user_id",
+            F.expr("unix_micros(ts) DIV 86400000000").alias("day"),
+        ).distinct()
+        if os.path.exists(incidence_path):
+            current = spark.read.parquet(incidence_path)
+            merged = current.unionByName(fresh).distinct()
+        else:
+            merged = fresh
+        _atomic_swap_parquet(merged, incidence_path)
+
+        du = spark.read.parquet(incidence_path)
+        first = du.groupBy("user_id").agg(F.min("day").alias("first_day"))
+        nvr = (
+            du.join(first, "user_id")
+            .groupBy("day")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_active"),
+                F.sum((F.col("day") == F.col("first_day")).cast("int"))
+                .cast("long")
+                .alias("n_new"),
+                F.sum((F.col("day") > F.col("first_day")).cast("int"))
+                .cast("long")
+                .alias("n_returning"),
+            )
+        )
+        _atomic_swap_parquet(
+            nvr, os.path.join(out_dir, "daily_new_vs_returning")
+        )
+        days = du.select(F.col("day").alias("d")).distinct()
+        wau = (
+            du.join(
+                F.broadcast(days),  # calendar-bounded side
+                (F.col("day") <= F.col("d"))
+                & (F.col("day") >= F.col("d") - 6),
+            )
+            .groupBy("d")
+            .agg(F.countDistinct("user_id").alias("wau"))
+            .select(
+                F.col("d").alias("day"),
+                F.col("wau").cast("long").alias("wau"),
+            )
+        )
+        _atomic_swap_parquet(wau, os.path.join(out_dir, "wau_trailing_7d"))
 
     q = (
         stream.writeStream.foreachBatch(merge_batch)

@@ -117,3 +117,49 @@ def test_rrf_fusion_arithmetic(spark):
     assert got[20] == round(1 / 62, 6)
     assert got[30] == round(1 / 61, 6)
     assert got[10] > got[30] > got[20]
+
+
+def test_affinity_cap_none_is_exact(spark):
+    """cap=None and any cap >= the largest basket are byte-identical
+    to the exact uncapped output; a binding cap only REMOVES pair
+    support (co is a lower bound) and never touches degrees."""
+    from itertools import combinations
+
+    from movie_data_pipeline_spark.plans.analytics_ext7 import (
+        part_affinity_frame,
+    )
+
+    rows = [
+        (c, p)
+        for c in range(1, 9)
+        for p in ([1, 2, 3, 4, 5, 6] if c <= 6 else [1, 2])
+    ]
+    cp = spark.createDataFrame(rows, ["cust", "part"])
+    exact = sorted(
+        map(tuple, part_affinity_frame(cp, max_basket=None).collect())
+    )
+    assert exact == sorted(
+        map(tuple, part_affinity_frame(cp, max_basket=6).collect())
+    )
+    assert exact == sorted(
+        map(tuple, part_affinity_frame(cp, max_basket=10**6).collect())
+    )
+    # exact co-counts: pair (1,2) seen by all 8, other pairs by 6
+    exact_rows = part_affinity_frame(cp, max_basket=None).collect()
+    got = {(r.p1, r.p2): r.co for r in exact_rows}
+    assert got[(1, 2)] == 8
+    for p1, p2 in combinations(range(1, 7), 2):
+        if (p1, p2) != (1, 2):
+            assert got[(p1, p2)] == 6
+
+    capped_rows = part_affinity_frame(cp, max_basket=3).collect()
+    capped = {(r.p1, r.p2): r.co for r in capped_rows}
+    # lower-bound contract: no capped count exceeds the exact count,
+    # and every surviving pair exists in the exact output
+    for pair, co in capped.items():
+        assert co <= got[pair], pair
+    # degrees stay exact: cosine of a surviving pair uses full degrees
+    # -> for pair (1,2): cos = co/sqrt(8*8) with co <= 8
+    if (1, 2) in capped:
+        r = next(r for r in capped_rows if (r.p1, r.p2) == (1, 2))
+        assert r.cosine == round(r.co / 8.0, 6)
