@@ -895,6 +895,7 @@ from .analytics_ext9 import EXT9_QUERIES  # noqa: E402
 from .analytics_ext10 import EXT10_QUERIES  # noqa: E402
 from .analytics_ext11 import EXT11_QUERIES  # noqa: E402
 from .analytics_ext12 import EXT12_QUERIES  # noqa: E402
+from .analytics_ext13 import EXT13_QUERIES  # noqa: E402
 from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
@@ -916,6 +917,7 @@ QUERIES.update(EXT9_QUERIES)
 QUERIES.update(EXT10_QUERIES)
 QUERIES.update(EXT11_QUERIES)
 QUERIES.update(EXT12_QUERIES)
+QUERIES.update(EXT13_QUERIES)
 
 # Driver-slot curation. The round driver's correctness gate records
 # only the first 50 registry entries (rounds 1-3 each produced exactly
