@@ -72,7 +72,7 @@ def price_quartiles_exact(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(pos.select("p", "hi")), ranked.i == F.col("hi")
     ).select("p", F.col("l_extendedprice").alias("xhi"))
     return (
-        xlo.join(xhi, "p")
+        xlo.join(F.broadcast(xhi), "p")  # 3 rows by construction
         .select(
             F.col("p").cast("int").alias("quartile"),
             F.round(
@@ -138,13 +138,16 @@ def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
     r1 = parallel_row_number(
         e, "value", ["event_id"], part_cols=["event_type"], out_col="i"
     )
+    # nn/med/mad are ONE ROW PER EVENT TYPE — bounded by the type
+    # vocabulary, not the corpus, so the broadcast hints are safe at
+    # any scale (the bounded-by-construction hint rule)
     nn = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     med = (
-        r1.join(nn, "event_type")
+        r1.join(F.broadcast(nn), "event_type")
         .filter(F.col("i") == F.expr("(n + 1) DIV 2"))
         .select("event_type", F.col("value").alias("median"), "n")
     )  # one row per type
-    dev = e.join(med, "event_type").select(
+    dev = e.join(F.broadcast(med), "event_type").select(
         "event_type",
         "event_id",
         "value",
@@ -159,7 +162,7 @@ def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.col("d").alias("mad")
     )
     return (
-        dev.join(mad, "event_type")
+        dev.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.max("median").alias("median"),
