@@ -7,11 +7,6 @@ statistics and behavioral-sequence breadth —
   power-of-two arithmetic, so the result is bit-exact across engines
   (never a percentile_cont call, whose interpolation float path is
   engine-private);
-- grouped robust outliers by MAD (median absolute deviation): TWO
-  chained grouped rank passes (median of values, then median of
-  deviations) — the double-rank pattern that exercises
-  parallel_row_number's part_cols path, with the odd/even middle
-  handled by the same exact bracketing;
 - per-user event-type transition matrix (the categorical Markov
   chain over each user's ordered event stream): one KEYED lag window
   plus a count aggregate — all integers.
@@ -119,99 +114,6 @@ ORDER BY quartile
 
 
 # ---------------------------------------------------------------------------
-# Grouped MAD outliers. Medians are the LOWER-MIDDLE order statistic
-# m = x_((n+1) DIV 2) — the odd-window rule the repo standardized on
-# (an interpolated even-n middle would be engine-exact here too, but
-# the discrete pick needs no arithmetic at all). Two chained grouped
-# rank passes: rank values within event_type → median per type; rank
-# |value − median| within type → MAD per type; outliers are rows
-# with |value − median| > 3·MAD (identical IEEE operands on both
-# engines, so the comparison is engine-exact). Each pass is the
-# grouped bucket decomposition — no per-type single reducer.
-# ---------------------------------------------------------------------------
-
-
-def value_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.ranks import parallel_row_number
-
-    e = load_events(spark, sf).select("event_type", "event_id", "value")
-    r1 = parallel_row_number(
-        e, "value", ["event_id"], part_cols=["event_type"], out_col="i"
-    )
-    # nn/med/mad are ONE ROW PER EVENT TYPE — bounded by the type
-    # vocabulary, not the corpus, so the broadcast hints are safe at
-    # any scale (the bounded-by-construction hint rule)
-    nn = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    med = (
-        r1.join(F.broadcast(nn), "event_type")
-        .filter(F.col("i") == F.expr("(n + 1) DIV 2"))
-        .select("event_type", F.col("value").alias("median"), "n")
-    )  # one row per type
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "event_id",
-        "value",
-        "median",
-        "n",
-        F.abs(F.col("value") - F.col("median")).alias("d"),
-    ).localCheckpoint()  # feeds the dev-rank AND the outlier count
-    r2 = parallel_row_number(
-        dev, "d", ["event_id"], part_cols=["event_type"], out_col="j"
-    )
-    mad = r2.filter(F.col("j") == F.expr("(n + 1) DIV 2")).select(
-        "event_type", F.col("d").alias("mad")
-    )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.max("median").alias("median"),
-            F.max("mad").alias("mad"),
-            F.sum((F.col("d") > 3 * F.col("mad")).cast("int"))
-            .cast("long")
-            .alias("n_outliers"),
-        )
-        .orderBy("event_type")
-    )
-
-
-VALUE_MAD_SQL = """
-WITH e AS (
-    SELECT event_type, event_id, value FROM events
-), r1 AS (
-    SELECT event_type, value,
-           ROW_NUMBER() OVER (PARTITION BY event_type
-                              ORDER BY value, event_id) AS i,
-           COUNT(*) OVER (PARTITION BY event_type) AS n
-    FROM e
-), med AS (
-    SELECT event_type, value AS median, n
-    FROM r1 WHERE i = (n + 1) // 2
-), dev AS (
-    SELECT e.event_type, e.event_id, med.median, med.n,
-           abs(e.value - med.median) AS d
-    FROM e JOIN med USING (event_type)
-), r2 AS (
-    SELECT event_type, d,
-           ROW_NUMBER() OVER (PARTITION BY event_type
-                              ORDER BY d, event_id) AS j,
-           n
-    FROM dev
-), mad AS (
-    SELECT event_type, d AS mad FROM r2 WHERE j = (n + 1) // 2
-)
-SELECT dev.event_type,
-       MAX(dev.median) AS median,
-       MAX(mad.mad) AS mad,
-       CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_outliers
-FROM dev JOIN mad USING (event_type)
-GROUP BY dev.event_type
-ORDER BY dev.event_type
-"""
-
-
-# ---------------------------------------------------------------------------
 # Event-type transition matrix: per user, consecutive event pairs by
 # (ts, event_id) order — one KEYED lag window (parallel across users
 # at any scale), then a 25-cell count aggregate. All integers.
@@ -252,6 +154,5 @@ ORDER BY prev_type, event_type
 
 EXT14_QUERIES = {
     "price_quartiles_exact": (price_quartiles_exact, PRICE_QUARTILES_SQL),
-    "value_mad_outliers": (value_mad_outliers, VALUE_MAD_SQL),
     "event_type_transitions": (event_type_transitions, EVENT_TRANSITIONS_SQL),
 }
