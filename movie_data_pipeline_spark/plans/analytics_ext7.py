@@ -35,6 +35,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranks import constant_partition_key
 from ..sources.catalog import load_table
 
 
@@ -301,7 +302,11 @@ def part_price_skyline(spark: SparkSession, sf: str) -> DataFrame:
     local = _skyline_pass(
         part, F.pmod(F.hash("p_partkey"), F.lit(_SKY_BUCKETS))
     )
-    return _skyline_pass(local, F.lit(0)).select(
+    # phase 2 is deliberately single-partition over the ≤ buckets×50
+    # survivors; the non-foldable constant key (a bare lit(0) folds
+    # out of the window spec) keeps the WindowExec warning reserved
+    # for real corpus-sized sorts
+    return _skyline_pass(local, constant_partition_key("p_partkey")).select(
         "p_partkey", "price_c", F.col("p_size").cast("int").alias("p_size")
     ).orderBy("p_partkey")
 
