@@ -134,10 +134,19 @@ def _adaptive_buckets(
     """Assign the adaptive bucket id ``_b`` (a composite long: each
     refinement level multiplies by nbuckets and adds the sub-bucket,
     so the id stays monotone in the sort key across levels). Returns
-    ``(b, counts)``: the checkpointed input with ``_b`` appended, and
-    one (part, _b, _bn) count row per bucket — exactly what the
-    prefix table needs, so the no-skew fast path pays no extra data
-    pass beyond a 1-value hot probe of the small stats table.
+    ``(b, prefix)``: the checkpointed input with ``_b`` appended, and
+    a (part..., _b, _pfx) table holding the EXCLUSIVE running count
+    of earlier buckets — ready to join for the global row number.
+
+    UNGROUPED inputs take the driver-stats path: the per-bucket stats
+    relation is bounded by construction (≤ nbuckets per level, times
+    the ≤ nbuckets/hot_factor buckets that can exceed the mean-based
+    threshold), so one collect per level decides hotness AND yields
+    the prefix sums as a literal broadcast table — no stats
+    checkpoint, no probe job, no prefix window (this is the
+    bounded-collect discipline, same class as the 1-row argmaxes).
+    GROUPED inputs keep the dataflow path: the stats relation is
+    groups × nbuckets, not bounded by construction.
 
     Refinement rule per hot bucket (count > max(split_floor,
     hot_factor·n/nbuckets)): fixed-width on the value over the
@@ -170,6 +179,11 @@ def _adaptive_buckets(
     # (pre-cut, a 3×-chained rfm ranking re-ran the base scan 69×)
     b = b.localCheckpoint()
     tb_img = _mono_image(df, tiebreaks[0]) if tiebreaks else None
+    if not part:
+        return _refine_ungrouped(
+            df, b, val_d, tb_img, nbuckets, hot_factor, split_floor,
+            max_levels,
+        )
     for _level in range(max_levels):
         stats = (
             b.groupBy(*part, "_b")
@@ -180,13 +194,8 @@ def _adaptive_buckets(
             )
             .localCheckpoint()  # tiny; hot probe AND the prefix reuse it
         )
-        if part:
-            totals = stats.groupBy(*part).agg(F.sum("_bn").alias("_tot"))
-            stats = stats.join(totals, part)
-        else:
-            stats = stats.crossJoin(
-                F.broadcast(stats.agg(F.sum("_bn").alias("_tot")))
-            )
+        totals = stats.groupBy(*part).agg(F.sum("_bn").alias("_tot"))
+        stats = stats.join(totals, part)
         hot = F.col("_bn") > F.greatest(
             F.lit(int(split_floor)),
             F.lit(int(hot_factor)) * F.col("_tot") / F.lit(int(nbuckets)),
@@ -197,7 +206,19 @@ def _adaptive_buckets(
         # refinement only when it exists
         any_hot = stats.filter("_hot").limit(1).count() > 0
         if not any_hot or _level == max_levels - 1:
-            return b, stats.select(*part, "_b", "_bn")
+            prefix_w = (
+                Window.partitionBy(*part)
+                .orderBy("_b")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            prefix = stats.select(
+                *part,
+                "_b",
+                F.coalesce(F.sum("_bn").over(prefix_w), F.lit(0)).alias(
+                    "_pfx"
+                ),
+            )
+            return b, prefix
         info = stats.select(*part, "_b", "_hot", "_v0", "_v1")
         if tb_img is not None:
             # tiebreak bounds per bucket: a second small pass over the
@@ -208,25 +229,102 @@ def _adaptive_buckets(
                 F.min(tb_img).alias("_t0"), F.max(tb_img).alias("_t1")
             )
             info = info.join(tstats, [*part, "_b"])
-        refined = b.join(
-            F.broadcast(info) if not part else info, [*part, "_b"]
-        )
-        sub_v = _fixed_width_bucket(
-            val_d, F.col("_v0"), F.col("_v1"), nbuckets
-        )
-        sub = F.when(~F.col("_hot"), F.lit(0)).when(
-            F.col("_v1") > F.col("_v0"), sub_v
-        )
-        if tb_img is not None:
-            sub_t = _fixed_width_bucket(
-                tb_img, F.col("_t0"), F.col("_t1"), nbuckets
-            )
-            sub = sub.when(F.col("_t1") > F.col("_t0"), sub_t)
+        refined = b.join(info, [*part, "_b"])
         b = (
             refined.withColumn(
                 "_b",
                 F.col("_b") * F.lit(int(nbuckets))
-                + sub.otherwise(F.lit(0)).cast("long"),
+                + _sub_bucket_expr(val_d, tb_img, nbuckets).cast("long"),
+            )
+            .drop("_hot", "_v0", "_v1", "_t0", "_t1")
+            .localCheckpoint()
+        )
+    raise AssertionError("unreachable")
+
+
+def _sub_bucket_expr(val_d: Column, tb_img, nbuckets: int) -> Column:
+    """The per-row sub-bucket for a (possibly) hot bucket, reading the
+    joined per-bucket columns _hot/_v0/_v1[/_t0/_t1]."""
+    sub_v = _fixed_width_bucket(val_d, F.col("_v0"), F.col("_v1"), nbuckets)
+    sub = F.when(~F.col("_hot"), F.lit(0)).when(
+        F.col("_v1") > F.col("_v0"), sub_v
+    )
+    if tb_img is not None:
+        sub_t = _fixed_width_bucket(
+            tb_img, F.col("_t0"), F.col("_t1"), nbuckets
+        )
+        sub = sub.when(F.col("_t1") > F.col("_t0"), sub_t)
+    return sub.otherwise(F.lit(0))
+
+
+def _refine_ungrouped(
+    df: DataFrame,
+    b: DataFrame,
+    val_d: Column,
+    tb_img,
+    nbuckets: int,
+    hot_factor: int,
+    split_floor: int,
+    max_levels: int,
+):
+    """Driver-stats refinement for the ungrouped case (see
+    _adaptive_buckets docstring): collect the bounded per-bucket stats,
+    decide hotness and build the exclusive prefix table driver-side."""
+    spark = df.sparkSession
+    for _level in range(max_levels):
+        rows = (
+            b.groupBy("_b")
+            .agg(
+                F.count(F.lit(1)).alias("_bn"),
+                F.min(val_d).alias("_v0"),
+                F.max(val_d).alias("_v1"),
+            )
+            .collect()  # bounded by construction, never by the data
+        )
+        total = sum(r["_bn"] for r in rows)
+        thr = max(float(split_floor), hot_factor * total / float(nbuckets))
+        hot_ids = {r["_b"] for r in rows if r["_bn"] > thr}
+        if not hot_ids or _level == max_levels - 1:
+            acc = 0
+            pfx = []
+            for r in sorted(rows, key=lambda r: r["_b"]):
+                pfx.append((r["_b"], acc))
+                acc += r["_bn"]
+            prefix = spark.createDataFrame(pfx, "_b long, _pfx long")
+            return b, prefix
+        tmap = {}
+        if tb_img is not None:
+            hot_df = spark.createDataFrame(
+                [(i,) for i in sorted(hot_ids)], "_b long"
+            )
+            trows = (
+                b.join(F.broadcast(hot_df), "_b")
+                .groupBy("_b")
+                .agg(F.min(tb_img).alias("_t0"), F.max(tb_img).alias("_t1"))
+                .collect()
+            )
+            tmap = {r["_b"]: (r["_t0"], r["_t1"]) for r in trows}
+        info = spark.createDataFrame(
+            [
+                (
+                    r["_b"],
+                    r["_b"] in hot_ids,
+                    float(r["_v0"]),
+                    float(r["_v1"]),
+                    float(tmap.get(r["_b"], (0.0, 0.0))[0]),
+                    float(tmap.get(r["_b"], (0.0, 0.0))[1]),
+                )
+                for r in rows
+            ],
+            "_b long, _hot boolean, _v0 double, _v1 double,"
+            " _t0 double, _t1 double",
+        )
+        b = (
+            b.join(F.broadcast(info), "_b")
+            .withColumn(
+                "_b",
+                F.col("_b") * F.lit(int(nbuckets))
+                + _sub_bucket_expr(val_d, tb_img, nbuckets).cast("long"),
             )
             .drop("_hot", "_v0", "_v1", "_t0", "_t1")
             .localCheckpoint()
@@ -253,24 +351,11 @@ def parallel_row_number(
     holds more than max(split_floor, hot_factor·n/nbuckets) rows —
     the floor keeps test-scale data on the one-level plan."""
     part = list(part_cols)
-    b, counts = _adaptive_buckets(
+    b, prefix = _adaptive_buckets(
         df, value_col, tiebreaks, part, nbuckets, hot_factor, split_floor
     )
     in_bucket = Window.partitionBy(*part, "_b").orderBy(
         value_col, *tiebreaks
-    )
-    # The prefix window runs over the small per-group bucket-count
-    # table, NOT the data; when ungrouped it is deliberately
-    # single-partition (see constant_partition_key).
-    prefix_w = (
-        Window.partitionBy(*(part or [constant_partition_key("_b")]))
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix = counts.select(
-        *part,
-        "_b",
-        F.coalesce(F.sum("_bn").over(prefix_w), F.lit(0)).alias("_pfx"),
     )
     joined = b.withColumn("_rin", F.row_number().over(in_bucket)).join(
         F.broadcast(prefix) if not part else prefix, [*part, "_b"]
@@ -301,7 +386,7 @@ def parallel_prefix_sum(
     what lets registry oracles hash-compare it against DuckDB's
     plain window."""
     dec = f"decimal(30,{scale})"
-    b, _counts = _adaptive_buckets(
+    b, _prefix_counts = _adaptive_buckets(  # decimal totals built below
         df, order_col, tiebreaks, [], nbuckets, hot_factor, split_floor
     )
     in_bucket = (

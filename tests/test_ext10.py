@@ -163,13 +163,16 @@ def test_parallel_row_number_property(spark):
 
 
 def _max_bucket_width(df, value_col, tiebreaks, nbuckets, split_floor):
+    from pyspark.sql import functions as SF
+
     from movie_data_pipeline_spark.operators.ranks import _adaptive_buckets
 
-    _, counts = _adaptive_buckets(
+    b, _prefix = _adaptive_buckets(
         df, value_col, tiebreaks, [], nbuckets,
         hot_factor=4, split_floor=split_floor,
     )
-    return max(r._bn for r in counts.collect())
+    widths = b.groupBy("_b").agg(SF.count(SF.lit(1)).alias("n")).collect()
+    return max(r.n for r in widths)
 
 
 def test_adaptive_split_all_equal_values(spark):
