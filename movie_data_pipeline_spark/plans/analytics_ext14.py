@@ -156,3 +156,74 @@ EXT14_QUERIES = {
     "price_quartiles_exact": (price_quartiles_exact, PRICE_QUARTILES_SQL),
     "event_type_transitions": (event_type_transitions, EVENT_TRANSITIONS_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# Multi-quantile grid from ONE grouped rank pass: p10/p50/p90 per
+# event type as exact ceil(p·n)-th order statistics — three
+# percentiles priced at one rank (the two-pass MAD pattern shows the
+# chained variant; this is the flat one). Elements, never
+# interpolation, so cross-engine exactness is free; positions are
+# pure integer ceilings. For tiny groups the positions can coincide —
+# each conditional max then picks the same element, identically on
+# both engines.
+# ---------------------------------------------------------------------------
+
+
+def value_percentile_grid_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ranks import parallel_row_number
+
+    e = load_events(spark, sf).select("event_type", "event_id", "value")
+    r = parallel_row_number(
+        e, "value", ["event_id"], part_cols=["event_type"], out_col="i"
+    )
+    nn = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    picked = (
+        r.join(F.broadcast(nn), "event_type")  # one row per type
+        .filter(
+            (F.col("i") == F.expr("(n + 9) DIV 10"))
+            | (F.col("i") == F.expr("(n + 1) DIV 2"))
+            | (F.col("i") == F.expr("(9 * n + 9) DIV 10"))
+        )
+    )
+    return (
+        picked.groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(F.col("i") == F.expr("(n + 9) DIV 10"), F.col("value"))
+            ).alias("p10"),
+            F.max(
+                F.when(F.col("i") == F.expr("(n + 1) DIV 2"), F.col("value"))
+            ).alias("p50"),
+            F.max(
+                F.when(
+                    F.col("i") == F.expr("(9 * n + 9) DIV 10"), F.col("value")
+                )
+            ).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+PERCENTILE_GRID_SQL = """
+WITH r AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS i,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN i = (n + 9) // 10 THEN value END) AS p10,
+       MAX(CASE WHEN i = (n + 1) // 2 THEN value END) AS p50,
+       MAX(CASE WHEN i = (9 * n + 9) // 10 THEN value END) AS p90
+FROM r
+WHERE i = (n + 9) // 10 OR i = (n + 1) // 2 OR i = (9 * n + 9) // 10
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+EXT14_QUERIES["value_percentile_grid_by_type"] = (
+    value_percentile_grid_by_type,
+    PERCENTILE_GRID_SQL,
+)
