@@ -443,16 +443,37 @@ def ewma_anomaly_flags(
 # ---------------------------------------------------------------------------
 
 
+def _recover_interrupted_swap(path: str) -> None:
+    """Complete the recovery half of ``_atomic_swap_parquet``: a crash
+    between its two renames leaves ``path`` missing and ``path__old``
+    holding the accumulated fold state. Without this restore, the next
+    merge would see a missing table, rebuild state from the current
+    batch alone, and its swap's rmtree would then silently delete the
+    only recoverable copy — earlier batches never replay under
+    availableNow, so the loss would be permanent. Call this BEFORE
+    reading ``path`` in every foreachBatch merge. (All sinks using the
+    swap are idempotent folds — MIN / set-union — so restoring the
+    pre-swap state and re-merging the replayed batch converges to the
+    same table.)"""
+    import os
+
+    aside = path.rstrip("/") + "__old"
+    if not os.path.exists(path) and os.path.exists(aside):
+        os.rename(aside, path)
+
+
 def _atomic_swap_parquet(df: DataFrame, path: str) -> None:
     """Materialize ``df`` next to ``path`` and swap it in by renaming
     the old table ASIDE first: the only non-atomic window is between
     the two renames, and a crash there leaves path__old intact —
-    recoverable state, unlike a rmtree-then-rename crash which loses
-    fold state that checkpointed replay cannot rebuild (earlier
+    recoverable state (restored by ``_recover_interrupted_swap`` at
+    the top of every merge), unlike a rmtree-then-rename crash which
+    loses fold state that checkpointed replay cannot rebuild (earlier
     batches never replay under availableNow)."""
     import os
     import shutil
 
+    _recover_interrupted_swap(path)  # defense in depth; merge calls it too
     staged = path.rstrip("/") + "__staged"
     df.write.mode("overwrite").parquet(staged)
     aside = path.rstrip("/") + "__old"
@@ -497,6 +518,7 @@ def run_first_seen_sink(
         )
         import os
 
+        _recover_interrupted_swap(path)
         # Branch on existence, NOT on a bare except: a transient or
         # corrupt read of an EXISTING table must raise (and let the
         # checkpointed batch retry), never silently replace the
@@ -556,6 +578,7 @@ def run_growth_accounting_sink(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
+        _recover_interrupted_swap(incidence_path)
         fresh = batch_df.select(
             "user_id",
             F.expr("unix_micros(ts) DIV 86400000000").alias("day"),

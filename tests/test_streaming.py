@@ -633,3 +633,60 @@ def test_growth_accounting_stream_equals_batch(
     nvr2, wau2 = got_tables()
     assert nvr2 == want_nvr
     assert wau2 == want_wau
+
+
+def test_interrupted_swap_recovers_fold_state(
+    spark, staged_events_dir, batch_events, tmp_path
+):
+    """A crash inside _atomic_swap_parquet's only non-atomic window
+    (between the two renames) leaves ``path`` missing and
+    ``path__old`` holding the accumulated fold. The NEXT merge must
+    restore that state before reading — the replayed input here is a
+    deliberate one-user SUBSET, so without recovery the rebuilt table
+    would hold exactly one user and the assertion below would fail
+    (full-replay tests can't see this: replay rebuilds everything)."""
+    import os
+
+    path = str(tmp_path / "first_seen")
+
+    stream = spark.readStream.schema(batch_events.schema).parquet(
+        staged_events_dir
+    )
+    SE.run_first_seen_sink(stream, path, str(tmp_path / "ck1"))
+    want = {r.user_id: r.day for r in spark.read.parquet(path).collect()}
+
+    # simulate the crash window: old table renamed aside, path missing
+    os.rename(path, path + "__old")
+
+    # drain a single NEW user's event from a fresh checkpoint — a
+    # subset of nothing previously seen
+    one_dir = str(tmp_path / "one_event")
+    (
+        batch_events.limit(1)
+        .withColumn("user_id", F.lit(999_999_999))
+        .write.mode("overwrite")
+        .parquet(one_dir)
+    )
+    stream2 = spark.readStream.schema(batch_events.schema).parquet(one_dir)
+    SE.run_first_seen_sink(stream2, path, str(tmp_path / "ck2"))
+
+    assert not os.path.exists(path + "__old")
+    got = {r.user_id: r.day for r in spark.read.parquet(path).collect()}
+    assert 999_999_999 in got
+    got.pop(999_999_999)
+    assert got == want  # pre-crash state recovered, not rebuilt
+
+
+def test_recover_interrupted_swap_noop_when_path_exists(tmp_path):
+    """Crash AFTER the second rename (path live, stale __old left):
+    recovery must not touch the live table; the stale aside is the
+    next swap's job to clean."""
+    import os
+
+    path = str(tmp_path / "t")
+    os.makedirs(path)
+    open(os.path.join(path, "marker"), "w").write("live")
+    os.makedirs(path + "__old")
+    SE._recover_interrupted_swap(path)
+    assert os.path.exists(os.path.join(path, "marker"))
+    assert os.path.exists(path + "__old")
