@@ -29,6 +29,57 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from movie_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
 from movie_data_pipeline_spark.session import clear_state, get_spark  # noqa: E402
 
+# Fixed contamination sentinel (BASELINE.md round-9 "invisible steal"
+# finding): idle ≈ 0.35-0.9 s at sf0.1; a flat +~2 s additive on it at
+# LOW loadavg (0.32 observed) means hypervisor steal that the loadavg
+# flag cannot see. It is always rerun min-of-3 after the timed pass.
+SENTINEL = "q17_small_qty_revenue"
+
+# A per-query delta vs the committed BENCH_FULL.json beyond ±40% (and
+# more than 0.3 s absolute, so sub-second jitter on tiny queries does
+# not trip it) is "surprising" in BASELINE.md's sense and triggers an
+# immediate rerun; both readings are recorded so the forensics that
+# took a human loop in rounds 8-9 are in the artifact itself.
+RERUN_REL_THRESHOLD = 0.40
+RERUN_ABS_FLOOR = 0.3
+RERUN_CAP = 12
+
+
+def bench_output_path(repo: Path, contaminated: bool) -> Path:
+    """Contaminated runs must never replace the committed clean
+    BENCH_FULL.json (this exact overwrite happened in rounds 8 AND 9,
+    the second time written by the round driver itself) — divert them
+    to BENCH_CONTAMINATED.json so the clean artifact survives."""
+    return repo / ("BENCH_CONTAMINATED.json" if contaminated else "BENCH_FULL.json")
+
+
+def select_reruns(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    *,
+    sentinel: str = SENTINEL,
+    rel: float = RERUN_REL_THRESHOLD,
+    abs_floor: float = RERUN_ABS_FLOOR,
+    cap: int = RERUN_CAP,
+) -> list[str]:
+    """Names to re-measure: the fixed sentinel plus every shared key
+    whose timing moved more than ``rel`` AND ``abs_floor`` vs the
+    committed baseline, largest absolute delta first, capped at
+    ``cap`` so a fully-contaminated run can't double its own wall."""
+    flagged: list[tuple[float, str]] = []
+    for name, sec in timings.items():
+        base = baseline.get(name)
+        if base is None or name == sentinel:
+            continue
+        delta = abs(sec - base)
+        if delta > abs_floor and delta > rel * max(base, 1e-9):
+            flagged.append((delta, name))
+    flagged.sort(reverse=True)
+    out = [name for _, name in flagged[:cap]]
+    if sentinel in timings:
+        out.append(sentinel)
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -103,6 +154,43 @@ def main() -> None:
                 break
         timings[name] = round(best, 4)
 
+    # Sentinel-rerun pass (BASELINE.md "invisible steal"): compare
+    # against the committed clean BENCH_FULL.json, rerun the sentinel
+    # plus any query that moved surprisingly, and record BOTH readings.
+    # The recorded timing becomes min(first, rerun) — the same
+    # one-sided-noise estimator as min-of-reps, now spanning two
+    # points in time so a transient steal wave can't stick.
+    repo = Path(__file__).parent
+    try:
+        committed = json.loads((repo / "BENCH_FULL.json").read_text())
+        baseline = {
+            k: float(v) for k, v in committed.get("queries", {}).items()
+        }
+    except (OSError, ValueError):
+        baseline = {}
+    reruns: dict[str, dict[str, object]] = {}
+    for name in select_reruns(timings, baseline):
+        builder, _ = bench_queries[name]
+        best = float("inf")
+        for i in range(reps):
+            start = time.perf_counter()
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+            clear_state(spark)
+            if best > slow_cutoff and i >= 1:
+                break
+        best = round(best, 4)
+        first = timings[name]
+        # suspect = the two readings of byte-identical code disagree
+        # beyond the same surprise threshold: ambient interference,
+        # not plan cost — per-round deltas on this query are not
+        # interpretable without an idle re-measure.
+        disagree = abs(best - first) > max(
+            RERUN_ABS_FLOOR, RERUN_REL_THRESHOLD * max(min(best, first), 1e-9)
+        )
+        reruns[name] = {"first": first, "rerun": best, "suspect": disagree}
+        timings[name] = min(first, best)
+
     total = round(sum(timings.values()), 4)
     load = {
         "load1_start": load1_start,
@@ -124,9 +212,15 @@ def main() -> None:
     # recorded parsed=null. Print a compact line (headline queries +
     # "other" rollup; "value" still sums EVERY query) and write the
     # complete timings next to it for the judge.
-    Path(__file__).parent.joinpath("BENCH_FULL.json").write_text(
+    bench_output_path(repo, bool(load["contaminated"])).write_text(
         json.dumps(
-            {"sf": sf, "total_sec": total, "load": load, "queries": timings},
+            {
+                "sf": sf,
+                "total_sec": total,
+                "load": load,
+                "queries": timings,
+                "reruns": reruns,
+            },
             indent=1,
         )
     )

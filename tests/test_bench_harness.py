@@ -1,0 +1,67 @@
+"""Unit tests for bench.py's artifact-hygiene logic.
+
+Two failure modes recurred across rounds 8-9 (VERDICT_r9 items 1+3):
+a contaminated run overwriting the committed clean BENCH_FULL.json,
+and an "invisible steal" wave (hypervisor contention at LOW loadavg)
+silently inflating a band of per-query timings. bench.py now diverts
+contaminated artifacts and reruns surprising queries; these tests pin
+that logic without spinning up Spark.
+"""
+
+from pathlib import Path
+
+from bench import SENTINEL, bench_output_path, select_reruns
+
+
+def test_contaminated_run_diverts_away_from_bench_full(tmp_path):
+    assert bench_output_path(tmp_path, False) == tmp_path / "BENCH_FULL.json"
+    assert (
+        bench_output_path(tmp_path, True) == tmp_path / "BENCH_CONTAMINATED.json"
+    )
+
+
+def test_contaminated_divert_leaves_committed_artifact_untouched(tmp_path):
+    clean = tmp_path / "BENCH_FULL.json"
+    clean.write_text('{"total_sec": 174.8}')
+    out = bench_output_path(tmp_path, True)
+    out.write_text('{"total_sec": 307.3}')
+    assert clean.read_text() == '{"total_sec": 174.8}'
+
+
+def test_select_reruns_flags_surprising_deltas_only():
+    baseline = {"a": 1.0, "b": 1.0, "c": 0.1, "d": 5.0, SENTINEL: 0.4}
+    timings = {
+        "a": 1.2,  # +20% — inside the ±40% band
+        "b": 2.5,  # +150% and +1.5 s — flagged
+        "c": 0.35,  # +250% but only +0.25 s — under the 0.3 s floor
+        "d": 5.1,  # +2% — fine
+        SENTINEL: 0.4,  # always rerun regardless of delta
+        "new_entry": 9.9,  # no baseline — never flagged
+    }
+    got = select_reruns(timings, baseline)
+    assert got == ["b", SENTINEL]
+
+
+def test_select_reruns_orders_by_delta_and_caps():
+    baseline = {f"q{i}": 1.0 for i in range(20)}
+    timings = {f"q{i}": 1.0 + 0.5 + i * 0.1 for i in range(20)}
+    got = select_reruns(timings, baseline, cap=3)
+    assert got == ["q19", "q18", "q17"]  # largest deltas, capped, no sentinel
+
+
+def test_select_reruns_handles_missing_baseline():
+    # first run in a fresh checkout: no committed artifact — only the
+    # sentinel reruns
+    assert select_reruns({SENTINEL: 0.5, "x": 9.0}, {}) == [SENTINEL]
+    assert select_reruns({"x": 9.0}, {}) == []
+
+
+def test_bench_full_artifact_at_head_is_clean_or_diverted():
+    """The repo-committed BENCH_FULL.json must never self-label
+    contaminated — the divert guard makes this invariant mechanical
+    going forward; this test makes a regression loud."""
+    import json
+
+    p = Path(__file__).resolve().parent.parent / "BENCH_FULL.json"
+    d = json.loads(p.read_text())
+    assert d.get("load", {}).get("contaminated") is not True
