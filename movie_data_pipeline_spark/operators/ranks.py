@@ -30,7 +30,7 @@ one-level plan plus one tiny count on the ≤nbuckets-row stats table.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -71,42 +71,81 @@ def ntile_expr(i_col: str, n_col: str, k: int):
 
 _NUMERIC = ("tinyint", "smallint", "int", "bigint", "float", "double")
 
-# helper columns the decomposition appends and the callers drop
+# how many exact 6-byte string images the tiebreak refinement chains
+# through (covers shared prefixes up to 6×this bytes; beyond that a
+# hot bucket stalls at max_levels — visibly, via LAST_SPLIT_STATS)
+_N_STRING_IMAGES = 5
+
+# helper columns the decomposition appends and the callers drop.
+# parallel_row_number / parallel_prefix_sum REJECT inputs already
+# carrying any of these names (a blanket output drop would otherwise
+# silently remove a legitimate user column).
 _HELPER_COLS = (
     "_s0", "_s1", "_b", "_b2", "_t", "_bn", "_tot", "_hot",
-    "_v0", "_v1", "_t0", "_t1", "_rin", "_pfx", "_cin", "_bt",
+    "_v0", "_v1", "_rin", "_pfx", "_cin", "_bt",
+) + tuple(
+    f"_m{k}{ab}" for k in range(_N_STRING_IMAGES) for ab in ("a", "b")
 )
 
+# Observability for the adaptive skew split (the split is load-bearing
+# under 10+ registry entries and was previously silent): refreshed by
+# every _adaptive_buckets call with per-level hot-bucket counts and
+# max bucket widths, so stress runs / property tests can SEE a
+# pathological distribution re-split instead of inferring it from
+# wall time. Same-dict update so importers holding a reference see it.
+LAST_SPLIT_STATS: dict = {}
 
-def _mono_image(df: DataFrame, col: str) -> Optional[Column]:
-    """A double-valued NON-STRICTLY MONOTONE image of ``col`` under the
+
+def _reject_helper_collisions(df: DataFrame, fn: str) -> None:
+    clash = sorted(set(df.columns) & set(_HELPER_COLS))
+    if clash:
+        raise ValueError(
+            f"{fn}: input columns {clash} collide with the bucket "
+            "decomposition's reserved helper names; rename them first "
+            f"(reserved: {sorted(_HELPER_COLS)})"
+        )
+
+
+def _mono_images(df: DataFrame, col: str) -> list:
+    """Double-valued NON-STRICTLY MONOTONE images of ``col`` under the
     column's sort order, for fixed-width sub-bucketing. Non-strict is
     enough: rows that collide share a sub-bucket and the in-bucket
-    window orders them by the full key. Strings map through their
-    first 7 bytes as a fixed-width big-endian integer (UTF8 binary
-    order = Spark/DuckDB string order; right-padding the hex keeps
-    short strings comparable to long ones; the double cast of a
-    ≤2⁵⁶ value rounds monotonically). NULLs map below every value,
-    matching NULLS FIRST. Returns None for types with no cheap image
-    (the caller then skips tiebreak-splitting)."""
+    window orders them by the full key. Strings map through a CHAIN of
+    exact 6-byte windows (bytes 1-6, 7-12, ... up to
+    6×_N_STRING_IMAGES), each a fixed-width big-endian integer (UTF8
+    binary order = Spark/DuckDB string order; right-padding the hex
+    keeps short strings comparable to long ones; 48 bits fit a
+    double's 53-bit mantissa EXACTLY, so an equal-min/max image PROVES
+    the bucket shares those 6 bytes — which is what makes the next
+    window's image monotone within the bucket, and is why a hot bucket
+    of long strings sharing a prefix keeps shrinking instead of
+    stalling: image k is only consulted after images 0..k-1 were
+    constant). NULLs map below every value, matching NULLS FIRST.
+    Returns [] for types with no cheap image (the caller then skips
+    tiebreak-splitting); numerics/dates get a single image."""
     dtype = dict(df.dtypes).get(col)
     if dtype is None:
-        return None
-    if dtype in _NUMERIC or dtype.startswith("decimal"):
-        return F.coalesce(F.col(col).cast("double"), F.lit(-1e308))
+        return []
     if dtype == "string":
-        return F.coalesce(
-            F.expr(
-                f"conv(rpad(hex(substring(encode(`{col}`, 'UTF-8'), 1, 7)),"
-                " 14, '0'), 16, 10)"
-            ).cast("double"),
-            F.lit(-1.0),
-        )
+        return [
+            F.coalesce(
+                F.expr(
+                    f"conv(rpad(hex(substring(encode(`{col}`, 'UTF-8'),"
+                    f" {1 + 6 * k}, 6)), 12, '0'), 16, 10)"
+                ).cast("double"),
+                F.lit(-1.0),
+            )
+            for k in range(_N_STRING_IMAGES)
+        ]
+    if dtype in _NUMERIC or dtype.startswith("decimal"):
+        return [F.coalesce(F.col(col).cast("double"), F.lit(-1e308))]
     if dtype in ("date", "timestamp", "timestamp_ntz"):
-        return F.coalesce(
-            F.col(col).cast("timestamp").cast("double"), F.lit(-1e308)
-        )
-    return None
+        return [
+            F.coalesce(
+                F.col(col).cast("timestamp").cast("double"), F.lit(-1e308)
+            )
+        ]
+    return []
 
 
 def _fixed_width_bucket(
@@ -152,11 +191,24 @@ def _adaptive_buckets(
     hot_factor·n/nbuckets)): fixed-width on the value over the
     bucket's OWN range when the value still spreads there, else
     fixed-width on a monotone numeric image of the first tiebreak
-    (the all-equal / single-spike case). A spike inside a mixed
-    bucket takes one level to isolate (value split) and a second to
-    spread (tiebreak split) — hence max_levels=3 by default. A slice
-    equal in BOTH value and tiebreak image never shrinks;
-    max_levels bounds the loop."""
+    (the all-equal / single-spike case; string tiebreaks carry a
+    CHAIN of exact 6-byte images — bytes 1-6, 7-12, ... — where image
+    k is consulted only after images 0..k-1 were constant across the
+    bucket, valid exactly then because an equal-min/max EXACT image
+    proves the shared prefix). A spike inside a mixed bucket takes
+    one level to isolate (value split) and a second to spread
+    (tiebreak split) — hence max_levels=3 by default. A slice equal
+    in value and every tiebreak image (strings sharing a
+    >6×_N_STRING_IMAGES-byte prefix) never shrinks; max_levels bounds
+    the loop and LAST_SPLIT_STATS reports the final width so a stall
+    is VISIBLE, not inferred from wall time.
+
+    NULL order keys get a dedicated lowest bucket (id -1), matching
+    the in-bucket sort's NULLS FIRST — the operator implements
+    Spark's ascending default end-to-end. NOTE: a DuckDB oracle's
+    plain window defaults to NULLS LAST; a nullable order column
+    needs an explicit NULLS FIRST in its oracle SQL (shipped testdata
+    has no NULL order keys — contract note)."""
     part = list(part)
     bounds = df.groupBy(*part).agg(
         F.min(order_col).cast("double").alias("_s0"),
@@ -169,20 +221,27 @@ def _adaptive_buckets(
     val_d = F.col(order_col).cast("double")
     b = b.withColumn(
         "_b",
-        _fixed_width_bucket(
-            val_d, F.col("_s0"), F.col("_s1"), nbuckets
-        ).cast("long"),
+        F.when(val_d.isNull(), F.lit(-1))
+        .otherwise(
+            _fixed_width_bucket(val_d, F.col("_s0"), F.col("_s1"), nbuckets)
+        )
+        .cast("long"),
     ).drop("_s0", "_s1")
     # the bucketed relation feeds BOTH the in-bucket windows and the
     # prefix aggregate — cut lineage so the upstream (scans, joins,
     # prior rank calls) executes once, not once per consumer arm
     # (pre-cut, a 3×-chained rfm ranking re-ran the base scan 69×)
     b = b.localCheckpoint()
-    tb_img = _mono_image(df, tiebreaks[0]) if tiebreaks else None
+    imgs = _mono_images(df, tiebreaks[0]) if tiebreaks else []
+    split_log: list[dict] = []
+    LAST_SPLIT_STATS.clear()
+    LAST_SPLIT_STATS.update(
+        {"grouped": bool(part), "nbuckets": nbuckets, "levels": split_log}
+    )
     if not part:
         return _refine_ungrouped(
-            df, b, val_d, tb_img, nbuckets, hot_factor, split_floor,
-            max_levels,
+            df, b, val_d, imgs, nbuckets, hot_factor,
+            split_floor, max_levels, split_log,
         )
     for _level in range(max_levels):
         stats = (
@@ -201,11 +260,20 @@ def _adaptive_buckets(
             F.lit(int(hot_factor)) * F.col("_tot") / F.lit(int(nbuckets)),
         )
         stats = stats.withColumn("_hot", hot)
-        # driver-side branch on a 1-value probe of the small stats
+        # driver-side branch on a 1-row aggregate of the small stats
         # table (AQE-style data-dependent planning): skew pays for
-        # refinement only when it exists
-        any_hot = stats.filter("_hot").limit(1).count() > 0
-        if not any_hot or _level == max_levels - 1:
+        # refinement only when it exists; the same probe row feeds
+        # the observability log (hot count + max width per level)
+        probe = stats.agg(
+            F.sum(F.col("_hot").cast("int")).alias("h"),
+            F.max("_bn").alias("w"),
+        ).collect()[0]
+        n_hot = int(probe["h"] or 0)
+        split_log.append(
+            {"level": _level, "hot": n_hot, "max_width": int(probe["w"])}
+        )
+        if n_hot == 0 or _level == max_levels - 1:
+            LAST_SPLIT_STATS["final_max_width"] = int(probe["w"])
             prefix_w = (
                 Window.partitionBy(*part)
                 .orderBy("_b")
@@ -220,40 +288,60 @@ def _adaptive_buckets(
             )
             return b, prefix
         info = stats.select(*part, "_b", "_hot", "_v0", "_v1")
-        if tb_img is not None:
+        if imgs:
             # tiebreak bounds per bucket: a second small pass over the
-            # CHECKPOINTED relation, paid only on the hot path (the
-            # image is per-row string/byte arithmetic the fast path
-            # never runs)
-            tstats = b.groupBy(*part, "_b").agg(
-                F.min(tb_img).alias("_t0"), F.max(tb_img).alias("_t1")
+            # CHECKPOINTED relation, restricted to the hot buckets by
+            # a semi-join on the tiny stats table so the per-row
+            # string/byte images truly run only where refinement will
+            # use them (the blanket aggregate contradicted this
+            # comment until round 10)
+            hot_keys = stats.filter("_hot").select(*part, "_b")
+            aggs = []
+            for k, img in enumerate(imgs):
+                aggs += [
+                    F.min(img).alias(f"_m{k}a"),
+                    F.max(img).alias(f"_m{k}b"),
+                ]
+            tstats = (
+                b.join(F.broadcast(hot_keys), [*part, "_b"])
+                .groupBy(*part, "_b")
+                .agg(*aggs)
             )
-            info = info.join(tstats, [*part, "_b"])
+            info = info.join(tstats, [*part, "_b"], "left")
         refined = b.join(info, [*part, "_b"])
         b = (
             refined.withColumn(
                 "_b",
                 F.col("_b") * F.lit(int(nbuckets))
-                + _sub_bucket_expr(val_d, tb_img, nbuckets).cast("long"),
+                + _sub_bucket_expr(val_d, imgs, nbuckets).cast("long"),
             )
-            .drop("_hot", "_v0", "_v1", "_t0", "_t1")
+            .drop("_hot", "_v0", "_v1", *_image_cols(len(imgs)))
             .localCheckpoint()
         )
     raise AssertionError("unreachable")
 
 
-def _sub_bucket_expr(val_d: Column, tb_img, nbuckets: int) -> Column:
+def _image_cols(n_imgs: int) -> list:
+    return [f"_m{k}{ab}" for k in range(n_imgs) for ab in ("a", "b")]
+
+
+def _sub_bucket_expr(val_d: Column, imgs, nbuckets: int) -> Column:
     """The per-row sub-bucket for a (possibly) hot bucket, reading the
-    joined per-bucket columns _hot/_v0/_v1[/_t0/_t1]."""
+    joined per-bucket columns _hot/_v0/_v1[/_m{k}a/_m{k}b]. The
+    when-chain fall-through IS the monotonicity proof: image k is
+    only reached when the value AND every exact earlier image were
+    constant across the bucket (their min==max), which is exactly the
+    condition under which ordering within the bucket is determined by
+    image k's bytes. Non-hot buckets short-circuit to 0 before any
+    image column is read (they carry NULLs from the hot-only left
+    join)."""
     sub_v = _fixed_width_bucket(val_d, F.col("_v0"), F.col("_v1"), nbuckets)
     sub = F.when(~F.col("_hot"), F.lit(0)).when(
         F.col("_v1") > F.col("_v0"), sub_v
     )
-    if tb_img is not None:
-        sub_t = _fixed_width_bucket(
-            tb_img, F.col("_t0"), F.col("_t1"), nbuckets
-        )
-        sub = sub.when(F.col("_t1") > F.col("_t0"), sub_t)
+    for k, img in enumerate(imgs):
+        lo, hi = F.col(f"_m{k}a"), F.col(f"_m{k}b")
+        sub = sub.when(hi > lo, _fixed_width_bucket(img, lo, hi, nbuckets))
     return sub.otherwise(F.lit(0))
 
 
@@ -261,16 +349,26 @@ def _refine_ungrouped(
     df: DataFrame,
     b: DataFrame,
     val_d: Column,
-    tb_img,
+    imgs: list,
     nbuckets: int,
     hot_factor: int,
     split_floor: int,
     max_levels: int,
+    split_log: list,
 ):
     """Driver-stats refinement for the ungrouped case (see
     _adaptive_buckets docstring): collect the bounded per-bucket stats,
-    decide hotness and build the exclusive prefix table driver-side."""
+    decide hotness and build the exclusive prefix table driver-side.
+    The NULL-order-key bucket (id -1) carries NULL _v0/_v1 (min/max
+    skip NULLs); its value never spreads, so a hot NULL bucket
+    refines by tiebreak image, and the NULL-safe -1e308 stand-in
+    below only fills schema slots that _sub_bucket_expr's branch
+    order can never read."""
     spark = df.sparkSession
+
+    def _f(x) -> float:
+        return float(x) if x is not None else -1e308
+
     for _level in range(max_levels):
         rows = (
             b.groupBy("_b")
@@ -284,7 +382,12 @@ def _refine_ungrouped(
         total = sum(r["_bn"] for r in rows)
         thr = max(float(split_floor), hot_factor * total / float(nbuckets))
         hot_ids = {r["_b"] for r in rows if r["_bn"] > thr}
+        max_width = max(r["_bn"] for r in rows) if rows else 0
+        split_log.append(
+            {"level": _level, "hot": len(hot_ids), "max_width": max_width}
+        )
         if not hot_ids or _level == max_levels - 1:
+            LAST_SPLIT_STATS["final_max_width"] = max_width
             acc = 0
             pfx = []
             for r in sorted(rows, key=lambda r: r["_b"]):
@@ -292,41 +395,56 @@ def _refine_ungrouped(
                 acc += r["_bn"]
             prefix = spark.createDataFrame(pfx, "_b long, _pfx long")
             return b, prefix
-        tmap = {}
-        if tb_img is not None:
+        tmap: dict = {}
+        if imgs:
             hot_df = spark.createDataFrame(
                 [(i,) for i in sorted(hot_ids)], "_b long"
             )
+            aggs = []
+            for k, img in enumerate(imgs):
+                aggs += [
+                    F.min(img).alias(f"_m{k}a"),
+                    F.max(img).alias(f"_m{k}b"),
+                ]
             trows = (
                 b.join(F.broadcast(hot_df), "_b")
                 .groupBy("_b")
-                .agg(F.min(tb_img).alias("_t0"), F.max(tb_img).alias("_t1"))
+                .agg(*aggs)
                 .collect()
             )
-            tmap = {r["_b"]: (r["_t0"], r["_t1"]) for r in trows}
+            tmap = {
+                r["_b"]: [
+                    _f(r[f"_m{k}{ab}"])
+                    for k in range(len(imgs))
+                    for ab in ("a", "b")
+                ]
+                for r in trows
+            }
+        zeros = [0.0] * (2 * len(imgs))
+        img_schema = "".join(
+            f", _m{k}a double, _m{k}b double" for k in range(len(imgs))
+        )
         info = spark.createDataFrame(
             [
                 (
                     r["_b"],
                     r["_b"] in hot_ids,
-                    float(r["_v0"]),
-                    float(r["_v1"]),
-                    float(tmap.get(r["_b"], (0.0, 0.0))[0]),
-                    float(tmap.get(r["_b"], (0.0, 0.0))[1]),
+                    _f(r["_v0"]),
+                    _f(r["_v1"]),
+                    *tmap.get(r["_b"], zeros),
                 )
                 for r in rows
             ],
-            "_b long, _hot boolean, _v0 double, _v1 double,"
-            " _t0 double, _t1 double",
+            "_b long, _hot boolean, _v0 double, _v1 double" + img_schema,
         )
         b = (
             b.join(F.broadcast(info), "_b")
             .withColumn(
                 "_b",
                 F.col("_b") * F.lit(int(nbuckets))
-                + _sub_bucket_expr(val_d, tb_img, nbuckets).cast("long"),
+                + _sub_bucket_expr(val_d, imgs, nbuckets).cast("long"),
             )
-            .drop("_hot", "_v0", "_v1", "_t0", "_t1")
+            .drop("_hot", "_v0", "_v1", *_image_cols(len(imgs)))
             .localCheckpoint()
         )
     raise AssertionError("unreachable")
@@ -350,6 +468,7 @@ def parallel_row_number(
     for the result to be well-defined. A bucket only splits when it
     holds more than max(split_floor, hot_factor·n/nbuckets) rows —
     the floor keeps test-scale data on the one-level plan."""
+    _reject_helper_collisions(df, "parallel_row_number")
     part = list(part_cols)
     b, prefix = _adaptive_buckets(
         df, value_col, tiebreaks, part, nbuckets, hot_factor, split_floor
@@ -386,6 +505,7 @@ def parallel_prefix_sum(
     what lets registry oracles hash-compare it against DuckDB's
     plain window."""
     dec = f"decimal(30,{scale})"
+    _reject_helper_collisions(df, "parallel_prefix_sum")
     b, _prefix_counts = _adaptive_buckets(  # decimal totals built below
         df, order_col, tiebreaks, [], nbuckets, hot_factor, split_floor
     )

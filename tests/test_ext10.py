@@ -275,3 +275,111 @@ def test_adaptive_prefix_sum_skewed(spark):
     for k, _, x in sorted(rows):
         run += x
         assert got[k] == Decimal(run), (k, got[k], run)
+
+
+def test_helper_column_collision_rejected(spark):
+    """An input frame already carrying a reserved helper name must be
+    rejected loudly — the output drop would otherwise silently remove
+    the user's column (round-10 fix; previously _t/_tot/... vanished)."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 2)], ["v", "_tot"])
+    with pytest.raises(ValueError, match="_tot"):
+        parallel_row_number(df, "v", [])
+    with pytest.raises(ValueError, match="parallel_prefix_sum"):
+        from movie_data_pipeline_spark.operators.ranks import (
+            parallel_prefix_sum,
+        )
+
+        parallel_prefix_sum(df, "v", "v", ["_tot"])
+
+
+def test_null_order_keys_sort_first(spark):
+    """NULL order values get the dedicated lowest bucket: global rank
+    equals Spark's NULLS FIRST ascending default, and the ungrouped
+    driver-stats path must not TypeError on the all-NULL bucket's
+    NULL min/max (the round-9 advisory's crash case)."""
+    rows = [(0, None), (1, 5), (2, None), (3, 1), (4, 3)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r.k: r.i
+        for r in parallel_row_number(
+            df, "v", ["k"], nbuckets=4, split_floor=1
+        ).collect()
+    }
+    # NULLS FIRST, tie-broken by k: 0,2 then 3,4,1
+    assert got == {0: 1, 2: 2, 3: 3, 4: 4, 1: 5}
+
+
+def test_null_order_keys_grouped(spark):
+    rows = [
+        ("a", 0, None), ("a", 1, 2), ("a", 2, None),
+        ("b", 3, 9), ("b", 4, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, k int, v int")
+    got = {
+        (r.g, r.k): r.i
+        for r in parallel_row_number(
+            df, "v", ["k"], part_cols=["g"], nbuckets=4, split_floor=1
+        ).collect()
+    }
+    assert got == {
+        ("a", 0): 1, ("a", 2): 2, ("a", 1): 3,
+        ("b", 4): 1, ("b", 3): 2,
+    }
+
+
+def test_all_null_order_column(spark):
+    """Degenerate: every order value NULL — one NULL bucket, ranks by
+    tiebreak, no driver-side TypeError."""
+    rows = [(k, None) for k in range(10)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {
+        r.k: r.i
+        for r in parallel_row_number(
+            df, "v", ["k"], nbuckets=4, split_floor=1
+        ).collect()
+    }
+    assert got == {k: k + 1 for k in range(10)}
+
+
+def test_shared_prefix_strings_split_via_second_image(spark):
+    """Round-9 advisory: a hot bucket of long strings sharing a >6-byte
+    prefix stalled the refinement (zero-width first image). The second
+    exact image over bytes 7-12 must now spread it: bounded width AND
+    exact ranks."""
+    from movie_data_pipeline_spark.operators.ranks import LAST_SPLIT_STATS
+
+    n = 200
+    rows = [(f"sharedprefix-{k:06d}", 1) for k in range(n)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    got = {
+        r.k: r.i
+        for r in parallel_row_number(
+            df, "v", ["k"], nbuckets=8, split_floor=1
+        ).collect()
+    }
+    assert got == {f"sharedprefix-{k:06d}": k + 1 for k in range(n)}
+    width = _max_bucket_width(df, "v", ["k"], nbuckets=8, split_floor=1)
+    # the operator's contract bound: refinement stops once no bucket
+    # exceeds hot_factor*n/nbuckets (pre-fix the stall left width = n)
+    assert width <= 4 * n / 8
+    # observability: the reported final width matches the measured one
+    assert LAST_SPLIT_STATS["final_max_width"] == width
+    assert LAST_SPLIT_STATS["grouped"] is False
+    assert any(lvl["hot"] > 0 for lvl in LAST_SPLIT_STATS["levels"])
+
+
+def test_split_stats_reported_for_grouped_path(spark):
+    from movie_data_pipeline_spark.operators.ranks import LAST_SPLIT_STATS
+
+    rows = [("g", k, 7) for k in range(120)]
+    df = spark.createDataFrame(rows, ["g", "k", "v"])
+    parallel_row_number(
+        df, "v", ["k"], part_cols=["g"], nbuckets=8, split_floor=1
+    ).count()
+    assert LAST_SPLIT_STATS["grouped"] is True
+    assert LAST_SPLIT_STATS["levels"][0]["max_width"] == 120
+    # contract bound: hot_factor * n / nbuckets = 4*120/8
+    assert LAST_SPLIT_STATS["final_max_width"] <= 60
+    assert any(lvl["hot"] > 0 for lvl in LAST_SPLIT_STATS["levels"])
