@@ -1359,32 +1359,97 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         .sort_values("rval")
         .drop_duplicates(["key", "rts"], keep="last")
     )
-    for direction in ("backward", "forward"):
-        expected = pd.merge_asof(
-            left_pd.sort_values("lts", kind="stable"),
-            right_pd.sort_values("rts", kind="stable"),
-            left_on="lts",
-            right_on="rts",
-            by="key",
-            direction=direction,
-        ).set_index("lid")["rval"]
-        got = {
+    for direction in ("backward", "forward", "nearest"):
+        for tolerance in (None, 10):
+            expected = pd.merge_asof(
+                left_pd.sort_values("lts", kind="stable"),
+                right_pd.sort_values("rts", kind="stable"),
+                left_on="lts",
+                right_on="rts",
+                by="key",
+                direction=direction,
+                tolerance=tolerance,
+            ).set_index("lid")["rval"]
+            got = {
+                r.lid: r.rval
+                for r in asof_join(
+                    spark.createDataFrame(left_pd),
+                    spark.createDataFrame(right_pd),
+                    on=["key"],
+                    left_ts="lts",
+                    right_ts="rts",
+                    value_cols=["rval"],
+                    direction=direction,
+                    tolerance=tolerance,
+                ).collect()
+            }
+            for lid, exp in expected.items():
+                g = got[lid]
+                assert (pd.isna(exp) and g is None) or g == exp, (
+                    direction, tolerance, lid, exp, g,
+                )
+
+
+def test_asof_join_boundary_semantics(spark):
+    """Planted boundaries: exact timestamp tie (inclusive on both
+    directions), exactly-at-tolerance (inclusive), one-past-tolerance
+    (dropped), nearest equidistant tie (backward wins), and a NULL
+    value column on the matched row (the MATCH is the nearest ROW —
+    its NULL value must come through, not an older row's value)."""
+    from movie_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("a", 100, 1), ("a", 205, 2), ("a", 300, 3), ("b", 50, 4)],
+        "key string, lts long, lid int",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 10), ("a", 210, 20), ("a", 290, None), ("c", 1, 99)],
+        "key string, rts long, rval int",
+    )
+
+    def run(direction, tolerance=None):
+        return {
             r.lid: r.rval
             for r in asof_join(
-                spark.createDataFrame(left_pd),
-                spark.createDataFrame(right_pd),
-                on=["key"],
-                left_ts="lts",
-                right_ts="rts",
-                value_cols=["rval"],
-                direction=direction,
+                left, right, ["key"], "lts", "rts", ["rval"],
+                direction=direction, tolerance=tolerance,
             ).collect()
         }
-        for lid, exp in expected.items():
-            g = got[lid]
-            assert (pd.isna(exp) and g is None) or g == exp, (
-                direction, lid, exp, g,
-            )
+
+    # exact tie at ts=100: backward AND forward both match it
+    assert run("backward")[1] == 10
+    assert run("forward")[1] == 10
+    # nearest equidistant tie: lid=2 at 205 is 5 from 210 (fwd) and
+    # ... backward candidate is 100 (105 away) -> forward wins; make
+    # a true tie with lid=3 at 300: 290 is 10 back, none forward ->
+    # backward; with tolerance 10 inclusive it still matches and the
+    # matched row's NULL value comes through as the match
+    near = run("nearest")
+    assert near[2] == 20 and near[1] == 10
+    assert near[3] is None  # matched the ts=290 row whose rval IS NULL
+    assert near[4] is None  # key 'b' has no right rows at all
+    # tolerance boundaries: 300-290=10 exactly at tolerance -> kept
+    # (NULL value, but KEPT is indistinguishable here, so probe with
+    # lid=2: gap 5 <= 10 kept, tolerance 4 drops it)
+    assert run("nearest", tolerance=5)[2] == 20
+    assert run("nearest", tolerance=4)[2] is None
+    assert run("backward", tolerance=105)[2] == 10
+    assert run("backward", tolerance=104)[2] is None
+    assert run("forward", tolerance=5)[2] == 20
+    assert run("forward", tolerance=4)[2] is None
+
+
+def test_asof_nearest_equidistant_tie_prefers_backward(spark):
+    from movie_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k", 200, 1)], "key string, lts long, lid int")
+    right = spark.createDataFrame(
+        [("k", 190, 111), ("k", 210, 222)], "key string, rts long, rval int"
+    )
+    got = asof_join(
+        left, right, ["key"], "lts", "rts", ["rval"], direction="nearest"
+    ).collect()
+    assert got[0].rval == 111  # 10 back vs 10 forward: backward wins
 
 
 def test_interval_join_matches_bruteforce_property(spark):
