@@ -897,6 +897,7 @@ from .analytics_ext11 import EXT11_QUERIES  # noqa: E402
 from .analytics_ext12 import EXT12_QUERIES  # noqa: E402
 from .analytics_ext13 import EXT13_QUERIES  # noqa: E402
 from .analytics_ext14 import EXT14_QUERIES  # noqa: E402
+from .analytics_ext15 import EXT15_QUERIES  # noqa: E402
 from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
@@ -920,6 +921,7 @@ QUERIES.update(EXT11_QUERIES)
 QUERIES.update(EXT12_QUERIES)
 QUERIES.update(EXT13_QUERIES)
 QUERIES.update(EXT14_QUERIES)
+QUERIES.update(EXT15_QUERIES)
 
 # Driver-slot curation. The round driver's correctness gate records
 # only the first 50 registry entries (rounds 1-3 each produced exactly
