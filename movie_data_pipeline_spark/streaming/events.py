@@ -632,3 +632,90 @@ def run_growth_accounting_sink(
     )
     q.awaitTermination()
     return q
+
+
+def run_monthly_rollup_sink(
+    stream: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+):
+    """Streaming twin of the batch IVM rollup
+    (plans/analytics_ext13.incremental_daily_rollup): fold each
+    micro-batch's per-month (COUNT, exact-decimal SUM) partial into a
+    state parquet by ADDITION — the counts-and-sums monoid — and
+    publish the rounded monthly rollup after every merge.
+
+    Addition is associative/commutative but NOT idempotent (unlike
+    the first-seen MIN and set-union folds above), so at-least-once
+    replay needs explicit de-duplication: the state carries a
+    ``merged_through`` high-water batch id (foreachBatch ids are
+    strictly increasing per checkpoint, and a crash re-delivers only
+    the last id), and a batch at-or-below it is skipped — then
+    REPUBLISHED, because the crash may have hit between the state
+    swap and the publish. Consequence to document, not hide: the
+    high-water mark makes replays of already-merged data no-ops even
+    from a FRESH checkpoint (ids restart at 0), but new data appended
+    under a fresh checkpoint would be skipped with it — growing the
+    source requires keeping the original checkpoint, which is the
+    exactly-once contract every additive streaming sink inherits.
+
+    Scale note: state is month-cardinality (the rollup itself), the
+    merge is a month-keyed aggregate of state ∪ batch-partial, and
+    the 1-row high-water collect is bounded by construction. At
+    100 TB the same shape holds: the partial aggregate rides the
+    stream shuffle; the state side never exceeds the calendar."""
+    spark = stream.sparkSession
+
+    def publish(state: DataFrame) -> None:
+        out = state.select(
+            F.col("ym").cast("int").alias("ym"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.round(F.col("rev").cast("double"), 2).alias("revenue"),
+        )
+        _atomic_swap_parquet(out, out_path)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        _recover_interrupted_swap(state_path)
+        prev = None
+        if os.path.exists(state_path):
+            state = spark.read.parquet(state_path)
+            hw = state.agg(F.max("merged_through")).collect()[0][0]
+            if hw is not None and batch_id <= hw:
+                publish(state)
+                return
+            prev = state.select("ym", "n_orders", "rev")
+        fresh = batch_df.groupBy(
+            (
+                F.year(date_col) * 100 + F.month(date_col)
+            ).cast("long").alias("ym")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.col(amount_col).cast("decimal(30,2)")).alias("rev"),
+        )
+        merged = (
+            prev.unionByName(fresh)
+            .groupBy("ym")
+            .agg(
+                F.sum("n_orders").cast("long").alias("n_orders"),
+                F.sum("rev").cast("decimal(30,2)").alias("rev"),
+            )
+            if prev is not None
+            else fresh
+        )
+        merged = merged.withColumn("merged_through", F.lit(int(batch_id)))
+        _atomic_swap_parquet(merged, state_path)
+        publish(spark.read.parquet(state_path))
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

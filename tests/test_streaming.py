@@ -690,3 +690,68 @@ def test_recover_interrupted_swap_noop_when_path_exists(tmp_path):
     SE._recover_interrupted_swap(path)
     assert os.path.exists(os.path.join(path, "marker"))
     assert os.path.exists(path + "__old")
+
+
+def test_monthly_rollup_stream_equals_batch(spark, tmp_path):
+    """The additive IVM sink: drain the orders corpus, compare the
+    published rollup to the one-pass batch aggregate; then re-drain
+    from a FRESH checkpoint (high-water mark must turn the full
+    replay into a no-op — addition is not idempotent); then append a
+    NEW orders file and continue under the ORIGINAL checkpoint (the
+    true incremental path: only the delta merges)."""
+    import os
+
+    src = str(tmp_path / "orders_src")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    orders.write.mode("overwrite").parquet(src)
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "rollup")
+
+    def want_for(df):
+        rows = (
+            df.groupBy(
+                (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+                .cast("int")
+                .alias("ym")
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(
+                    F.sum(
+                        F.col("o_totalprice").cast("decimal(30,2)")
+                    ).cast("double"),
+                    2,
+                ).alias("revenue"),
+            )
+            .collect()
+        )
+        return {r.ym: (r.n_orders, r.revenue) for r in rows}
+
+    def got():
+        return {
+            r.ym: (r.n_orders, r.revenue)
+            for r in spark.read.parquet(out).collect()
+        }
+
+    stream = spark.readStream.schema(orders.schema).parquet(src)
+    SE.run_monthly_rollup_sink(stream, state, out, str(tmp_path / "ck1"))
+    assert got() == want_for(orders)
+
+    # fresh checkpoint, same data: every batch id restarts at 0 <=
+    # high-water -> skipped; a re-merge would double every count
+    stream2 = spark.readStream.schema(orders.schema).parquet(src)
+    SE.run_monthly_rollup_sink(stream2, state, out, str(tmp_path / "ck2"))
+    assert got() == want_for(orders)
+
+    # append a delta file; continue under the ORIGINAL checkpoint —
+    # only the delta merges (IVM), and the state equals the full
+    # recompute over old+new
+    delta = orders.limit(37).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10_000_000)
+    )
+    delta.write.mode("append").parquet(src)
+    stream3 = spark.readStream.schema(orders.schema).parquet(src)
+    SE.run_monthly_rollup_sink(stream3, state, out, str(tmp_path / "ck1"))
+    assert got() == want_for(spark.read.parquet(src))
+    assert os.path.exists(state)
