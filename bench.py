@@ -44,6 +44,32 @@ RERUN_REL_THRESHOLD = 0.40
 RERUN_ABS_FLOOR = 0.3
 RERUN_CAP = 12
 
+# A rerun is SUSPECT when its two readings of byte-identical code
+# disagree beyond this: 0.6 s absolute (q17's documented idle band is
+# 0.35-0.9 s wide — a 0.3 s floor would trip on natural variance) or
+# 40% of the smaller reading. Code improvements can never trip it:
+# both readings come from the SAME run of the SAME code.
+SUSPECT_DISAGREE_FLOOR = 0.6
+
+# The loadavg label is NECESSARY evidence, not SUFFICIENT
+# (BASELINE.md: a load-0.32 run carried a flat +2 s additive; a
+# round-10 load-0.06 run carried +32% across 193 shared keys).
+# The rerun pass itself is the missing evidence: on a genuinely
+# clean run the two readings of byte-identical code agree — so a
+# disagreeing SENTINEL, or this many disagreeing reruns, marks the
+# run steal-contaminated regardless of loadavg.
+STEAL_SUSPECT_THRESHOLD = 3
+
+
+def steal_detected(reruns: dict, sentinel: str = SENTINEL) -> bool:
+    """True when the rerun evidence says the box was stealing cycles:
+    the fixed sentinel's two readings disagree, or at least
+    STEAL_SUSPECT_THRESHOLD rerun queries disagree with themselves."""
+    if reruns.get(sentinel, {}).get("suspect"):
+        return True
+    n = sum(1 for r in reruns.values() if r.get("suspect"))
+    return n >= STEAL_SUSPECT_THRESHOLD
+
 
 def bench_output_path(repo: Path, contaminated: bool) -> Path:
     """Contaminated runs must never replace the committed clean
@@ -186,7 +212,8 @@ def main() -> None:
         # not plan cost — per-round deltas on this query are not
         # interpretable without an idle re-measure.
         disagree = abs(best - first) > max(
-            RERUN_ABS_FLOOR, RERUN_REL_THRESHOLD * max(min(best, first), 1e-9)
+            SUSPECT_DISAGREE_FLOOR,
+            RERUN_REL_THRESHOLD * max(min(best, first), 1e-9),
         )
         reruns[name] = {"first": first, "rerun": best, "suspect": disagree}
         timings[name] = min(first, best)
@@ -205,7 +232,14 @@ def main() -> None:
     contaminated_threshold = float(
         os.environ.get("SPARK_GRAFT_BENCH_LOAD_THRESHOLD", "2.0")
     )
-    load["contaminated"] = load1_start > contaminated_threshold
+    load["contaminated_load"] = load1_start > contaminated_threshold
+    load["steal_suspects"] = sum(
+        1 for r in reruns.values() if r.get("suspect")
+    )
+    load["contaminated_steal"] = steal_detected(reruns)
+    load["contaminated"] = bool(
+        load["contaminated_load"] or load["contaminated_steal"]
+    )
 
     # The driver keeps only the final ~2000 chars of output; round 2's
     # full per-query dict pushed the JSON line past that and the driver

@@ -65,3 +65,21 @@ def test_bench_full_artifact_at_head_is_clean_or_diverted():
     p = Path(__file__).resolve().parent.parent / "BENCH_FULL.json"
     d = json.loads(p.read_text())
     assert d.get("load", {}).get("contaminated") is not True
+
+
+def test_steal_detected_from_rerun_evidence():
+    """BASELINE.md's 'invisible steal' mode: loadavg can read 0.06
+    while a flat additive rides every query (a live round-10 run
+    measured +32% across 193 shared keys at load1_start 0.06). The
+    rerun pass is the sufficient evidence: a disagreeing sentinel, or
+    3+ self-disagreeing reruns, labels the run contaminated."""
+    from bench import steal_detected
+
+    ok = {"first": 1.0, "rerun": 1.0, "suspect": False}
+    bad = {"first": 8.2, "rerun": 1.6, "suspect": True}
+    assert steal_detected({}) is False
+    assert steal_detected({"a": ok, "b": ok}) is False
+    assert steal_detected({SENTINEL: bad}) is True  # sentinel disagrees
+    assert steal_detected({"a": bad, "b": bad}) is False  # 2 < threshold
+    assert steal_detected({"a": bad, "b": bad, "c": bad}) is True
+    assert steal_detected({SENTINEL: ok, "a": bad, "b": ok}) is False
