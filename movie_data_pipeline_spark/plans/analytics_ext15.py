@@ -151,9 +151,12 @@ def q21_bottleneck_suppliers(spark: SparkSession, sf: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
+    # supplier is SF-SCALED (not bounded-by-construction), so no
+    # broadcast hint: AQE picks the build side at this SF and flips
+    # to a shuffle join when the dim outgrows the threshold
     supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
     return (
-        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        qual.join(supp, qual.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
