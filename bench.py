@@ -29,11 +29,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from movie_data_pipeline_spark.plans.analytics import QUERIES  # noqa: E402
 from movie_data_pipeline_spark.session import clear_state, get_spark  # noqa: E402
 
-# Fixed contamination sentinel (BASELINE.md round-9 "invisible steal"
-# finding): idle ≈ 0.35-0.9 s at sf0.1; a flat +~2 s additive on it at
-# LOW loadavg (0.32 observed) means hypervisor steal that the loadavg
-# flag cannot see. It is always rerun min-of-3 after the timed pass.
-SENTINEL = "q17_small_qty_revenue"
+# Fixed contamination sentinels (BASELINE.md round-9 "invisible
+# steal" finding), always rerun min-of-reps after the timed pass.
+# A PAIR from different cost families, because the round-10 steal
+# waves hit the LONG iterative queries hardest (trade_pagerank
+# 23.7→6.2 s between readings) — a wave that spares short queries
+# would pass a short-query-only sentinel:
+#   q17_small_qty_revenue — short scan+agg; idle band 0.35-0.9 s at
+#     sf0.1 (committed clean reading 0.37 s).
+#   trade_kcore — iterative fixpoint (k-core peel, multi-round
+#     shuffles on checkpointed edges); idle ≈ 1.7 s at sf0.1
+#     (committed clean reading 1.71 s; its family swings ±30% under
+#     ambient load, so its disagreement is the steal signature).
+SENTINELS = ("q17_small_qty_revenue", "trade_kcore")
+# Back-compat alias: the primary (short-family) sentinel.
+SENTINEL = SENTINELS[0]
 
 # A per-query delta vs the committed BENCH_FULL.json beyond ±40% (and
 # more than 0.3 s absolute, so sub-second jitter on tiny queries does
@@ -61,49 +71,65 @@ SUSPECT_DISAGREE_FLOOR = 0.6
 STEAL_SUSPECT_THRESHOLD = 3
 
 
-def steal_detected(reruns: dict, sentinel: str = SENTINEL) -> bool:
+def steal_detected(
+    reruns: dict, sentinels: tuple[str, ...] = SENTINELS
+) -> bool:
     """True when the rerun evidence says the box was stealing cycles:
-    the fixed sentinel's two readings disagree, or at least
+    ANY fixed sentinel's two readings disagree (either cost family —
+    short scan+agg or iterative fixpoint), or at least
     STEAL_SUSPECT_THRESHOLD rerun queries disagree with themselves."""
-    if reruns.get(sentinel, {}).get("suspect"):
+    if isinstance(sentinels, str):  # accept a lone name (old call shape)
+        sentinels = (sentinels,)
+    if any(reruns.get(s, {}).get("suspect") for s in sentinels):
         return True
     n = sum(1 for r in reruns.values() if r.get("suspect"))
     return n >= STEAL_SUSPECT_THRESHOLD
 
 
-def bench_output_path(repo: Path, contaminated: bool) -> Path:
+def bench_output_path(
+    repo: Path, contaminated: bool, sf: float | None = 0.1
+) -> Path:
     """Contaminated runs must never replace the committed clean
     BENCH_FULL.json (this exact overwrite happened in rounds 8 AND 9,
     the second time written by the round driver itself) — divert them
-    to BENCH_CONTAMINATED.json so the clean artifact survives."""
-    return repo / ("BENCH_CONTAMINATED.json" if contaminated else "BENCH_FULL.json")
+    to BENCH_CONTAMINATED.json so the clean artifact survives. Runs at
+    any scale other than the canonical sf0.1 (e.g. the verify skill's
+    sf0.001 smoke run) divert to BENCH_SMOKE.json for the same reason:
+    a clean smoke run on an idle box would otherwise replace the
+    committed sf0.1 numbers with sf0.001 ones."""
+    if contaminated:
+        return repo / "BENCH_CONTAMINATED.json"
+    if sf != 0.1:
+        return repo / "BENCH_SMOKE.json"
+    return repo / "BENCH_FULL.json"
 
 
 def select_reruns(
     timings: dict[str, float],
     baseline: dict[str, float],
     *,
-    sentinel: str = SENTINEL,
+    sentinels: tuple[str, ...] = SENTINELS,
     rel: float = RERUN_REL_THRESHOLD,
     abs_floor: float = RERUN_ABS_FLOOR,
     cap: int = RERUN_CAP,
 ) -> list[str]:
-    """Names to re-measure: the fixed sentinel plus every shared key
-    whose timing moved more than ``rel`` AND ``abs_floor`` vs the
+    """Names to re-measure: the fixed sentinel pair plus every shared
+    key whose timing moved more than ``rel`` AND ``abs_floor`` vs the
     committed baseline, largest absolute delta first, capped at
     ``cap`` so a fully-contaminated run can't double its own wall."""
+    if isinstance(sentinels, str):  # accept a lone name (old call shape)
+        sentinels = (sentinels,)
     flagged: list[tuple[float, str]] = []
     for name, sec in timings.items():
         base = baseline.get(name)
-        if base is None or name == sentinel:
+        if base is None or name in sentinels:
             continue
         delta = abs(sec - base)
         if delta > abs_floor and delta > rel * max(base, 1e-9):
             flagged.append((delta, name))
     flagged.sort(reverse=True)
     out = [name for _, name in flagged[:cap]]
-    if sentinel in timings:
-        out.append(sentinel)
+    out.extend(s for s in sentinels if s in timings)
     return out
 
 
@@ -246,7 +272,7 @@ def main() -> None:
     # recorded parsed=null. Print a compact line (headline queries +
     # "other" rollup; "value" still sums EVERY query) and write the
     # complete timings next to it for the judge.
-    bench_output_path(repo, bool(load["contaminated"])).write_text(
+    bench_output_path(repo, bool(load["contaminated"]), sf).write_text(
         json.dumps(
             {
                 "sf": sf,

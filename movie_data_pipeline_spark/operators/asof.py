@@ -39,6 +39,29 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _ts_long(df: DataFrame, col: str, who: str) -> Column:
+    """Exact long image of a timestamp column for distance math.
+    Integral columns pass through; timestamp/timestamp_ntz go through
+    unix_micros (a bare cast('long') truncates to whole SECONDS, which
+    would make nearest tie-resolution and tolerance silently operate
+    at second granularity); dates become epoch days ×86400e6 via the
+    same path. Fractional/string types raise — a truncating image
+    would change which row is 'nearest' without any visible error."""
+    dtype = dict(df.dtypes)[col]
+    c = F.col(col)
+    if dtype in _INTEGRAL:
+        return c.cast("long")
+    if dtype.startswith("timestamp") or dtype == "date":
+        return F.unix_micros(c.cast("timestamp"))
+    raise ValueError(
+        f"asof_join: {who} column {col!r} has dtype {dtype!r}; use an "
+        "integral epoch column or a timestamp/date type (fractional or "
+        "string timestamps would truncate in the distance math)"
+    )
+
 
 def asof_join(
     left: DataFrame,
@@ -53,11 +76,14 @@ def asof_join(
     """Left as-of join: every left row, plus ``value_cols`` from the
     temporally nearest right row per ``on`` key (NULLs when none
     qualifies). ``left_ts``/``right_ts`` must be mutually comparable
-    (same unit — e.g. both epoch-µs longs). ``tolerance`` (same unit,
-    inclusive) drops matches farther than that from the left
-    timestamp; ``direction`` is ``backward`` (right at-or-before),
-    ``forward`` (at-or-after) or ``nearest`` (closest of the two,
-    backward wins exact-distance ties)."""
+    (same unit — e.g. both epoch-µs longs, or both timestamp-typed).
+    ``tolerance`` (inclusive) drops matches farther than that from the
+    left timestamp; its unit is the ts columns' long image — the
+    columns' own unit for integral epochs, MICROSECONDS for
+    timestamp/date columns (which go through unix_micros, never a
+    second-truncating cast). ``direction`` is ``backward`` (right
+    at-or-before), ``forward`` (at-or-after) or ``nearest`` (closest
+    of the two, backward wins exact-distance ties)."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
@@ -70,11 +96,12 @@ def asof_join(
     left_cols = left.columns
 
     r_struct = F.struct(
-        F.col(right_ts).cast("long").alias("_mts"), *value_cols
+        _ts_long(right, right_ts, "right_ts").alias("_mts"), *value_cols
     )
     l2 = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
+        _ts_long(left, left_ts, "left_ts").alias("_tsl"),
         F.lit(1).alias("_side"),
         F.struct(*left_cols).alias("_l"),
         F.lit(None)
@@ -84,6 +111,7 @@ def asof_join(
     r2 = right.select(
         *on,
         F.col(right_ts).alias("_ts"),
+        _ts_long(right, right_ts, "right_ts").alias("_tsl"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
         r_struct.alias("_m"),
@@ -98,7 +126,7 @@ def asof_join(
         )
         return F.last("_m", ignorenulls=True).over(w)
 
-    lts = F.col("_ts").cast("long")
+    lts = F.col("_tsl")  # exact long image, built per-side above
 
     def within(m: Column, dist: Column) -> Column:
         ok = m.isNotNull()

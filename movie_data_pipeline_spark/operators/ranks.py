@@ -93,7 +93,28 @@ _HELPER_COLS = (
 # max bucket widths, so stress runs / property tests can SEE a
 # pathological distribution re-split instead of inferring it from
 # wall time. Same-dict update so importers holding a reference see it.
+# CONTRACT: LAST_SPLIT_STATS only exposes the MOST RECENT call — a plan
+# chaining several rank operators overwrites it per call. Multi-call
+# consumers read SPLIT_STATS_LOG (one fresh dict per call, most recent
+# last, bounded) or pass ``stats_out`` to the public operators.
 LAST_SPLIT_STATS: dict = {}
+SPLIT_STATS_LOG: list = []
+_SPLIT_STATS_LOG_MAX = 64
+
+
+def _finalize_stats(call_stats: dict, max_width: int, stats_out) -> None:
+    """Seal one _adaptive_buckets call's stats: record the final max
+    bucket width, append the per-call dict to SPLIT_STATS_LOG (bounded)
+    and copy into the caller-supplied ``stats_out`` when given, so
+    observability survives plans that invoke several rank operators
+    (LAST_SPLIT_STATS alone only shows the most recent call)."""
+    call_stats["final_max_width"] = max_width
+    LAST_SPLIT_STATS["final_max_width"] = max_width
+    SPLIT_STATS_LOG.append(call_stats)
+    del SPLIT_STATS_LOG[:-_SPLIT_STATS_LOG_MAX]
+    if stats_out is not None:
+        stats_out.clear()
+        stats_out.update(call_stats)
 
 
 def _reject_helper_collisions(df: DataFrame, fn: str) -> None:
@@ -169,6 +190,7 @@ def _adaptive_buckets(
     hot_factor: int,
     split_floor: int,
     max_levels: int = 3,
+    stats_out: dict | None = None,
 ):
     """Assign the adaptive bucket id ``_b`` (a composite long: each
     refinement level multiplies by nbuckets and adds the sub-bucket,
@@ -234,14 +256,15 @@ def _adaptive_buckets(
     b = b.localCheckpoint()
     imgs = _mono_images(df, tiebreaks[0]) if tiebreaks else []
     split_log: list[dict] = []
+    call_stats: dict = {
+        "grouped": bool(part), "nbuckets": nbuckets, "levels": split_log,
+    }
     LAST_SPLIT_STATS.clear()
-    LAST_SPLIT_STATS.update(
-        {"grouped": bool(part), "nbuckets": nbuckets, "levels": split_log}
-    )
+    LAST_SPLIT_STATS.update(call_stats)  # live view of the current call
     if not part:
         return _refine_ungrouped(
             df, b, val_d, imgs, nbuckets, hot_factor,
-            split_floor, max_levels, split_log,
+            split_floor, max_levels, call_stats, stats_out,
         )
     for _level in range(max_levels):
         stats = (
@@ -269,11 +292,14 @@ def _adaptive_buckets(
             F.max("_bn").alias("w"),
         ).collect()[0]
         n_hot = int(probe["h"] or 0)
+        # empty input: max(_bn) aggregates zero rows to NULL — coalesce
+        # to 0 so a zero-row grouped rank returns empty, not TypeError
+        max_width = int(probe["w"]) if probe["w"] is not None else 0
         split_log.append(
-            {"level": _level, "hot": n_hot, "max_width": int(probe["w"])}
+            {"level": _level, "hot": n_hot, "max_width": max_width}
         )
         if n_hot == 0 or _level == max_levels - 1:
-            LAST_SPLIT_STATS["final_max_width"] = int(probe["w"])
+            _finalize_stats(call_stats, max_width, stats_out)
             prefix_w = (
                 Window.partitionBy(*part)
                 .orderBy("_b")
@@ -354,7 +380,8 @@ def _refine_ungrouped(
     hot_factor: int,
     split_floor: int,
     max_levels: int,
-    split_log: list,
+    call_stats: dict,
+    stats_out: dict | None,
 ):
     """Driver-stats refinement for the ungrouped case (see
     _adaptive_buckets docstring): collect the bounded per-bucket stats,
@@ -365,6 +392,7 @@ def _refine_ungrouped(
     below only fills schema slots that _sub_bucket_expr's branch
     order can never read."""
     spark = df.sparkSession
+    split_log: list = call_stats["levels"]
 
     def _f(x) -> float:
         return float(x) if x is not None else -1e308
@@ -387,7 +415,7 @@ def _refine_ungrouped(
             {"level": _level, "hot": len(hot_ids), "max_width": max_width}
         )
         if not hot_ids or _level == max_levels - 1:
-            LAST_SPLIT_STATS["final_max_width"] = max_width
+            _finalize_stats(call_stats, max_width, stats_out)
             acc = 0
             pfx = []
             for r in sorted(rows, key=lambda r: r["_b"]):
@@ -459,6 +487,7 @@ def parallel_row_number(
     out_col: str = "i",
     hot_factor: int = 4,
     split_floor: int = 1_000_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = 1-based ROW_NUMBER over
     (PARTITION BY part_cols ORDER BY value_col, *tiebreaks), computed
@@ -467,11 +496,14 @@ def parallel_row_number(
     (value_col, *tiebreaks) must be a total order within each group
     for the result to be well-defined. A bucket only splits when it
     holds more than max(split_floor, hot_factor·n/nbuckets) rows —
-    the floor keeps test-scale data on the one-level plan."""
+    the floor keeps test-scale data on the one-level plan.
+    ``stats_out``: optional dict filled with THIS call's split stats
+    (LAST_SPLIT_STATS only survives until the next rank call)."""
     _reject_helper_collisions(df, "parallel_row_number")
     part = list(part_cols)
     b, prefix = _adaptive_buckets(
-        df, value_col, tiebreaks, part, nbuckets, hot_factor, split_floor
+        df, value_col, tiebreaks, part, nbuckets, hot_factor, split_floor,
+        stats_out=stats_out,
     )
     in_bucket = Window.partitionBy(*part, "_b").orderBy(
         value_col, *tiebreaks
@@ -494,6 +526,7 @@ def parallel_prefix_sum(
     out_col: str = "cum",
     hot_factor: int = 4,
     split_floor: int = 1_000_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Append ``out_col`` = the EXACT-decimal running sum of
     ``value_col`` over (ORDER BY order_col, *tiebreaks), with the
@@ -507,7 +540,8 @@ def parallel_prefix_sum(
     dec = f"decimal(30,{scale})"
     _reject_helper_collisions(df, "parallel_prefix_sum")
     b, _prefix_counts = _adaptive_buckets(  # decimal totals built below
-        df, order_col, tiebreaks, [], nbuckets, hot_factor, split_floor
+        df, order_col, tiebreaks, [], nbuckets, hot_factor, split_floor,
+        stats_out=stats_out,
     )
     in_bucket = (
         Window.partitionBy("_b")

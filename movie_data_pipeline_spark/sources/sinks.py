@@ -16,8 +16,27 @@ from __future__ import annotations
 
 from typing import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+
+def _missing_target(exc: Exception) -> bool:
+    """True only for the 'target does not exist yet' read failure.
+    The first-write guards below must swallow EXACTLY that case: a
+    corrupt or unreadable existing target has to raise, not silently
+    degrade an upsert/guarded-append into a blind append (round-10
+    VERDICT cosmetic finding on append_if_empty)."""
+    if not isinstance(exc, AnalysisException):
+        return False
+    cls = ""
+    get = getattr(exc, "getErrorClass", None)
+    if callable(get):
+        try:
+            cls = get() or ""
+        except Exception:  # noqa: BLE001 — fall back to the message
+            cls = ""
+    return "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(exc)
 
 
 def dedup_last_write_wins(
@@ -94,8 +113,10 @@ def insert_if_absent(
     try:
         existing = spark.read.parquet(path).select(*keys)
         fresh = fresh.join(existing, list(keys), "left_anti")
-    except Exception:
-        pass  # first write — nothing to ignore against
+    except Exception as exc:
+        if not _missing_target(exc):
+            raise  # corrupt/unreadable target: never blind-append
+        # first write — nothing to ignore against
     fresh.write.mode("append").parquet(path)
 
 
@@ -104,8 +125,9 @@ def append_if_empty(spark: SparkSession, df: DataFrame, path: str) -> None:
     try:
         if not spark.read.parquet(path).isEmpty():
             return
-    except Exception:
-        pass
+    except Exception as exc:
+        if not _missing_target(exc):
+            raise  # corrupt/unreadable target: never blind-append
     df.write.mode("append").parquet(path)
 
 

@@ -83,3 +83,41 @@ def test_steal_detected_from_rerun_evidence():
     assert steal_detected({"a": bad, "b": bad}) is False  # 2 < threshold
     assert steal_detected({"a": bad, "b": bad, "c": bad}) is True
     assert steal_detected({SENTINEL: ok, "a": bad, "b": ok}) is False
+
+
+def test_sentinel_pair_selection_and_steal():
+    """Round-10 ADVICE: the steal waves hit long iterative queries
+    hardest (trade_pagerank 23.7→6.2 s) while sparing short ones —
+    the sentinel PAIR (short scan+agg q17 + iterative trade_kcore)
+    catches a wave either family sees."""
+    from bench import SENTINELS, select_reruns, steal_detected
+
+    assert SENTINELS == ("q17_small_qty_revenue", "trade_kcore")
+    q17, kcore = SENTINELS
+
+    # both sentinels present in timings → both always selected, in
+    # SENTINELS order, after the delta-flagged names
+    timings = {q17: 0.4, kcore: 1.7, "x": 5.0}
+    baseline = {q17: 0.4, kcore: 1.7, "x": 1.0}
+    assert select_reruns(timings, baseline) == ["x", q17, kcore]
+    # a sentinel's own delta never double-selects it
+    assert select_reruns({q17: 9.0, kcore: 9.0}, baseline) == [q17, kcore]
+    # missing from timings → simply absent (subset bench runs)
+    assert select_reruns({q17: 0.4}, baseline) == [q17]
+
+    ok = {"first": 1.0, "rerun": 1.05, "suspect": False}
+    bad = {"first": 9.0, "rerun": 1.0, "suspect": True}
+    # the ITERATIVE sentinel alone flags the run
+    assert steal_detected({kcore: bad, q17: ok}) is True
+    # the short sentinel alone still flags it
+    assert steal_detected({q17: bad, kcore: ok}) is True
+    assert steal_detected({q17: ok, kcore: ok}) is False
+
+
+def test_non_canonical_sf_diverts_to_smoke(tmp_path):
+    """A clean verify-skill smoke run at sf0.001 must not replace the
+    committed sf0.1 BENCH_FULL.json."""
+    assert bench_output_path(tmp_path, False, 0.001).name == "BENCH_SMOKE.json"
+    assert bench_output_path(tmp_path, False, None).name == "BENCH_SMOKE.json"
+    assert bench_output_path(tmp_path, True, 0.001).name == "BENCH_CONTAMINATED.json"
+    assert bench_output_path(tmp_path, False, 0.1).name == "BENCH_FULL.json"

@@ -383,3 +383,55 @@ def test_split_stats_reported_for_grouped_path(spark):
     # contract bound: hot_factor * n / nbuckets = 4*120/8
     assert LAST_SPLIT_STATS["final_max_width"] <= 60
     assert any(lvl["hot"] > 0 for lvl in LAST_SPLIT_STATS["levels"])
+
+
+def test_grouped_rank_empty_input_returns_empty(spark):
+    """Round-10 advisory regression: with zero input rows the grouped
+    stats probe aggregates max(_bn) to NULL and int(NULL) raised
+    TypeError. A grouped rank whose upstream filter yields nothing
+    must return empty, like the ungrouped path always did."""
+    df = spark.createDataFrame([], "g string, k long, v long").filter(
+        "v > 0"
+    )
+    out = parallel_row_number(
+        df, "v", ["k"], part_cols=["g"], nbuckets=8, split_floor=1
+    )
+    assert out.count() == 0
+    assert out.columns == ["g", "k", "v", "i"]
+    # ungrouped path stays empty-safe too
+    out_u = parallel_row_number(df, "v", ["k"], nbuckets=8, split_floor=1)
+    assert out_u.count() == 0
+
+
+def test_split_stats_log_survives_chained_calls(spark):
+    """Round-10 advisory: LAST_SPLIT_STATS is overwritten per call, so
+    a plan chaining two rank operators lost the first call's stats.
+    SPLIT_STATS_LOG keeps one dict per call (most recent last) and
+    stats_out= captures a specific call across later ones."""
+    from movie_data_pipeline_spark.operators.ranks import (
+        LAST_SPLIT_STATS,
+        SPLIT_STATS_LOG,
+    )
+
+    grouped = spark.createDataFrame(
+        [("g", k, 7) for k in range(40)], ["g", "k", "v"]
+    )
+    flat = spark.createDataFrame(
+        [(k, k) for k in range(10)], ["k", "v"]
+    )
+    first_stats: dict = {}
+    parallel_row_number(
+        grouped, "v", ["k"], part_cols=["g"], nbuckets=4,
+        split_floor=1, stats_out=first_stats,
+    ).count()
+    assert first_stats["grouped"] is True
+    parallel_row_number(flat, "v", ["k"], nbuckets=4).count()
+    # the global only shows the second call...
+    assert LAST_SPLIT_STATS["grouped"] is False
+    # ...but the captured dict and the log retain the first
+    assert first_stats["grouped"] is True
+    assert first_stats["final_max_width"] <= 40
+    assert len(SPLIT_STATS_LOG) >= 2
+    assert SPLIT_STATS_LOG[-1]["grouped"] is False
+    assert SPLIT_STATS_LOG[-2]["grouped"] is True
+    assert SPLIT_STATS_LOG[-2] == first_stats

@@ -2145,3 +2145,91 @@ def test_shuffle_parallelism_fallback(spark):
         sparkContext = _SC()
 
     assert shuffle_parallelism(_Fake()) == 7
+
+
+def test_asof_timestamp_columns_subsecond_precision(spark):
+    """Round-10 advisory: timestamp-typed ts columns went through
+    cast('long'), truncating to whole seconds — a forward match 0.1 s
+    away lost a nearest tie to a backward match 0.4 s away (both
+    truncated to distance 0). The long image now rides unix_micros."""
+    import datetime as dt
+
+    from movie_data_pipeline_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    us = dt.timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [("u", base, "p")], "key string, lts timestamp, lname string"
+    )
+    right = spark.createDataFrame(
+        [("u", base - 400_000 * us, "back_0.4s"),
+         ("u", base + 100_000 * us, "fwd_0.1s")],
+        "key string, rts timestamp, rname string",
+    )
+    got = asof_join(
+        left, right, on=["key"], left_ts="lts", right_ts="rts",
+        value_cols=["rname"], direction="nearest",
+    ).collect()
+    assert [r.rname for r in got] == ["fwd_0.1s"]
+
+    # tolerance for timestamp columns is in MICROSECONDS (documented):
+    # 50ms excludes both candidates; 150ms admits only the forward one
+    none = asof_join(
+        left, right, on=["key"], left_ts="lts", right_ts="rts",
+        value_cols=["rname"], direction="nearest", tolerance=50_000,
+    ).collect()
+    assert [r.rname for r in none] == [None]
+    back_only = asof_join(
+        left, right, on=["key"], left_ts="lts", right_ts="rts",
+        value_cols=["rname"], direction="backward", tolerance=450_000,
+    ).collect()
+    assert [r.rname for r in back_only] == ["back_0.4s"]
+
+
+def test_asof_rejects_fractional_ts_dtype(spark):
+    import pytest as _pytest
+
+    from movie_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 1.5, "p")], "key string, lts double, lname string"
+    )
+    right = spark.createDataFrame(
+        [("u", 1.4, "r")], "key string, rts double, rname string"
+    )
+    with _pytest.raises(ValueError, match="dtype 'double'"):
+        asof_join(
+            left, right, on=["key"], left_ts="lts", right_ts="rts",
+            value_cols=["rname"], direction="nearest",
+        )
+
+
+def test_append_guards_raise_on_corrupt_target(spark, tmp_path):
+    """Round-10 VERDICT: the first-write guards swallowed EVERY read
+    error, so a corrupt existing target silently degraded into a
+    blind append. Only the path-missing case may be swallowed."""
+    from movie_data_pipeline_spark.sources.sinks import (
+        append_if_empty,
+        insert_if_absent,
+    )
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"these are not parquet bytes")
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        append_if_empty(spark, df, str(bad))
+    with _pytest.raises(Exception):
+        insert_if_absent(spark, df, str(bad), ["k"])
+    # neither call appended anything next to the corrupt file
+    assert sorted(p.name for p in bad.iterdir()) == ["part-00000.parquet"]
+
+    # the missing-target first write still succeeds for both
+    m1, m2 = tmp_path / "m1", tmp_path / "m2"
+    append_if_empty(spark, df, str(m1))
+    insert_if_absent(spark, df, str(m2), ["k"])
+    assert spark.read.parquet(str(m1)).count() == 1
+    assert spark.read.parquet(str(m2)).count() == 1
