@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="chunk_idx int, chunk string, chunk_tokens int")
+# useArrow: without it the lateral join runs as BatchEvalPythonUDTF —
+# row-at-a-time pickling, the one Python boundary in the repo that
+# wasn't Arrow-batched (caught by tests/test_plan_invariants.py; the
+# PLANS.md "only Arrow surfaces" claim was wrong for this node until
+# round 11)
+@udtf(returnType="chunk_idx int, chunk string, chunk_tokens int", useArrow=True)
 class ChunkTokensUDTF:
     """eval(text, chunk_size) → one row per chunk_size-token window."""
 

@@ -1,0 +1,173 @@
+"""Idle-window hunter for the full sf0.1 bench (round-10 VERDICT item 1).
+
+Seven round-10 full-bench attempts over ~5 h all self-labeled
+contaminated — the box steals cycles in waves that a single pre-launch
+loadavg check cannot see coming. This wrapper automates the hunt:
+
+  1. gate on 1-min loadavg (cheap, catches the obvious),
+  2. probe BOTH contamination sentinels (bench.SENTINELS: the short
+     scan+agg q17 and the iterative trade_kcore) min-of-3 in a fresh
+     Spark process and require each inside its documented idle band,
+  3. only then launch ``python bench.py`` (which still self-labels and
+     diverts a contaminated run — the probe reduces wasted 15-minute
+     attempts, it does not replace the in-run steal detector),
+  4. on a clean artifact, optionally ``git commit`` BENCH_FULL.json;
+     otherwise sleep and retry until the deadline.
+
+Usage: python tools/bench_hunt.py [--deadline-min N] [--sleep-sec S]
+                                  [--commit] [--once]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Idle bands at sf0.1 (BASELINE.md): committed clean readings are
+# q17 = 0.37 s and trade_kcore = 1.71 s; the bands allow the observed
+# idle jitter on each family but exclude the +40%-and-up steal waves.
+PROBE_BANDS = {
+    "q17_small_qty_revenue": (0.25, 0.90),
+    "trade_kcore": (1.20, 2.60),
+}
+LOAD1_GATE = 0.8
+
+_PROBE_SNIPPET = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from movie_data_pipeline_spark.plans.analytics import QUERIES
+from movie_data_pipeline_spark.session import clear_state, get_spark
+spark = get_spark("bench_probe")
+sf_dir = "/root/testdata/sf0.1"
+out = {{}}
+for name in {names!r}:
+    builder, _ = QUERIES[name]
+    builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+        clear_state(spark)
+    out[name] = round(best, 4)
+print("PROBE_RESULT " + json.dumps(out))
+"""
+
+
+def run_probe() -> dict[str, float] | None:
+    """Min-of-3 sentinel timings in a fresh process; None on error."""
+    code = _PROBE_SNIPPET.format(repo=str(REPO), names=list(PROBE_BANDS))
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in res.stdout.splitlines():
+        if line.startswith("PROBE_RESULT "):
+            return json.loads(line[len("PROBE_RESULT "):])
+    return None
+
+
+def probe_verdict(timings: dict[str, float] | None) -> str:
+    if not timings:
+        return "probe failed"
+    bad = [
+        f"{n}={t}s (band {lo}-{hi})"
+        for n, (lo, hi) in PROBE_BANDS.items()
+        for t in [timings.get(n)]
+        if t is None or not (lo <= t <= hi)
+    ]
+    return "; ".join(bad) if bad else "ok"
+
+
+def artifact_state() -> tuple[bool, str]:
+    """(clean_and_fresh, description) for BENCH_FULL.json."""
+    path = REPO / "BENCH_FULL.json"
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, ValueError) as exc:
+        return False, f"unreadable: {exc}"
+    load = data.get("load", {})
+    n = len(data.get("queries", {}))
+    desc = (
+        f"{n} queries, total {data.get('total_sec')}s, "
+        f"load1_start {load.get('load1_start')}, "
+        f"contaminated={load.get('contaminated')}"
+    )
+    return not load.get("contaminated", True), desc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deadline-min", type=float, default=240.0)
+    ap.add_argument("--sleep-sec", type=float, default=240.0)
+    ap.add_argument("--commit", action="store_true")
+    ap.add_argument("--once", action="store_true")
+    args = ap.parse_args()
+
+    deadline = time.time() + args.deadline_min * 60
+    attempt = 0
+    before_mtime = None
+    full = REPO / "BENCH_FULL.json"
+    if full.exists():
+        before_mtime = full.stat().st_mtime
+
+    while time.time() < deadline:
+        attempt += 1
+        load1 = os.getloadavg()[0]
+        stamp = time.strftime("%H:%M:%S")
+        if load1 > LOAD1_GATE:
+            print(f"[{stamp}] attempt {attempt}: load1={load1:.2f} "
+                  f"> {LOAD1_GATE}, sleeping", flush=True)
+        else:
+            probe = run_probe()
+            verdict = probe_verdict(probe)
+            print(f"[{stamp}] attempt {attempt}: load1={load1:.2f}, "
+                  f"probe={probe} -> {verdict}", flush=True)
+            if verdict == "ok":
+                print(f"[{stamp}] launching full bench", flush=True)
+                res = subprocess.run(
+                    [sys.executable, "bench.py"],
+                    cwd=REPO, capture_output=True, text=True, timeout=3600,
+                )
+                tail = res.stdout.strip().splitlines()
+                print(tail[-1][:300] if tail else "(no output)", flush=True)
+                clean, desc = artifact_state()
+                changed = (
+                    full.exists()
+                    and full.stat().st_mtime != before_mtime
+                )
+                if clean and changed:
+                    print(f"SUCCESS: clean BENCH_FULL.json ({desc})",
+                          flush=True)
+                    if args.commit:
+                        subprocess.run(
+                            ["git", "add", "BENCH_FULL.json"], cwd=REPO
+                        )
+                        subprocess.run(
+                            ["git", "commit", "-m",
+                             "Commit clean full-registry sf0.1 bench "
+                             "artifact (idle-window hunt)"],
+                            cwd=REPO,
+                        )
+                    return 0
+                print(f"bench run diverted (artifact: {desc}); retrying",
+                      flush=True)
+        if args.once:
+            return 1
+        time.sleep(args.sleep_sec)
+    print("deadline reached without a clean run", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
