@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.ranks import parallel_row_number
+from ..operators.sketches import kmv_overlap, kmv_sketches
 from ..sources.catalog import load_table
 
 
@@ -52,6 +53,127 @@ ORDER BY i
 """
 
 
+# ---------------------------------------------------------------------------
+# KMV distinct sketches with set algebra (operators/sketches.py):
+# customer-audience overlap between order priorities from bottom-k
+# hash sketches alone. approx_count_distinct's HLL state cannot be
+# intersected; KMV's can, which is the 100 TB answer to "how many
+# customers do segments A and B share" without a key-domain self-join
+# per pair. Deterministic (xxhash64) — the estimates are stable
+# numbers, but no SQL engine reproduces Spark's xxhash64, so the
+# estimate entry is rows-only and the _check gate (oracled) pins each
+# estimate against the Spark-side EXACT overlap within the theoretical
+# KMV error bound.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 512
+# relative standard error of the KMV estimator ~ 1/sqrt(k-2)
+_KMV_RSE = 1.0 / (float(_KMV_K - 2) ** 0.5)
+
+
+def kmv_priority_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load_table(spark, sf, "orders")
+    sk = kmv_sketches(orders, "o_orderpriority", "o_custkey", k=_KMV_K)
+    out = kmv_overlap(sk, "o_orderpriority", k=_KMV_K)
+    return out.select(
+        "g_a",
+        "g_b",
+        F.round("est_a", 2).alias("est_a"),
+        F.round("est_b", 2).alias("est_b"),
+        F.round("est_union", 2).alias("est_union"),
+        F.round("est_intersection", 2).alias("est_intersection"),
+        F.round("jaccard_est", 4).alias("jaccard_est"),
+    ).orderBy("g_a", "g_b")
+
+
+def kmv_overlap_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate: every sketch estimate lands within its theoretical bound
+    of the exact value (exacts recomputed by the DuckDB oracle; the
+    booleans must come back TRUE from both engines).
+
+    Bounds: 4x rse for distinct/union (Bar-Yossef et al.); the
+    intersection estimate compounds rho's sampling error with the
+    union estimate's, so its ABSOLUTE error is gated at 6x rse of the
+    exact union (Beyer et al., SIGMOD'07 give the variance scaling in
+    the union, not the intersection, size).
+    """
+    orders = load_table(spark, sf, "orders")
+    sk = kmv_sketches(orders, "o_orderpriority", "o_custkey", k=_KMV_K)
+    est = kmv_overlap(sk, "o_orderpriority", k=_KMV_K)
+
+    d = orders.select(
+        F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c")
+    ).distinct()
+    exact_per = d.groupBy("p").agg(F.count(F.lit(1)).alias("exact_n"))
+    inter = (
+        d.alias("x")
+        .join(d.alias("y"), (F.col("x.c") == F.col("y.c")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("g_a"), F.col("y.p").alias("g_b"))
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    exact = (
+        inter.join(exact_per.withColumnRenamed("p", "g_a"), "g_a")
+        .withColumnRenamed("exact_n", "exact_a")
+        .join(exact_per.withColumnRenamed("p", "g_b"), "g_b")
+        .withColumnRenamed("exact_n", "exact_b")
+        .withColumn(
+            "exact_union",
+            F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"),
+        )
+    )
+    rel_bound = F.lit(4.0 * _KMV_RSE)
+    joined = est.join(exact, ["g_a", "g_b"])
+    return joined.select(
+        "g_a",
+        "g_b",
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        (
+            (F.abs(F.col("est_a") - F.col("exact_a")) / F.col("exact_a") <= rel_bound)
+            & (F.abs(F.col("est_b") - F.col("exact_b")) / F.col("exact_b") <= rel_bound)
+        ).alias("distinct_in_bound"),
+        (
+            F.abs(F.col("est_union") - F.col("exact_union")) / F.col("exact_union")
+            <= rel_bound
+        ).alias("union_in_bound"),
+        (
+            F.abs(F.col("est_intersection") - F.col("exact_inter"))
+            <= F.lit(6.0 * _KMV_RSE) * F.col("exact_union")
+        ).alias("inter_in_bound"),
+    ).orderBy("g_a", "g_b")
+
+
+KMV_OVERLAP_CHECK_SQL = """
+WITH d AS (
+    SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders
+),
+per AS (
+    SELECT p, COUNT(*) AS exact_n FROM d GROUP BY p
+),
+pair AS (
+    SELECT x.p AS g_a, y.p AS g_b, COUNT(*) AS exact_inter
+    FROM d x JOIN d y ON x.c = y.c AND x.p < y.p
+    GROUP BY x.p, y.p
+)
+SELECT pair.g_a, pair.g_b,
+       CAST(pa.exact_n AS BIGINT) AS exact_a,
+       CAST(pb.exact_n AS BIGINT) AS exact_b,
+       CAST(pa.exact_n + pb.exact_n - pair.exact_inter AS BIGINT) AS exact_union,
+       CAST(pair.exact_inter AS BIGINT) AS exact_inter,
+       TRUE AS distinct_in_bound,
+       TRUE AS union_in_bound,
+       TRUE AS inter_in_bound
+FROM pair
+JOIN per pa ON pa.p = pair.g_a
+JOIN per pb ON pb.p = pair.g_b
+ORDER BY g_a, g_b
+"""
+
+
 EXT16_QUERIES = {
     "null_key_order_ranks": (null_key_order_ranks, NULL_KEY_ORDER_RANKS_SQL),
+    "kmv_priority_overlap": (kmv_priority_overlap, None),
+    "kmv_overlap_check": (kmv_overlap_check, KMV_OVERLAP_CHECK_SQL),
 }

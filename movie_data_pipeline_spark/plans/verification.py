@@ -633,9 +633,9 @@ VERIFY_QUERIES.update(
 # Combined suite: every one-row twin above, normalized to a uniform
 # (family, m1, m2, ok_a, ok_b) row and unioned. The driver's
 # correctness gate records only a bounded prefix of the registry, so
-# this single entry carries all SIXTEEN family gates (ten
+# this single entry carries all SEVENTEEN family gates (ten
 # approximate families including the round-7 IVF-PQ gate + the six
-# round-6 iterative/ML gates) in one
+# round-6 iterative/ML gates + the round-11 KMV overlap gate) in one
 # driver row-set; the individual twins stay registered for local runs.
 # ---------------------------------------------------------------------------
 
@@ -714,6 +714,25 @@ def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
         norm(pca_check(spark, sf), "pca",
              "n_vectors", None, "centered_ok", "ordered_ok"),
     ]
+    # 17th family (round 11): KMV distinct-sketch set algebra — the
+    # pairwise overlap estimates must land inside the theoretical
+    # bottom-k error bounds (exact pair counts DuckDB-recomputed).
+    from .analytics_ext16 import kmv_overlap_check
+
+    parts.append(
+        norm(
+            kmv_overlap_check(spark, sf)
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum("exact_inter").alias("sum_inter"),
+                F.bool_and(
+                    F.col("distinct_in_bound") & F.col("union_in_bound")
+                ).alias("card_ok"),
+                F.bool_and("inter_in_bound").alias("inter_ok"),
+            ),
+            "kmv", "n_pairs", "sum_inter", "card_ok", "inter_ok",
+        )
+    )
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)
@@ -772,6 +791,19 @@ APPROX_SUITE_SQL = "\nUNION ALL\n".join(
             "SELECT 'pca' AS family, CAST(COUNT(*) AS BIGINT) AS m1, "
             "CAST(0 AS BIGINT) AS m2, TRUE AS ok_a, TRUE AS ok_b "
             "FROM embeddings"
+        ),
+        # 17th family (round 11): KMV overlap — pair count + exact
+        # intersection mass recomputed; the bound predicates ride ok_*
+        (
+            "SELECT 'kmv' AS family, CAST(COUNT(*) AS BIGINT) AS m1, "
+            "CAST(SUM(exact_inter) AS BIGINT) AS m2, "
+            "TRUE AS ok_a, TRUE AS ok_b FROM ("
+            "  SELECT COUNT(*) AS exact_inter"
+            "  FROM (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c"
+            "        FROM orders) x"
+            "  JOIN (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c"
+            "        FROM orders) y ON x.c = y.c AND x.p < y.p"
+            "  GROUP BY x.p, y.p)"
         ),
     ]
 ) + "\nORDER BY family"

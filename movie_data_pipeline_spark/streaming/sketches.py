@@ -1,0 +1,91 @@
+"""Streaming KMV distinct sketches: per-group bottom-k sketch state
+maintained incrementally across micro-batches — the streaming twin of
+``operators/sketches.py`` and the live demonstration of WHY a
+mergeable sketch is the 100 TB posture: each micro-batch contributes
+an O(groups * k) partial, the current estimate is a fold of partials,
+and no raw key is ever revisited.
+
+Layout mirrors streaming/docs.py's minhash index: each micro-batch
+writes its PARTIAL sketches to ``state_path/batch_id=N/`` with
+overwrite mode, so an at-least-once replay rewrites byte-identical
+files instead of double-counting (the partials are hash-deterministic
+functions of the batch rows alone). The merged current state is a
+read-side fold — KMV's closure law (bottom-k of a union is computable
+from bottom-k states; unit-proven in tests/test_sketches.py) makes
+the fold exact: the streamed sketch is BYTE-IDENTICAL to the batch
+sketch over the same rows, which is what the stream≡batch test pins.
+
+Additive surface like streaming/events.py (the reference is pure
+batch, SURVEY §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.sketches import kmv_estimate_expr, kmv_sketches
+
+
+def run_streaming_kmv(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_col: str,
+    key_col: str,
+    k: int = 512,
+):
+    """Drain ``stream`` with AvailableNow; each micro-batch folds its
+    partial per-group sketch into ``state_path/batch_id=N/``."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = kmv_sketches(batch_df, group_col, key_col, k=k)
+        partial.select(group_col, "kmv").write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def current_sketches(
+    spark: SparkSession, state_path: str, group_col: str, k: int
+) -> DataFrame:
+    """Fold all batch partials into the current per-group sketch +
+    estimate — same output schema as ``kmv_sketches``.
+
+    The fold explodes each partial's <= k hashes, dedups, and re-takes
+    the bottom-k per group: input is O(batches * groups * k) sketch
+    rows, never the raw keys. (If batch count itself grows unbounded,
+    the same write path can compact: the fold's output is a valid
+    partial.)
+    """
+    partials = spark.read.parquet(state_path)
+    merged = (
+        partials.select(group_col, F.explode("kmv").alias("_h"))
+        .distinct()
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(group_col).orderBy("_h")),
+        )
+        .filter(F.col("_rn") <= k)
+        .groupBy(group_col)
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    )
+    return merged.select(
+        group_col,
+        "kmv",
+        F.size("kmv").alias("n_kmv"),
+        kmv_estimate_expr(F.col("kmv"), k).alias("est_distinct"),
+    )

@@ -1,0 +1,118 @@
+"""KMV bottom-k distinct sketches (operators/sketches.py): exact
+regime, the mergeable-state closure law, salt-tournament invariance,
+and the error-bound gate at sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from movie_data_pipeline_spark.operators.sketches import (
+    kmv_estimate_expr,
+    kmv_merge_expr,
+    kmv_overlap,
+    kmv_sketches,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_unsaturated_sketch_is_exact(spark):
+    """Fewer distinct keys than k: the sketch IS the distinct hash set
+    and the estimate is the exact count."""
+    orders = _orders(spark)
+    sk = kmv_sketches(orders, "o_orderpriority", "o_custkey", k=4096)
+    exact = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    rows = {
+        r["o_orderpriority"]: r
+        for r in sk.join(exact, "o_orderpriority").collect()
+    }
+    assert rows
+    for r in rows.values():
+        assert r["n_kmv"] == r["count"]
+        assert r["est_distinct"] == float(r["count"])
+        assert r["kmv"] == sorted(r["kmv"])
+
+
+def test_merge_law(spark):
+    """bottom-k(A ∪ B) computed from the two sketches alone equals the
+    sketch built on the physical union — KMV's partial-aggregate
+    closure property, with k small enough to saturate."""
+    orders = _orders(spark)
+    k = 64
+    a_rows = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b_rows = orders.filter(F.col("o_orderkey") % 2 == 1)
+    tag = F.lit("all").alias("g")
+    sk_a = kmv_sketches(a_rows.select(tag, "o_custkey"), "g", "o_custkey", k=k)
+    sk_b = kmv_sketches(b_rows.select(tag, "o_custkey"), "g", "o_custkey", k=k)
+    merged = (
+        sk_a.select(F.col("kmv").alias("kmv_a"))
+        .crossJoin(sk_b.select(F.col("kmv").alias("kmv_b")))  # 1x1 rows
+        .select(kmv_merge_expr(F.col("kmv_a"), F.col("kmv_b"), k).alias("kmv"))
+        .collect()[0]["kmv"]
+    )
+    direct = (
+        kmv_sketches(orders.select(tag, "o_custkey"), "g", "o_custkey", k=k)
+        .collect()[0]["kmv"]
+    )
+    assert merged == direct
+    assert len(direct) == k  # saturated, estimator regime exercised
+
+
+def test_salt_tournament_invariance(spark):
+    """The two-level (group, salt) tournament is a pure execution
+    strategy: any salt_buckets setting yields the identical sketch."""
+    orders = _orders(spark)
+    base = kmv_sketches(
+        orders, "o_orderpriority", "o_custkey", k=32, salt_buckets=1
+    ).orderBy("o_orderpriority")
+    salted = kmv_sketches(
+        orders, "o_orderpriority", "o_custkey", k=32, salt_buckets=32
+    ).orderBy("o_orderpriority")
+    assert [r.asDict() for r in base.collect()] == [
+        r.asDict() for r in salted.collect()
+    ]
+
+
+def test_saturated_estimate_within_bound(spark):
+    """k=64 saturates on sf0.001 custkeys; the estimate must land
+    within 4x the theoretical rse of the exact distinct count."""
+    orders = _orders(spark)
+    k = 64
+    sk = kmv_sketches(
+        orders.select(F.lit("all").alias("g"), "o_custkey"), "g", "o_custkey", k=k
+    ).collect()[0]
+    exact = orders.select("o_custkey").distinct().count()
+    assert sk["n_kmv"] == k
+    rse = 1.0 / (k - 2) ** 0.5
+    assert abs(sk["est_distinct"] - exact) / exact <= 4 * rse
+
+
+def test_overlap_gate_green_at_sf0001(spark):
+    """The registry gate's booleans all hold at sf0.001 (exact regime
+    there — sf0.01/sf0.1 exercise saturation via the oracle runs)."""
+    from movie_data_pipeline_spark.plans.analytics_ext16 import kmv_overlap_check
+
+    rows = kmv_overlap_check(spark, SF).collect()
+    assert len(rows) == 10  # C(5 priorities, 2)
+    for r in rows:
+        assert r["distinct_in_bound"] and r["union_in_bound"] and r["inter_in_bound"], r
+
+
+def test_overlap_pairs_shape(spark):
+    orders = _orders(spark)
+    sk = kmv_sketches(orders, "o_orderpriority", "o_custkey", k=128)
+    out = kmv_overlap(sk, "o_orderpriority", k=128).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["g_a"] < r["g_b"]
+        assert 0.0 <= r["jaccard_est"] <= 1.0
+        assert r["est_intersection"] <= r["est_union"] + 1e-9

@@ -755,3 +755,80 @@ def test_monthly_rollup_stream_equals_batch(spark, tmp_path):
     SE.run_monthly_rollup_sink(stream3, state, out, str(tmp_path / "ck1"))
     assert got() == want_for(spark.read.parquet(src))
     assert os.path.exists(state)
+
+
+def test_streaming_kmv_stream_equals_batch(spark, tmp_path):
+    """KMV sketch state folded across micro-batches is BYTE-IDENTICAL
+    to the batch sketch over the same rows (the closure law, live:
+    partial per batch, read-side fold), and replaying a batch whose
+    partial already committed changes nothing."""
+    from movie_data_pipeline_spark.operators.sketches import kmv_sketches
+    from movie_data_pipeline_spark.streaming import events as SE
+    from movie_data_pipeline_spark.streaming import sketches as SK
+
+    k = 64  # saturates on sf0.001 user_ids -> estimator regime
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    state = str(tmp_path / "state")
+    stream_in = str(tmp_path / "incoming")
+
+    import os
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    # stage via Spark writes: pandas to_parquet stores ts as int64-ns,
+    # which the fixed µs timestamp stream schema refuses to read
+    os.makedirs(stream_in)
+    base = _time.time()
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        p = f"{stream_in}/b{i}.parquet"
+        _shutil.copy(next(_Path(stage).glob("part-*.parquet")), p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    SK.run_streaming_kmv(
+        SE.read_events_stream(spark, stream_in),
+        state,
+        str(tmp_path / "ckpt"),
+        group_col="event_type",
+        key_col="user_id",
+        k=k,
+    )
+
+    got = {
+        r["event_type"]: (r["kmv"], r["n_kmv"], r["est_distinct"])
+        for r in SK.current_sketches(spark, state, "event_type", k).collect()
+    }
+    want = {
+        r["event_type"]: (r["kmv"], r["n_kmv"], r["est_distinct"])
+        for r in kmv_sketches(events, "event_type", "user_id", k=k).collect()
+    }
+    assert got == want and len(got) == 5
+
+    # replay: rewrite batch 0's partial via a fresh drain of the same
+    # file into the same batch_id dir — the fold must not change
+    import shutil
+
+    pre = sorted(str(x) for x in (tmp_path / "state").rglob("batch_id=*"))
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    only_b0 = str(tmp_path / "replay_in")
+    os.makedirs(only_b0)
+    _shutil.copy(f"{stream_in}/b0.parquet", f"{only_b0}/b0.parquet")
+    SK.run_streaming_kmv(
+        SE.read_events_stream(spark, only_b0),
+        state,
+        str(tmp_path / "ckpt"),
+        group_col="event_type",
+        key_col="user_id",
+        k=k,
+    )
+    post = sorted(str(x) for x in (tmp_path / "state").rglob("batch_id=*"))
+    assert pre == post
+    again = {
+        r["event_type"]: (r["kmv"], r["n_kmv"], r["est_distinct"])
+        for r in SK.current_sketches(spark, state, "event_type", k).collect()
+    }
+    assert again == want
