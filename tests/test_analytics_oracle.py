@@ -51,6 +51,41 @@ def test_oracle_match(spark, duck, name):
     assert _normalize(spark_rows) == _normalize(duck_rows)
 
 
+def test_oracle_artifact_at_head():
+    """The committed ORACLE_r{N}.json (round-10 VERDICT item 2: a
+    per-round audit trail for the registry entries past driver slot
+    50) must exist, cover the live registry exactly (a registry change
+    without a regenerated artifact fails here), and be all-green."""
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    artifacts = sorted(
+        repo.glob("ORACLE_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    assert artifacts, "no committed ORACLE_r{N}.json artifact"
+    data = json.loads(artifacts[-1].read_text())
+    meta = data.pop("_meta")
+    assert not meta["subset"], "artifact must be a full-registry run"
+    assert list(data) == list(QUERIES), (
+        "artifact keys diverge from the live registry — regenerate with "
+        "`python tools/oracle_check.py --json ORACLE_r{N}.json`"
+    )
+    bad = {
+        name: row
+        for name, row in data.items()
+        if row["err"] is not None
+        or not (
+            row.get("rows_only")
+            or (row["rows_match"] and row["schema_match"] and row["hash_match"])
+        )
+    }
+    assert not bad, f"non-green artifact rows: {sorted(bad)}"
+    assert meta["pass"] == meta["run"] == len(QUERIES)
+
+
 def test_driver_slot_invariants():
     """The driver records only the first 50 registry entries; those
     slots must stay exactly the curated list, every one oracled."""
