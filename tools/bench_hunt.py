@@ -30,12 +30,15 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 
-# Idle bands at sf0.1 (BASELINE.md): committed clean readings are
-# q17 = 0.37 s and trade_kcore = 1.71 s; the bands allow the observed
-# idle jitter on each family but exclude the +40%-and-up steal waves.
+# Idle bands for THIS probe's methodology (fresh 2-query process,
+# clear_state between reruns), NOT the committed in-bench readings
+# (q17 = 0.37 s / trade_kcore = 1.71 s come from a warmed long-lived
+# session ~100 queries in; a fresh process pays file-listing + codegen
+# setup every run). Calibrated 2026-08-16 on an idle box (load1 0.2,
+# 6 reps): q17 0.75-0.96 s, trade_kcore 1.78-2.3 s (min-of-3).
 PROBE_BANDS = {
-    "q17_small_qty_revenue": (0.25, 0.90),
-    "trade_kcore": (1.20, 2.60),
+    "q17_small_qty_revenue": (0.40, 1.10),
+    "trade_kcore": (1.30, 2.80),
 }
 LOAD1_GATE = 0.8
 
