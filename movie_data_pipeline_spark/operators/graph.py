@@ -390,7 +390,7 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
 
 
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
-         n_iter: int = 10) -> DataFrame:
+         n_iter: int = 10, normalize_every: int = 1) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) on a directed edge
     list: authority(v) accumulates the hub mass of its in-neighbors,
     hub(u) accumulates the authority mass of its out-neighbors, each
@@ -407,6 +407,20 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     pattern. Scores are floats whose low bits ride partition-sum order
     → rows-only in the registry; the gate pins the L2-norm invariants
     and exact graph cardinalities.
+
+    ``normalize_every``: power iteration is scale-invariant, so the
+    per-round L2 normalization exists only to keep magnitudes inside
+    double range — mathematically, normalizing every k rounds (the
+    final round always normalizes, so the returned scores are unit-L2
+    either way) yields the identical direction. Measured at sf0.1
+    (n_iter=10, min-of-2 warmed): every-round 10.5 s, every-5 9.3 s,
+    end-only 8.5 s, with end-only final scores agreeing with
+    every-round to 1.3e-16 — the two aggregate+broadcast subtrees per
+    round are ~19% of the wall. Overflow bound: safe while
+    λ^normalize_every < 1e308 for λ the graph's dominant eigenvalue
+    (≈ a generous hub-degree bound), i.e. any normalize_every ≤ 10
+    covers λ up to 1e30. Default 1 keeps the classical per-round
+    semantics; the registry entry opts into end-only.
 
     Shuffle discipline (r6 verdict item 4): the edge relation is
     checkpointed TWICE up front — hash-partitioned by src and by dst
@@ -460,19 +474,26 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     # norm, so dropping them mid-iteration is semantics-preserving and
     # saves two node-restoring joins per round; the final select
     # reinstates them at 0.
-    for _ in range(n_iter):
+    if normalize_every < 1:
+        raise ValueError(f"normalize_every must be >= 1, got {normalize_every}")
+    for i in range(n_iter):
+        do_norm = ((i + 1) % normalize_every == 0) or (i == n_iter - 1)
         auth = (
             e_by_src.join(hub, e_by_src.src == hub.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("authority"))
         )
-        auth = _l2_normalize(auth, "authority").localCheckpoint()
+        if do_norm:
+            auth = _l2_normalize(auth, "authority")
+        auth = auth.localCheckpoint()
         hub = (
             e_by_dst.join(auth, e_by_dst.dst == auth.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("hub"))
         )
-        hub = _l2_normalize(hub, "hub").localCheckpoint()
+        if do_norm:
+            hub = _l2_normalize(hub, "hub")
+        hub = hub.localCheckpoint()
     return (
         nodes.join(hub, "node", "left")
         .join(auth, "node", "left")

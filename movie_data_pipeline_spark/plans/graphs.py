@@ -287,9 +287,12 @@ def trade_hits(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import hits
 
     pairs = _trade_pairs(spark, sf)
+    # end-only normalization: scale-invariant, measured -19% wall at
+    # sf0.1 (operators/graph.py::hits docstring A/B); overflow bound
+    # holds for any plausible trade-graph eigenvalue
     return hits(
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")),
-        n_iter=10,
+        n_iter=10, normalize_every=10,
     ).orderBy("node")
 
 
@@ -299,7 +302,7 @@ def hits_check(spark: SparkSession, sf: str) -> DataFrame:
     pairs = _trade_pairs(spark, sf)
     scores = hits(
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")),
-        n_iter=10,
+        n_iter=10, normalize_every=10,
     )
     stats = scores.agg(
         F.count(F.lit(1)).alias("n_nodes"),

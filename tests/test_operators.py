@@ -1945,6 +1945,20 @@ def test_hits_star_and_scalar_reference(spark):
         assert abs(got[n][0] - h[n]) < 1e-9
         assert abs(got[n][1] - a[n]) < 1e-9
 
+    # deferred normalization (scale-invariance): end-only must agree
+    # with the per-round scalar reference at float tolerance
+    got_end = {
+        r.node: (r.hub, r.authority)
+        for r in hits(
+            spark.createDataFrame(edges, ["src", "dst"]),
+            n_iter=10,
+            normalize_every=10,
+        ).collect()
+    }
+    for n in nodes:
+        assert abs(got_end[n][0] - h[n]) < 1e-9
+        assert abs(got_end[n][1] - a[n]) < 1e-9
+
 
 def test_snapshot_time_travel(spark, tmp_path):
     from movie_data_pipeline_spark.sources.snapshot import (
