@@ -18,7 +18,7 @@ hash values of a set are a uniform sample of its hash space, so
 with relative standard error ~ 1/sqrt(k-2) for the distinct/union
 estimates. Everything here is deterministic (xxhash64, no RNG), so
 the estimates are reproducible run-to-run and the verification gate
-(`plans/verification_ext.py::kmv_overlap_check`) pins the observed
+(`plans/analytics_ext16.py::kmv_overlap_check`) pins the observed
 error against the theoretical bound at every test SF.
 
 Scale posture (100 TB):
@@ -174,4 +174,113 @@ def kmv_overlap(
         union_est.alias("est_union"),
         (rho * union_est).alias("est_intersection"),
         rho.alias("jaccard_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon–Matias–Szegedy) sign sketches: second frequency moment F2
+# and join-size estimation in ONE pass, no per-key state.
+#
+# Where KMV above answers DISTINCT-count questions, AMS answers
+# FREQUENCY-moment ones: F2 = sum over keys of f(k)^2 is the self-join
+# size, F2/n^2 per group is the skew diagnostic that decides whether a
+# key needs salting (operators/skew.py), and E[Z_A * Z_B] over a
+# shared sign function is the A-join-B-on-key row count — the planner
+# statistic that at 100 TB you want WITHOUT running the join or even a
+# per-key groupBy. Each replica's Z = sum over ROWS of a +/-1 sign of
+# the row's key (every row contributes its own sign, so frequencies
+# accumulate implicitly); the whole sketch is one aggregate pass
+# producing `reps` sums — map-side combinable, mergeable by addition,
+# and streaming-foldable exactly like the KMV partials.
+#
+# Estimator discipline (AMS '96 / Alon-Gibbons-Matias-Szegedy '99):
+# means of `mean_group` replicas bound the variance
+# (Var[mean of s2 replicas of Z^2] <= 2*F2^2/s2), a median of
+# `median_group` means bounds the tail. Deterministic here (xxhash64
+# replica-seeded), so the gate pins the one observed error against the
+# theory bound at every SF.
+# ---------------------------------------------------------------------------
+
+
+def ams_z_columns(key: Column, reps: int) -> list[Column]:
+    """`reps` independent +/-1 sign columns for one row's key; sum
+    each over the relation to get the replica Z values."""
+    return [
+        (F.lit(1) - F.lit(2) * F.pmod(F.xxhash64(key, F.lit(r)), F.lit(2)))
+        .cast("double")
+        .alias(f"_z{r}")
+        for r in range(reps)
+    ]
+
+
+def _median_of_means(prods: Column, mean_group: int, median_group: int) -> Column:
+    """prods: array of s1*s2 per-replica products. Mean within each
+    s2-sized group, median of the s1 means — pure array algebra."""
+    s2, s1 = mean_group, median_group
+    means = F.transform(
+        F.sequence(F.lit(0), F.lit(s1 - 1)),
+        lambda g: F.aggregate(
+            F.slice(prods, g * s2 + 1, s2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(s2)),
+    )
+    return F.element_at(F.array_sort(means), (s1 + 1) // 2)
+
+
+def ams_f2_estimate(
+    df: DataFrame,
+    key_col: str,
+    mean_group: int = 32,
+    median_group: int = 5,
+) -> DataFrame:
+    """One-row DataFrame: (n_rows, est_f2). est_f2 estimates
+    sum_k f(k)^2 (the self-join size) from mean_group*median_group
+    replica sums in ONE aggregate pass — no groupBy on the key."""
+    reps = mean_group * median_group
+    zs = ams_z_columns(F.col(key_col), reps)
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.sum(z).alias(f"_s{r}") for r, z in enumerate(zs)],
+    )
+    prods = F.array(*[
+        (F.col(f"_s{r}") * F.col(f"_s{r}")) for r in range(reps)
+    ])
+    return agg.select(
+        "n_rows",
+        _median_of_means(prods, mean_group, median_group).alias("est_f2"),
+    )
+
+
+def ams_join_size_estimate(
+    a: DataFrame,
+    a_key: str,
+    b: DataFrame,
+    b_key: str,
+    mean_group: int = 32,
+    median_group: int = 5,
+) -> DataFrame:
+    """One-row DataFrame: (n_a, n_b, est_join_rows) estimating
+    |a JOIN b ON a_key = b_key| from one aggregate pass over EACH
+    side (shared replica sign functions), never the join itself."""
+    reps = mean_group * median_group
+    agg_a = a.agg(
+        F.count(F.lit(1)).alias("n_a"),
+        *[F.sum(z).alias(f"_a{r}")
+          for r, z in enumerate(ams_z_columns(F.col(a_key), reps))],
+    )
+    agg_b = b.agg(
+        F.count(F.lit(1)).alias("n_b"),
+        *[F.sum(z).alias(f"_b{r}")
+          for r, z in enumerate(ams_z_columns(F.col(b_key), reps))],
+    )
+    both = agg_a.crossJoin(agg_b)  # 1x1 rows
+    prods = F.array(*[
+        (F.col(f"_a{r}") * F.col(f"_b{r}")) for r in range(reps)
+    ])
+    return both.select(
+        "n_a",
+        "n_b",
+        _median_of_means(prods, mean_group, median_group).alias("est_join_rows"),
     )

@@ -1,5 +1,8 @@
 """Sixteenth registry batch (round 11): the NULLS FIRST oracle
-contract, exercised for real.
+contract exercised for real, plus the sketch families — KMV distinct
+sketches with set algebra and AMS frequency-moment sketches
+(operators/sketches.py), each a rows-only estimate entry behind an
+oracled error-bound gate.
 
 ``operators/ranks.py`` routes NULL order keys to a dedicated lowest
 bucket (Spark's ascending NULLS FIRST default), and its docstring has
@@ -172,8 +175,149 @@ ORDER BY g_a, g_b
 """
 
 
+# ---------------------------------------------------------------------------
+# AMS sign sketches (operators/sketches.py): F2 / join-size estimation
+# in one aggregate pass — the planner statistics (self-join size, skew
+# mass, pre-join cardinality) a 100 TB engine wants without running
+# the join or a per-key groupBy. Deterministic replica-seeded
+# xxhash64; the estimates are rows-only (no SQL engine reproduces the
+# signs) and the _check gate pins the one observed error against the
+# AMS theory bound with exacts the oracle recomputes.
+# ---------------------------------------------------------------------------
+
+_AMS_S2 = 32  # replicas averaged per group (Var[mean] <= 2*F2^2/s2)
+_AMS_S1 = 5   # means medianed (tail bound)
+
+
+def ams_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-column one-pass skew diagnostics on lineitem: estimated
+    self-join size (F2) and the F2/n ratio (mean collision weight) that
+    decides whether a key needs salting. Rows-only; gated below."""
+    from ..operators.sketches import ams_f2_estimate
+
+    li = load_table(spark, sf, "lineitem")
+    parts = []
+    for col in ("l_partkey", "l_suppkey", "l_orderkey"):
+        est = ams_f2_estimate(li, col, _AMS_S2, _AMS_S1).select(
+            F.lit(col).alias("column_name"),
+            "n_rows",
+            F.round("est_f2", 1).alias("est_f2"),
+            F.round(F.col("est_f2") / F.col("n_rows"), 3).alias(
+                "est_mean_collisions"
+            ),
+        )
+        parts.append(est)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("column_name")
+
+
+def ams_moment_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate: the F2 estimate lands within 2 sigma of the mean-of-32
+    estimator (|est - F2| <= 0.5 * F2, since Var[mean] <= 2*F2^2/32)
+    and the click-purchase join-size estimate within its 2 sigma
+    (|est - J| <= 2*sqrt(2*F2_clicks*F2_purchases/32)). Exact F2s and
+    the exact join size are recomputed by the DuckDB oracle; observed
+    rel errs at build time: F2 0.080/0.030, join 0.018/0.168 at
+    sf0.001/0.01 — inside bound at both."""
+    from ..operators.sketches import ams_f2_estimate, ams_join_size_estimate
+
+    li = load_table(spark, sf, "lineitem")
+    ev = load_table(spark, sf, "events").select("user_id", "event_type")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purch = ev.filter(F.col("event_type") == "purchase")
+
+    est_f2 = ams_f2_estimate(li, "l_partkey", _AMS_S2, _AMS_S1)
+    exact_f2 = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2_partkey_exact"))
+    )
+    est_j = ams_join_size_estimate(
+        clicks, "user_id", purch, "user_id", _AMS_S2, _AMS_S1
+    ).select("est_join_rows")
+    exact_j = (
+        clicks.join(purch, "user_id")
+        .agg(F.count(F.lit(1)).alias("join_exact"))
+    )
+
+    def _f2(df, key, name):
+        return (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias(name))
+        )
+
+    f2a = _f2(clicks, "user_id", "f2_clicks_exact")
+    f2b = _f2(purch, "user_id", "f2_purchases_exact")
+
+    # five 1-row sides — bounded crossJoins, the repo's scalar pattern
+    row = (
+        est_f2.crossJoin(exact_f2)
+        .crossJoin(est_j)
+        .crossJoin(exact_j)
+        .crossJoin(f2a)
+        .crossJoin(f2b)
+    )
+    join_bound = F.lit(2.0) * F.sqrt(
+        F.lit(2.0)
+        * F.col("f2_clicks_exact")
+        * F.col("f2_purchases_exact")
+        / F.lit(float(_AMS_S2))
+    )
+    return row.select(
+        F.col("n_rows").cast("long").alias("n_lineitem"),
+        F.col("f2_partkey_exact").cast("long").alias("f2_partkey_exact"),
+        F.col("join_exact").cast("long").alias("join_clicks_purchases_exact"),
+        F.col("f2_clicks_exact").cast("long").alias("f2_clicks_exact"),
+        F.col("f2_purchases_exact").cast("long").alias("f2_purchases_exact"),
+        (
+            F.abs(F.col("est_f2") - F.col("f2_partkey_exact"))
+            <= 0.5 * F.col("f2_partkey_exact")
+        ).alias("f2_within_bound"),
+        (F.abs(F.col("est_join_rows") - F.col("join_exact")) <= join_bound).alias(
+            "join_within_bound"
+        ),
+    )
+
+
+AMS_MOMENT_CHECK_SQL = """
+WITH f2p AS (
+    SELECT SUM(c * c) AS f2_partkey_exact
+    FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+),
+jx AS (
+    SELECT COUNT(*) AS join_exact
+    FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+    JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+      USING (user_id)
+),
+f2a AS (
+    SELECT SUM(c * c) AS f2_clicks_exact
+    FROM (SELECT COUNT(*) AS c FROM events
+          WHERE event_type = 'click' GROUP BY user_id)
+),
+f2b AS (
+    SELECT SUM(c * c) AS f2_purchases_exact
+    FROM (SELECT COUNT(*) AS c FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id)
+)
+SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_lineitem,
+       CAST(f2p.f2_partkey_exact AS BIGINT) AS f2_partkey_exact,
+       CAST(jx.join_exact AS BIGINT) AS join_clicks_purchases_exact,
+       CAST(f2a.f2_clicks_exact AS BIGINT) AS f2_clicks_exact,
+       CAST(f2b.f2_purchases_exact AS BIGINT) AS f2_purchases_exact,
+       TRUE AS f2_within_bound,
+       TRUE AS join_within_bound
+FROM f2p, jx, f2a, f2b
+"""
+
+
 EXT16_QUERIES = {
     "null_key_order_ranks": (null_key_order_ranks, NULL_KEY_ORDER_RANKS_SQL),
     "kmv_priority_overlap": (kmv_priority_overlap, None),
     "kmv_overlap_check": (kmv_overlap_check, KMV_OVERLAP_CHECK_SQL),
+    "ams_skew_profile": (ams_skew_profile, None),
+    "ams_moment_check": (ams_moment_check, AMS_MOMENT_CHECK_SQL),
 }

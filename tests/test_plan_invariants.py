@@ -50,11 +50,12 @@ JVM_ONLY = [
     "heaps_law_fit",
     "charlm_doc_scores",
     "value_percentile_grid_by_type",
-    # round 11: KMV sketch overlap and the native chunking twin are
-    # pure Column algebra — if either grows a Python boundary the
-    # point of building them was lost
+    # round 11: the sketch families (KMV overlap, AMS moments) and the
+    # native chunking twin are pure Column algebra — if any grows a
+    # Python boundary the point of building them was lost
     "kmv_priority_overlap",
     "chunk_docs_native",
+    "ams_skew_profile",
 ]
 
 # Deliberate Arrow surfaces: vectorized Python is allowed, but ONLY

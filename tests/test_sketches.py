@@ -116,3 +116,56 @@ def test_overlap_pairs_shape(spark):
         assert r["g_a"] < r["g_b"]
         assert 0.0 <= r["jaccard_est"] <= 1.0
         assert r["est_intersection"] <= r["est_union"] + 1e-9
+
+
+def test_ams_f2_planted(spark):
+    """Planted frequencies: key i appears i times (i=1..20), so
+    F2 = sum i^2 = 2870; the estimate must land inside the 2-sigma
+    mean-of-32 bound (0.5 * F2)."""
+    from movie_data_pipeline_spark.operators.sketches import ams_f2_estimate
+
+    rows = [(i,) for i in range(1, 21) for _ in range(i)]
+    df = spark.createDataFrame(rows, ["k"])
+    got = ams_f2_estimate(df, "k").collect()[0]
+    exact = sum(i * i for i in range(1, 21))
+    assert got["n_rows"] == len(rows)
+    assert abs(got["est_f2"] - exact) <= 0.5 * exact
+
+
+def test_ams_join_size_planted(spark):
+    """A: keys 1..10 x3, B: keys 6..15 x2 -> exact join 5*3*2 = 30;
+    estimate inside 2*sqrt(2*F2a*F2b/32)."""
+    import math
+
+    from movie_data_pipeline_spark.operators.sketches import (
+        ams_join_size_estimate,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(1, 11) for _ in range(3)], ["k"])
+    b = spark.createDataFrame([(i,) for i in range(6, 16) for _ in range(2)], ["k"])
+    got = ams_join_size_estimate(a, "k", b, "k").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (30, 20)
+    f2a, f2b = 10 * 9, 10 * 4
+    bound = 2 * math.sqrt(2 * f2a * f2b / 32)
+    assert abs(got["est_join_rows"] - 30) <= bound
+
+
+def test_ams_sketch_is_mergeable(spark):
+    """The replica sums are plain SUMs, so sketching a union equals
+    adding the two partial sketches — verified by comparing the
+    one-pass estimate on A ∪ B with the estimate rebuilt from the two
+    halves' replica sums."""
+    from movie_data_pipeline_spark.operators.sketches import ams_z_columns
+
+    orders = _orders(spark)
+    reps = 32 * 5
+    half1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half2 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    def sums(df):
+        zs = ams_z_columns(F.col("o_custkey"), reps)
+        row = df.agg(*[F.sum(z).alias(f"s{r}") for r, z in enumerate(zs)]).collect()[0]
+        return [row[f"s{r}"] for r in range(reps)]
+
+    s1, s2, s_all = sums(half1), sums(half2), sums(orders)
+    assert [a + b for a, b in zip(s1, s2)] == s_all
