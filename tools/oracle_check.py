@@ -9,7 +9,7 @@ CORRECTNESS-shaped artifact (name → {rows_match, schema_match,
 hash_match, spark_rows, oracle_rows, err}, plus a leading "_meta"
 entry) — the committed ORACLE_r{N}.json files give the 168
 past-driver-slot registry entries a per-round audit trail a judge can
-diff instead of re-running 218 queries
+diff instead of re-running the registry
 (tests/test_analytics_oracle.py pins the latest artifact's key set to
 the live registry, so a registry change without a regenerated
 artifact fails the suite).
