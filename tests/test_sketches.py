@@ -152,10 +152,14 @@ def test_ams_join_size_planted(spark):
 
 def test_ams_sketch_is_mergeable(spark):
     """The replica sums are plain SUMs, so sketching a union equals
-    adding the two partial sketches — verified by comparing the
-    one-pass estimate on A ∪ B with the estimate rebuilt from the two
-    halves' replica sums."""
-    from movie_data_pipeline_spark.operators.sketches import ams_z_columns
+    adding the two partial sketches; and the numpy bit-unpack hot path
+    (ams_replica_sums) must agree BIT-FOR-BIT with the pure-Column
+    sign derivation (ams_z_columns) — numpy's arithmetic >> on int64
+    is Spark's shiftright."""
+    from movie_data_pipeline_spark.operators.sketches import (
+        ams_replica_sums,
+        ams_z_columns,
+    )
 
     orders = _orders(spark)
     reps = 32 * 5
@@ -163,9 +167,14 @@ def test_ams_sketch_is_mergeable(spark):
     half2 = orders.filter(F.col("o_orderkey") % 2 == 1)
 
     def sums(df):
-        zs = ams_z_columns(F.col("o_custkey"), reps)
-        row = df.agg(*[F.sum(z).alias(f"s{r}") for r, z in enumerate(zs)]).collect()[0]
-        return [row[f"s{r}"] for r in range(reps)]
+        row = ams_replica_sums(df, "o_custkey", reps).collect()[0]
+        return row["sums"]
 
     s1, s2, s_all = sums(half1), sums(half2), sums(orders)
     assert [a + b for a, b in zip(s1, s2)] == s_all
+
+    zs = ams_z_columns(F.col("o_custkey"), reps)
+    jvm_row = orders.agg(
+        *[F.sum(z).alias(f"s{r}") for r, z in enumerate(zs)]
+    ).collect()[0]
+    assert [jvm_row[f"s{r}"] for r in range(reps)] == s_all
