@@ -202,23 +202,37 @@ def kmv_overlap(
 # ---------------------------------------------------------------------------
 
 
-def ams_z_columns(key: Column, reps: int) -> list[Column]:
+def ams_z_columns(
+    key: Column, reps: int, block_bits: int = 64
+) -> list[Column]:
     """`reps` +/-1 sign columns for one row's key; sum each over the
     relation to get the replica Z values.
 
-    Signs come from the BITS of ceil(reps/64) seeded xxhash64 values,
-    not from one hash per replica: a 64-bit hash is 64 sign coins, so
-    160 replicas cost 3 hash evaluations per row instead of 160 — the
-    difference between the sketch pass being bounded by hashing (the
-    first formulation benched 12.5 s for 3 columns at sf0.1) and by
-    the scan itself (~1 s). Bit-level shifts/masks are whole-stage-
-    codegen-friendly Column ops. (xxhash64 was never a formally
-    4-wise-independent family either way; determinism + the oracled
-    error gate are the guarantees this repo actually relies on.)"""
+    Signs come from the BITS of seeded xxhash64 values, not from one
+    hash per replica: a 64-bit hash is up to 64 sign coins, so 160
+    replicas cost a handful of hash evaluations per row instead of
+    160 — the difference between the sketch pass being bounded by
+    hashing (the first formulation benched 12.5 s for 3 columns at
+    sf0.1) and by the scan itself (~1 s). Bit-level shifts/masks are
+    whole-stage-codegen-friendly Column ops.
+
+    ``block_bits`` controls how many replicas share one hash value
+    (r11 ADVICE): replicas within a block draw their signs from the
+    same 64-bit value, so neither 4-wise independence per replica nor
+    independence ACROSS those replicas formally holds. The
+    median-of-means estimators therefore seed each medianed mean
+    group from a DISJOINT hash input (block_bits = mean_group), which
+    restores mutual independence between the s1 means the median's
+    tail bound actually needs — at the cost of s1 instead of
+    ceil(reps/64) hash evaluations per row (5 vs 3 for the default
+    32x5 profile; both regimes scan-bound). Determinism + the oracled
+    error gate remain the load-bearing guarantees."""
+    if not 1 <= block_bits <= 64:
+        raise ValueError(f"block_bits={block_bits}: need 1..64")
     out = []
-    for block in range((reps + 63) // 64):
+    for block in range((reps + block_bits - 1) // block_bits):
         h = F.xxhash64(key, F.lit(block))
-        for bit in range(min(64, reps - 64 * block)):
+        for bit in range(min(block_bits, reps - block_bits * block)):
             out.append(
                 (
                     F.lit(1)
@@ -226,12 +240,14 @@ def ams_z_columns(key: Column, reps: int) -> list[Column]:
                     * F.shiftright(h, bit).bitwiseAND(F.lit(1))
                 )
                 .cast("double")
-                .alias(f"_z{64 * block + bit}")
+                .alias(f"_z{block_bits * block + bit}")
             )
     return out
 
 
-def ams_replica_sums(df: DataFrame, key_col: str, reps: int) -> DataFrame:
+def ams_replica_sums(
+    df: DataFrame, key_col: str, reps: int, block_bits: int = 64
+) -> DataFrame:
     """One-row DataFrame ``(n_rows bigint, sums array<double>)`` —
     the `reps` replica sign-sums in one pass.
 
@@ -241,16 +257,27 @@ def ams_replica_sums(df: DataFrame, key_col: str, reps: int) -> DataFrame:
     at sf0.1, 12.5 s for the 3-column profile), so the hot path is the
     repo's documented Arrow pattern instead — the JVM computes the
     ceil(reps/64) hash longs per row (3 narrow expressions), and a
-    mapInPandas stage unpacks sign bits and partial-sums them in numpy
-    (one 160-vector per Arrow batch). numpy's arithmetic ``>>`` on
-    int64 matches Spark's shiftright bit-for-bit (two's complement,
-    ``& 1`` takes the low bit), which the mergeability unit pins by
-    comparing against the pure-Column ``ams_z_columns`` sums. The
-    final fold adds O(batches) bounded vectors with array zip_with.
+    mapInPandas stage unpacks sign bits and partial-sums them in
+    numpy. numpy's arithmetic ``>>`` on int64 matches Spark's
+    shiftright bit-for-bit (two's complement, ``& 1`` takes the low
+    bit), which the mergeability unit pins by comparing against the
+    pure-Column ``ams_z_columns`` sums.
+
+    Merge discipline (r11 ADVICE): each mapInPandas call folds ALL its
+    Arrow batches into ONE partial per partition, and the partials
+    merge through a distributed per-replica-index sum (posexplode →
+    groupBy(idx) partial-aggregated map-side → reassemble the
+    reps-length array) — no aggregation buffer anywhere holds more
+    than O(reps) values. The earlier collect_list-of-partials fold
+    concentrated O(arrow_batches * reps) doubles in a single task
+    state, which at 100 TB (millions of batches) is GB-scale driver-
+    pattern state smuggled into an executor.
     """
     import pandas as pd
 
-    blocks = (reps + 63) // 64
+    if not 1 <= block_bits <= 64:
+        raise ValueError(f"block_bits={block_bits}: need 1..64")
+    blocks = (reps + block_bits - 1) // block_bits
     hashed = df.select(
         *[
             F.xxhash64(F.col(key_col), F.lit(b)).alias(f"_h{b}")
@@ -261,28 +288,42 @@ def ams_replica_sums(df: DataFrame, key_col: str, reps: int) -> DataFrame:
     def partial(batches):
         import numpy as np
 
+        n_total = 0
+        acc = np.zeros(reps, dtype=np.float64)
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            sums = np.empty(reps, dtype=np.float64)
+            n_total += n
             for b in range(blocks):
                 h = pdf[f"_h{b}"].to_numpy(dtype=np.int64)
-                width = min(64, reps - 64 * b)
+                width = min(block_bits, reps - block_bits * b)
                 # bit r of each hash: arithmetic shift + mask, exactly
                 # Spark's shiftright(h, r) & 1
                 bits = (h[:, None] >> np.arange(width, dtype=np.int64)) & 1
-                sums[64 * b : 64 * b + width] = n - 2.0 * bits.sum(axis=0)
-            yield pd.DataFrame({"n": [n], "sums": [sums.tolist()]})
+                acc[block_bits * b : block_bits * b + width] += (
+                    n - 2.0 * bits.sum(axis=0)
+                )
+        if n_total:
+            yield pd.DataFrame({"n": [n_total], "sums": [acc.tolist()]})
 
     partials = hashed.mapInPandas(partial, "n long, sums array<double>")
-    zero = F.array(*[F.lit(0.0)] * reps)
-    return partials.agg(
-        F.sum("n").alias("n_rows"),
-        F.aggregate(
-            F.collect_list("sums"),
-            zero,
-            lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q),
+    # Distributed merge: one (idx, value) row per replica per partial;
+    # groupBy(idx) map-side-combines, so the shuffle is O(tasks * reps)
+    # tiny rows and no task ever materializes more than the final
+    # reps-length array (collect_list here is over reps=O(100) structs).
+    per_idx = partials.select(
+        "n", F.posexplode("sums").alias("_idx", "_s")
+    ).groupBy("_idx").agg(
+        F.sum("_s").alias("_s"),
+        F.sum(F.when(F.col("_idx") == 0, F.col("n")).otherwise(F.lit(0)))
+        .alias("_n0"),
+    )
+    return per_idx.agg(
+        F.sum("_n0").alias("n_rows"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_idx", "_s"))),
+            lambda x: x["_s"],
         ).alias("sums"),
     )
 
@@ -311,9 +352,11 @@ def ams_f2_estimate(
 ) -> DataFrame:
     """One-row DataFrame: (n_rows, est_f2). est_f2 estimates
     sum_k f(k)^2 (the self-join size) from mean_group*median_group
-    replica sums in ONE pass — no groupBy on the key."""
+    replica sums in ONE pass — no groupBy on the key. Each medianed
+    mean group draws its signs from a disjoint seeded hash
+    (block_bits=mean_group, see ams_z_columns)."""
     reps = mean_group * median_group
-    agg = ams_replica_sums(df, key_col, reps)
+    agg = ams_replica_sums(df, key_col, reps, block_bits=mean_group)
     prods = F.transform(F.col("sums"), lambda s: s * s)
     return agg.select(
         "n_rows",
@@ -331,12 +374,13 @@ def ams_join_size_estimate(
 ) -> DataFrame:
     """One-row DataFrame: (n_a, n_b, est_join_rows) estimating
     |a JOIN b ON a_key = b_key| from one pass over EACH side (shared
-    replica sign functions), never the join itself."""
+    replica sign functions), never the join itself. Disjoint hash
+    seeds per medianed mean group, as in ams_f2_estimate."""
     reps = mean_group * median_group
-    agg_a = ams_replica_sums(a, a_key, reps).select(
+    agg_a = ams_replica_sums(a, a_key, reps, block_bits=mean_group).select(
         F.col("n_rows").alias("n_a"), F.col("sums").alias("_sa")
     )
-    agg_b = ams_replica_sums(b, b_key, reps).select(
+    agg_b = ams_replica_sums(b, b_key, reps, block_bits=mean_group).select(
         F.col("n_rows").alias("n_b"), F.col("sums").alias("_sb")
     )
     both = agg_a.crossJoin(agg_b)  # 1x1 rows

@@ -114,11 +114,22 @@ def kmv_overlap_check(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("x.p").alias("g_a"), F.col("y.p").alias("g_b"))
         .agg(F.count(F.lit(1)).alias("exact_inter"))
     )
+    # All unordered pairs from the per-group counts, LEFT-joined with
+    # the intersection counts and coalesced to 0 (r11 ADVICE): an
+    # inner join on `inter` silently dropped any DISJOINT pair —
+    # exactly the pair whose est_intersection most needs gating.
     exact = (
-        inter.join(exact_per.withColumnRenamed("p", "g_a"), "g_a")
-        .withColumnRenamed("exact_n", "exact_a")
-        .join(exact_per.withColumnRenamed("p", "g_b"), "g_b")
-        .withColumnRenamed("exact_n", "exact_b")
+        exact_per.select(
+            F.col("p").alias("g_a"), F.col("exact_n").alias("exact_a")
+        )
+        .join(
+            exact_per.select(
+                F.col("p").alias("g_b"), F.col("exact_n").alias("exact_b")
+            ),
+            F.col("g_a") < F.col("g_b"),
+        )
+        .join(inter, ["g_a", "g_b"], "left")
+        .withColumn("exact_inter", F.coalesce("exact_inter", F.lit(0)))
         .withColumn(
             "exact_union",
             F.col("exact_a") + F.col("exact_b") - F.col("exact_inter"),
@@ -155,22 +166,31 @@ WITH d AS (
 per AS (
     SELECT p, COUNT(*) AS exact_n FROM d GROUP BY p
 ),
-pair AS (
+inter AS (
     SELECT x.p AS g_a, y.p AS g_b, COUNT(*) AS exact_inter
     FROM d x JOIN d y ON x.c = y.c AND x.p < y.p
     GROUP BY x.p, y.p
+),
+pair AS (
+    -- every unordered pair, disjoint ones included (coalesce 0):
+    -- an inner join on `inter` would drop exactly the pair whose
+    -- est_intersection most needs gating
+    SELECT pa.p AS g_a, pb.p AS g_b,
+           pa.exact_n AS exact_a, pb.exact_n AS exact_b,
+           COALESCE(i.exact_inter, 0) AS exact_inter
+    FROM per pa
+    JOIN per pb ON pa.p < pb.p
+    LEFT JOIN inter i ON i.g_a = pa.p AND i.g_b = pb.p
 )
-SELECT pair.g_a, pair.g_b,
-       CAST(pa.exact_n AS BIGINT) AS exact_a,
-       CAST(pb.exact_n AS BIGINT) AS exact_b,
-       CAST(pa.exact_n + pb.exact_n - pair.exact_inter AS BIGINT) AS exact_union,
-       CAST(pair.exact_inter AS BIGINT) AS exact_inter,
+SELECT g_a, g_b,
+       CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_b AS BIGINT) AS exact_b,
+       CAST(exact_a + exact_b - exact_inter AS BIGINT) AS exact_union,
+       CAST(exact_inter AS BIGINT) AS exact_inter,
        TRUE AS distinct_in_bound,
        TRUE AS union_in_bound,
        TRUE AS inter_in_bound
 FROM pair
-JOIN per pa ON pa.p = pair.g_a
-JOIN per pb ON pb.p = pair.g_b
 ORDER BY g_a, g_b
 """
 

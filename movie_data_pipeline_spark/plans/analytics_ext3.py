@@ -293,11 +293,16 @@ EXT3_QUERIES = {
 
 
 # ---------------------------------------------------------------------------
-# Python UDTF surface: fixed-size token chunking via lateral join —
-# the pre-tokenization windowing step of an LLM training pipeline.
+# Fixed-size token chunking — the pre-tokenization windowing step of
+# an LLM training pipeline. The registry entry `chunk_docs` serves the
+# all-native plan (r11 VERDICT item 2: the Arrow UDTF measured 1.68 s
+# vs 0.55 s native at sf0.1 for a byte-equivalent result); the UDTF
+# lateral-join surface stays below as `chunk_docs_udtf` for unit
+# coverage, and earns its keep on the job natives can't do —
+# sentence-boundary + overlap chunking (plans/analytics_ext17.py).
 # ---------------------------------------------------------------------------
 
-def chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+def chunk_docs_udtf(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions import chunking
 
     chunking.register(spark)
@@ -322,19 +327,27 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-def chunk_docs_native(spark: SparkSession, sf: str) -> DataFrame:
-    """The all-native twin of chunk_docs: fixed-stride chunking as
-    split → sequence → transform(slice) → posexplode, zero Python
-    boundary. Registered alongside the UDTF surface because the r11
-    clean bench measured the Arrow UDTF at 1.53 s vs the r9 pickled
-    path's 0.63 s at sf0.1 — the per-batch Arrow string conversion
-    dominates a generator this trivial, and the real fix is not a
-    faster serializer but no serializer: whole-stage-codegen array
-    ops. The UDTF entry stays registered as the extension surface for
-    tokenizer-aware chunking (sentence boundaries, overlap) where
-    native expressions genuinely can't follow."""
-    docs = load_table(spark, sf, "documents")
-    n = 50
+def chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-stride chunking, all-native: split → sequence →
+    transform(slice) → posexplode, zero Python boundary. This is THE
+    `chunk_docs` registry entry since round 12: the r11 clean bench
+    measured the Arrow UDTF twin at 1.68 s vs 0.55 s for this plan —
+    the per-batch Arrow string conversion dominates a generator that
+    trivial, and the real fix is not a faster serializer but no
+    serializer: whole-stage-codegen array ops. Edge contract (r11
+    ADVICE): for empty/whitespace-only text, split(trim, '\\s+')
+    yields [''] and this plan emits ONE empty-string chunk — matching
+    CHUNK_DOCS_SQL's regexp_split_to_array exactly (pinned by a unit
+    fixture); the UDTF twin's Python str.split() instead yields zero
+    rows and additionally splits on Unicode whitespace, which is why
+    the UDTF is the unit-covered extension surface, not the entry."""
+    return chunk_tokens_native(load_table(spark, sf, "documents"), 50)
+
+
+def chunk_tokens_native(docs: DataFrame, n: int) -> DataFrame:
+    """The plan behind chunk_docs, factored over any (doc_id, text)
+    frame so the empty/whitespace edge contract is unit-testable
+    against the oracle on an injected fixture (tests/test_ext17.py)."""
     t = F.split(F.trim(F.col("text")), r"\s+")
     return (
         docs.select(
@@ -444,7 +457,6 @@ SELECT * FROM (
 EXT3_QUERIES.update(
     {
         "chunk_docs": (chunk_docs, CHUNK_DOCS_SQL),
-        "chunk_docs_native": (chunk_docs_native, CHUNK_DOCS_SQL),
         "profile_customer": (profile_customer, PROFILE_CUSTOMER_SQL),
         "orders_expectations": (orders_expectations, ORDERS_EXPECTATIONS_SQL),
     }

@@ -54,6 +54,21 @@ def dedup_last_write_wins(
     )
 
 
+def _recover_interrupted_upsert(path: str) -> None:
+    """Crash-window recovery for ``upsert_overwrite``'s staged swap
+    (r11 VERDICT item 7): a kill between its two renames leaves
+    ``path`` missing and ``path__preupsert`` holding the entire
+    pre-merge table. Without this preamble the next upsert would see
+    "first write", drop every pre-existing key, and its own swap would
+    then delete the only recoverable copy. Mirrors
+    streaming/events.py::_recover_interrupted_swap."""
+    import os
+
+    aside = path.rstrip("/") + "__preupsert"
+    if not os.path.exists(path) and os.path.exists(aside):
+        os.rename(aside, path)
+
+
 def upsert_overwrite(
     df: DataFrame, path: str, keys: Sequence[str], order_col: str | None = None
 ) -> None:
@@ -75,6 +90,7 @@ def upsert_overwrite(
     import shutil
 
     spark = df.sparkSession
+    _recover_interrupted_upsert(path)
     incoming = df.withColumn("__src", F.lit(1))
     try:
         existing = spark.read.parquet(path).select(*df.columns)
@@ -95,9 +111,18 @@ def upsert_overwrite(
     if staged:
         # The plan reads `path`; Spark refuses (rightly) to overwrite a
         # path it is reading. Stage to a sibling dir, then rename-swap.
+        # Same two-rename discipline as streaming/events.py's
+        # _atomic_swap_parquet (r11 VERDICT item 7): the only
+        # non-atomic window is between the renames, a kill there
+        # leaves __preupsert holding the whole pre-merge table, and
+        # the recovery preamble above restores it on the next call —
+        # after which re-running the SAME upsert converges (the merge
+        # is a keyed last-write-wins fold, idempotent by construction).
         tmp = path.rstrip("/") + "__upserting"
         winners.write.mode("overwrite").parquet(tmp)
         old = path.rstrip("/") + "__preupsert"
+        if os.path.exists(old):  # stale aside from a crash post-swap
+            shutil.rmtree(old)
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old)

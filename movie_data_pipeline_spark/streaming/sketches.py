@@ -1,9 +1,10 @@
-"""Streaming KMV distinct sketches: per-group bottom-k sketch state
-maintained incrementally across micro-batches — the streaming twin of
+"""Streaming KMV + AMS sketches: sketch state maintained
+incrementally across micro-batches — the streaming twin of
 ``operators/sketches.py`` and the live demonstration of WHY a
 mergeable sketch is the 100 TB posture: each micro-batch contributes
-an O(groups * k) partial, the current estimate is a fold of partials,
-and no raw key is ever revisited.
+a bounded partial (O(groups * k) for KMV, O(reps) for AMS), the
+current estimate is a fold of partials, and no raw key is ever
+revisited.
 
 Layout mirrors streaming/docs.py's minhash index: each micro-batch
 writes its PARTIAL sketches to ``state_path/batch_id=N/`` with
@@ -88,4 +89,74 @@ def current_sketches(
         "kmv",
         F.size("kmv").alias("n_kmv"),
         kmv_estimate_expr(F.col("kmv"), k).alias("est_distinct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming AMS sign sketches (round 12, the r11 batch additions'
+# streaming twin). AMS partials merge by ADDITION — which is exactly
+# why the replay discipline matters more than for KMV: re-adding a
+# replayed batch's partial would silently double-count (KMV's
+# array-union merge is idempotent; a sum is not). The same
+# batch_id=N overwrite layout makes the at-least-once replay rewrite
+# a byte-identical partial instead of contributing twice. Exactness:
+# every replica sum is integer-valued (each row contributes ±1), and
+# integers are exact in float64 far beyond any batch size, so the
+# read-side re-fold is associative without rounding — the streamed
+# sums equal operators/sketches.ams_replica_sums over the union of
+# batch rows EXACTLY, which the stream≡batch test pins.
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_ams(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    reps: int,
+):
+    """Drain ``stream`` with AvailableNow; each micro-batch writes its
+    (n, sums) AMS partial to ``state_path/batch_id=N/``."""
+    from ..operators.sketches import ams_replica_sums
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = ams_replica_sums(batch_df, key_col, reps).select(
+            F.col("n_rows").alias("n"), "sums"
+        )
+        partial.write.mode("overwrite").parquet(
+            os.path.join(state_path, f"batch_id={batch_id}")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def current_ams_sums(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold all batch partials into the current (n_rows, sums) — same
+    output schema as ``ams_replica_sums``. Merge = per-replica-index
+    sum over O(batches) bounded rows (posexplode → groupBy(idx) →
+    reassemble), the identical distributed-merge shape the batch
+    operator uses for its per-partition partials."""
+    partials = spark.read.parquet(state_path)
+    per_idx = partials.select(
+        "n", F.posexplode("sums").alias("_idx", "_s")
+    ).groupBy("_idx").agg(
+        F.sum("_s").alias("_s"),
+        F.sum(F.when(F.col("_idx") == 0, F.col("n")).otherwise(F.lit(0)))
+        .alias("_n0"),
+    )
+    return per_idx.agg(
+        F.sum("_n0").alias("n_rows"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_idx", "_s"))),
+            lambda x: x["_s"],
+        ).alias("sums"),
     )

@@ -86,6 +86,32 @@ def test_oracle_artifact_at_head():
     assert meta["pass"] == meta["run"] == len(QUERIES)
 
 
+def test_rotating_slots_proposal():
+    """The r12 rotation proposal (__spark_entry__.rotating_slots):
+    deterministic, 50 unique oracled entries per round, anchors always
+    present, and the full oracled registry covered within 5 rounds."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    entry = importlib.import_module("__spark_entry__")
+
+    oracled = set(entry.oracle_sql())
+    seen: set[str] = set()
+    for n in range(7):
+        slots = entry.rotating_slots(n)
+        assert len(slots) == 50 and len(set(slots)) == 50
+        assert set(slots) <= oracled
+        assert slots[:4] == [
+            "q1_top_part", "q2_top_regions", "q3_top_segment",
+            "q4_yearly_shipments",
+        ]
+        assert slots == entry.rotating_slots(n)  # pure function
+        seen |= set(slots)
+    assert seen == oracled  # full coverage within ceil(pool/42) rounds
+
+
 def test_driver_slot_invariants():
     """The driver records only the first 50 registry entries; those
     slots must stay exactly the curated list, every one oracled."""

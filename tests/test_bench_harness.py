@@ -114,6 +114,45 @@ def test_sentinel_pair_selection_and_steal():
     assert steal_detected({q17: ok, kcore: ok}) is False
 
 
+def test_uniform_drift_guard():
+    """Round-12 VERDICT item 4: the r11 run passed every sentinel yet
+    sat +11.7% above the r9 clean artifact near-uniformly — a
+    between-runs signature. A >10% median upward shift over shared
+    keys flags contaminated_drift even when all sentinels agree."""
+    from bench import uniform_drift
+
+    base = {f"q{i}": 1.0 for i in range(30)}
+
+    # uniform +12% → drift
+    d = uniform_drift({k: 1.12 for k in base}, base)
+    assert d["drift"] is True and d["median_shift"] == 0.12
+    # uniform +5% → clean
+    d = uniform_drift({k: 1.05 for k in base}, base)
+    assert d["drift"] is False and d["median_shift"] == 0.05
+    # uniform IMPROVEMENT never contaminates (it would freeze a bad
+    # committed baseline in place)
+    d = uniform_drift({k: 0.8 for k in base}, base)
+    assert d["drift"] is False and d["median_shift"] == -0.2
+
+    # a handful of genuine regressions among stable keys: median is
+    # robust — 4 keys at +200%, 26 at +2% → no uniform drift
+    t = {k: 1.02 for k in base}
+    for k in ("q0", "q1", "q2", "q3"):
+        t[k] = 3.0
+    assert uniform_drift(t, base)["drift"] is False
+
+    # tiny-base keys can't vote: 25 keys at 0.05 s jittering +300%
+    # must not outvote 25 solid keys at +1%
+    base2 = {f"s{i}": 0.05 for i in range(25)} | {f"b{i}": 2.0 for i in range(25)}
+    t2 = {f"s{i}": 0.2 for i in range(25)} | {f"b{i}": 2.02 for i in range(25)}
+    d = uniform_drift(t2, base2)
+    assert d["shared"] == 25 and d["drift"] is False
+
+    # too few shared keys (fresh checkout / smoke subset) → no signal
+    d = uniform_drift({"a": 2.0}, {"a": 1.0})
+    assert d == {"shared": 1, "median_shift": None, "drift": False}
+
+
 def test_non_canonical_sf_diverts_to_smoke(tmp_path):
     """A clean verify-skill smoke run at sf0.001 must not replace the
     committed sf0.1 BENCH_FULL.json."""

@@ -454,6 +454,42 @@ def test_sinks_upsert_and_ignore(spark, tmp_path):
     assert spark.read.parquet(p2).filter("k = 1").count() == 1
 
 
+def test_upsert_kill_window_recovery(spark, tmp_path):
+    """r11 VERDICT item 7: a kill between upsert_overwrite's two
+    renames must not lose the table. Simulate the exact window (path
+    renamed aside, replacement not yet in place) and prove the next
+    upsert restores the pre-merge state and converges."""
+    import os
+    import shutil
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], ["k", "v", "ver"]
+    )
+    sinks.upsert_overwrite(df, p, ["k"], order_col="ver")
+
+    # crash window: first rename done, second never happened
+    os.rename(p, p + "__preupsert")
+    assert not os.path.exists(p)
+
+    # the recovery preamble restores the table, then the retried
+    # upsert merges normally: key 2 upgraded, key 1 survives
+    batch = spark.createDataFrame([(2, "b2", 11)], ["k", "v", "ver"])
+    sinks.upsert_overwrite(batch, p, ["k"], order_col="ver")
+    got = {r.k: (r.v, r.ver) for r in spark.read.parquet(p).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 11)}
+    assert not os.path.exists(p + "__preupsert")
+
+    # crash AFTER the swap but before the aside cleanup: a stale
+    # __preupsert next to a live table must be discarded, not restored
+    shutil.copytree(p, p + "__preupsert")
+    batch2 = spark.createDataFrame([(3, "c", 1)], ["k", "v", "ver"])
+    sinks.upsert_overwrite(batch2, p, ["k"], order_col="ver")
+    got = {r.k for r in spark.read.parquet(p).collect()}
+    assert got == {1, 2, 3}
+    assert not os.path.exists(p + "__preupsert")
+
+
 def test_append_if_empty(spark, tmp_path):
     p = str(tmp_path / "guard")
     df = spark.createDataFrame([(1,)], ["x"])

@@ -50,18 +50,19 @@ JVM_ONLY = [
     "heaps_law_fit",
     "charlm_doc_scores",
     "value_percentile_grid_by_type",
-    # round 11: KMV overlap and the native chunking twin are pure
-    # Column algebra — if either grows a Python boundary the point of
-    # building them was lost
+    # round 11: KMV overlap is pure Column algebra — if it grows a
+    # Python boundary the point of building it was lost
     "kmv_priority_overlap",
-    "chunk_docs_native",
+    # round 12: chunk_docs now serves the native plan (r11 VERDICT
+    # item 2) — the UDTF twin moved to the sentence-chunking entry
+    "chunk_docs",
 ]
 
 # Deliberate Arrow surfaces: vectorized Python is allowed, but ONLY
 # the Arrow-batched node classes — BatchEvalPython (row-at-a-time)
 # is banned repo-wide.
 ARROW_WHITELISTED = [
-    "chunk_docs",
+    "chunk_docs_sentences",
     "embedding_pca_project",
     "ewma_user_values",
     # AMS replica sums: the 160-SUM global aggregate runs interpreted

@@ -178,3 +178,15 @@ def test_ams_sketch_is_mergeable(spark):
         *[F.sum(z).alias(f"s{r}") for r, z in enumerate(zs)]
     ).collect()[0]
     assert [jvm_row[f"s{r}"] for r in range(reps)] == s_all
+
+    # r12 disjoint-seed mode (block_bits = mean_group, r11 ADVICE):
+    # the numpy unpack must track the Column derivation there too,
+    # and the layout genuinely differs from the 64-bit packing
+    s32 = ams_replica_sums(orders, "o_custkey", reps, block_bits=32)
+    s32 = s32.collect()[0]["sums"]
+    zs32 = ams_z_columns(F.col("o_custkey"), reps, block_bits=32)
+    jvm32 = orders.agg(
+        *[F.sum(z).alias(f"s{r}") for r, z in enumerate(zs32)]
+    ).collect()[0]
+    assert [jvm32[f"s{r}"] for r in range(reps)] == s32
+    assert s32 != s_all

@@ -832,3 +832,68 @@ def test_streaming_kmv_stream_equals_batch(spark, tmp_path):
         for r in SK.current_sketches(spark, state, "event_type", k).collect()
     }
     assert again == want
+
+
+def test_streaming_ams_stream_equals_batch(spark, tmp_path):
+    """AMS replica sums folded across micro-batches EXACTLY equal the
+    batch sketch over the same rows (every sum is integer-valued, so
+    the re-fold is associative without rounding) — and a replayed
+    batch rewrites a byte-identical partial instead of double-counting
+    (addition is NOT idempotent, so for AMS the batch_id overwrite
+    layout is load-bearing, not defense-in-depth)."""
+    from movie_data_pipeline_spark.operators.sketches import ams_replica_sums
+    from movie_data_pipeline_spark.streaming import events as SE
+    from movie_data_pipeline_spark.streaming import sketches as SK
+
+    reps = 96  # 1.5 hash blocks: exercises the partial-width tail
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    state = str(tmp_path / "state")
+    stream_in = str(tmp_path / "incoming")
+
+    import os
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    os.makedirs(stream_in)
+    base = _time.time()
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        p = f"{stream_in}/b{i}.parquet"
+        _shutil.copy(next(_Path(stage).glob("part-*.parquet")), p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    SK.run_streaming_ams(
+        SE.read_events_stream(spark, stream_in),
+        state,
+        str(tmp_path / "ckpt"),
+        key_col="user_id",
+        reps=reps,
+    )
+
+    got = SK.current_ams_sums(spark, state).collect()[0]
+    want = ams_replica_sums(events, "user_id", reps).collect()[0]
+    assert got["n_rows"] == want["n_rows"]
+    assert got["sums"] == want["sums"]  # exact, not approximate
+
+    # replay batch 0 alone under a fresh checkpoint: the partial dir
+    # set is unchanged and the fold still equals the batch answer
+    pre = sorted(str(x) for x in (tmp_path / "state").rglob("batch_id=*"))
+    only_b0 = str(tmp_path / "replay_in")
+    os.makedirs(only_b0)
+    _shutil.copy(f"{stream_in}/b0.parquet", f"{only_b0}/b0.parquet")
+    SK.run_streaming_ams(
+        SE.read_events_stream(spark, only_b0),
+        state,
+        str(tmp_path / "ckpt2"),
+        key_col="user_id",
+        reps=reps,
+    )
+    post = sorted(str(x) for x in (tmp_path / "state").rglob("batch_id=*"))
+    assert pre == post
+    again = SK.current_ams_sums(spark, state).collect()[0]
+    assert again["n_rows"] == want["n_rows"]
+    assert again["sums"] == want["sums"]

@@ -94,11 +94,14 @@ def main() -> None:
     clear_state(spark)
 
     from movie_data_pipeline_spark.plans.analytics import QUERIES
+    # round 12: chunk_docs now IS the native plan; the UDTF twin moved
+    # out of the registry (plans/analytics_ext3.py) — import directly
+    from movie_data_pipeline_spark.plans.analytics_ext3 import chunk_docs_udtf
 
     entries = [
         ("kmv_priority_overlap", QUERIES["kmv_priority_overlap"][0]),
-        ("chunk_docs (Arrow UDTF)", QUERIES["chunk_docs"][0]),
-        ("chunk_docs_native", QUERIES["chunk_docs_native"][0]),
+        ("chunk_docs_udtf (Arrow UDTF)", chunk_docs_udtf),
+        ("chunk_docs (native)", QUERIES["chunk_docs"][0]),
     ]
     results: dict[str, list[float]] = {}
     for label, sf_dir, idx in [("1x", SF_DIR, 0), (f"{k}x", big, 1)]:
