@@ -56,6 +56,9 @@ JVM_ONLY = [
     # round 12: chunk_docs now serves the native plan (r11 VERDICT
     # item 2) — the UDTF twin moved to the sentence-chunking entry
     "chunk_docs",
+    # round 12: PII redaction is a narrow all-native regexp map — a
+    # Python boundary here would put regex eval on the slow path
+    "redact_pii_docs",
 ]
 
 # Deliberate Arrow surfaces: vectorized Python is allowed, but ONLY
