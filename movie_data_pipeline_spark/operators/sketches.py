@@ -308,10 +308,22 @@ def ams_replica_sums(
             yield pd.DataFrame({"n": [n_total], "sums": [acc.tolist()]})
 
     partials = hashed.mapInPandas(partial, "n long, sums array<double>")
-    # Distributed merge: one (idx, value) row per replica per partial;
-    # groupBy(idx) map-side-combines, so the shuffle is O(tasks * reps)
-    # tiny rows and no task ever materializes more than the final
-    # reps-length array (collect_list here is over reps=O(100) structs).
+    return merge_ams_partials(partials, reps)
+
+
+def merge_ams_partials(partials: DataFrame, reps: int) -> DataFrame:
+    """Fold ``(n, sums array<double>)`` partials into one
+    ``(n_rows, sums)`` row — the distributed merge shared by the batch
+    sketch and the streaming state fold (streaming/sketches.py).
+
+    One (idx, value) row per replica per partial; groupBy(idx)
+    map-side-combines, so the shuffle is O(tasks * reps) tiny rows and
+    no task ever materializes more than the final reps-length array
+    (collect_list here is over reps=O(100) structs). Empty input
+    yields the additive identity — (0, zeros(reps)) — so downstream
+    zip_with products see 0.0, not NULL padding (r12 review finding:
+    an empty array would NULL-propagate through
+    ams_join_size_estimate when one side has no rows)."""
     per_idx = partials.select(
         "n", F.posexplode("sums").alias("_idx", "_s")
     ).groupBy("_idx").agg(
@@ -319,12 +331,14 @@ def ams_replica_sums(
         F.sum(F.when(F.col("_idx") == 0, F.col("n")).otherwise(F.lit(0)))
         .alias("_n0"),
     )
+    zero = F.array(*[F.lit(0.0)] * reps)
+    merged = F.transform(
+        F.array_sort(F.collect_list(F.struct("_idx", "_s"))),
+        lambda x: x["_s"],
+    )
     return per_idx.agg(
-        F.sum("_n0").alias("n_rows"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_idx", "_s"))),
-            lambda x: x["_s"],
-        ).alias("sums"),
+        F.coalesce(F.sum("_n0"), F.lit(0)).alias("n_rows"),
+        F.when(F.size(merged) == 0, zero).otherwise(merged).alias("sums"),
     )
 
 

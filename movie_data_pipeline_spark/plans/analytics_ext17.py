@@ -87,6 +87,10 @@ toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\r\n]+') AS tk
   FROM documents
 ),
+-- token/sentence index domain: bounds docs at 100k tokens, the same
+-- cap CHUNK_DOCS_SQL uses (TESTDATA docs are ~50-600 tokens; a corpus
+-- exceeding it would truncate the ORACLE side only — raise both caps
+-- together if the testdata generator ever ships longer documents)
 nums AS (SELECT CAST(range AS INT) AS gs FROM range(0, 100000)),
 sent_text AS (
   SELECT doc_id,

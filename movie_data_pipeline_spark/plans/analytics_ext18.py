@@ -122,7 +122,10 @@ def lang_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf, "documents")
-    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    # explicit ASCII class, NOT \s: Java \s includes \x0B, RE2's does
+    # not — the ext17 engine-portability rule applies to token counts
+    # feeding cross-engine-hashed doubles too
+    toks = F.size(F.split(F.trim(F.col("text")), r"[ \t\r\n]+")).cast("long")
     per = docs.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),
@@ -154,8 +157,8 @@ def lang_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
 LANG_TEMPERATURE_SQL = r"""
 WITH per AS (
     SELECT lang, COUNT(*) AS n_docs,
-           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
-               AS n_tokens
+           CAST(SUM(len(regexp_split_to_array(trim(text), '[ \t\r\n]+')))
+                AS BIGINT) AS n_tokens
     FROM documents GROUP BY lang
 ),
 tot AS (SELECT SUM(n_tokens) AS t FROM per),

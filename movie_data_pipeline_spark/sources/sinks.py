@@ -96,7 +96,15 @@ def upsert_overwrite(
         existing = spark.read.parquet(path).select(*df.columns)
         merged = existing.withColumn("__src", F.lit(0)).unionByName(incoming)
         staged = True
-    except Exception:
+    except Exception as exc:
+        # ONLY a genuinely missing target means first-write. Any other
+        # read failure (corrupt footer, schema mismatch, permissions)
+        # must raise: swallowing it would degrade the upsert into a
+        # blind batch-replace that silently drops every pre-existing
+        # key — the exact loss the crash-recovery preamble guards
+        # against (r12 review finding).
+        if not _missing_target(exc):
+            raise
         merged = incoming  # first write — nothing to merge with
         staged = False
     order = [F.col(order_col).desc()] if order_col else []

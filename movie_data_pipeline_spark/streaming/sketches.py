@@ -114,17 +114,23 @@ def run_streaming_ams(
     checkpoint: str,
     key_col: str,
     reps: int,
+    block_bits: int = 64,
 ):
     """Drain ``stream`` with AvailableNow; each micro-batch writes its
-    (n, sums) AMS partial to ``state_path/batch_id=N/``."""
+    (n, sums) AMS partial to ``state_path/batch_id=N/``.
+
+    ``block_bits`` must match whatever the batch-side consumer uses
+    (the median-of-means estimators pass block_bits=mean_group for
+    disjoint per-group seeds) — the (n, sums) schema carries no trace
+    of the sign layout, so a mismatch would be silent."""
     from ..operators.sketches import ams_replica_sums
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        partial = ams_replica_sums(batch_df, key_col, reps).select(
-            F.col("n_rows").alias("n"), "sums"
-        )
+        partial = ams_replica_sums(
+            batch_df, key_col, reps, block_bits=block_bits
+        ).select(F.col("n_rows").alias("n"), "sums")
         partial.write.mode("overwrite").parquet(
             os.path.join(state_path, f"batch_id={batch_id}")
         )
@@ -139,24 +145,14 @@ def run_streaming_ams(
     return q
 
 
-def current_ams_sums(spark: SparkSession, state_path: str) -> DataFrame:
+def current_ams_sums(
+    spark: SparkSession, state_path: str, reps: int
+) -> DataFrame:
     """Fold all batch partials into the current (n_rows, sums) — same
-    output schema as ``ams_replica_sums``. Merge = per-replica-index
-    sum over O(batches) bounded rows (posexplode → groupBy(idx) →
-    reassemble), the identical distributed-merge shape the batch
-    operator uses for its per-partition partials."""
-    partials = spark.read.parquet(state_path)
-    per_idx = partials.select(
-        "n", F.posexplode("sums").alias("_idx", "_s")
-    ).groupBy("_idx").agg(
-        F.sum("_s").alias("_s"),
-        F.sum(F.when(F.col("_idx") == 0, F.col("n")).otherwise(F.lit(0)))
-        .alias("_n0"),
-    )
-    return per_idx.agg(
-        F.sum("_n0").alias("n_rows"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("_idx", "_s"))),
-            lambda x: x["_s"],
-        ).alias("sums"),
-    )
+    output schema as ``ams_replica_sums``, via the SAME shared merge
+    (operators/sketches.py::merge_ams_partials: per-replica-index sum
+    over O(batches) bounded rows, zeros(reps) identity on empty
+    state)."""
+    from ..operators.sketches import merge_ams_partials
+
+    return merge_ams_partials(spark.read.parquet(state_path), reps)

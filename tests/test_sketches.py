@@ -190,3 +190,24 @@ def test_ams_sketch_is_mergeable(spark):
     ).collect()[0]
     assert [jvm32[f"s{r}"] for r in range(reps)] == s32
     assert s32 != s_all
+
+
+def test_ams_empty_input_is_additive_identity(spark):
+    """The distributed merge must return (0, zeros(reps)) on empty
+    input, NOT (null, []) — an empty array would NULL-pad through
+    zip_with and poison ams_join_size_estimate when one side has no
+    rows (r12 review finding)."""
+    from movie_data_pipeline_spark.operators.sketches import (
+        ams_join_size_estimate,
+        ams_replica_sums,
+    )
+
+    orders = _orders(spark)
+    empty = orders.filter(F.lit(False))
+    row = ams_replica_sums(empty, "o_custkey", 64).collect()[0]
+    assert row["n_rows"] == 0
+    assert row["sums"] == [0.0] * 64
+
+    est = ams_join_size_estimate(empty, "o_custkey", orders, "o_custkey")
+    r = est.collect()[0]
+    assert (r["n_a"], r["est_join_rows"]) == (0, 0.0)  # not NULL

@@ -874,7 +874,7 @@ def test_streaming_ams_stream_equals_batch(spark, tmp_path):
         reps=reps,
     )
 
-    got = SK.current_ams_sums(spark, state).collect()[0]
+    got = SK.current_ams_sums(spark, state, reps).collect()[0]
     want = ams_replica_sums(events, "user_id", reps).collect()[0]
     assert got["n_rows"] == want["n_rows"]
     assert got["sums"] == want["sums"]  # exact, not approximate
@@ -894,6 +894,6 @@ def test_streaming_ams_stream_equals_batch(spark, tmp_path):
     )
     post = sorted(str(x) for x in (tmp_path / "state").rglob("batch_id=*"))
     assert pre == post
-    again = SK.current_ams_sums(spark, state).collect()[0]
+    again = SK.current_ams_sums(spark, state, reps).collect()[0]
     assert again["n_rows"] == want["n_rows"]
     assert again["sums"] == want["sums"]

@@ -10,7 +10,8 @@ chunking twins, 1x vs Kx warehouse under /tmp.
    ``kmv_overlap_check`` re-runs at Kx: the error-bound booleans must
    hold on the grown domain too (k=512 saturated 10x deeper).
 
-2. ``chunk_docs`` (Arrow UDTF) vs ``chunk_docs_native``
+2. ``chunk_docs_udtf`` (Arrow UDTF; the registry's `chunk_docs` entry
+   until r12) vs the native plan (now THE `chunk_docs` entry)
    (split→sequence→transform→posexplode) — the A/B behind registering
    the native twin: the r11 clean bench read the Arrow UDTF at 1.53 s
    vs the r9 pickled path's 0.63 s at sf0.1, so both formulations are
