@@ -41,6 +41,42 @@ PROBE_BANDS = {
     "trade_kcore": (1.30, 2.80),
 }
 LOAD1_GATE = 0.8
+# Hypervisor-steal gate (round 12): steal only manifests while the
+# GUEST is busy, so an idle loadavg says nothing about host
+# contention — the r12 forensics measured 11-13% steal DURING runs
+# that launched at load1 0.1-0.2. Spin all cores briefly and measure
+# the /proc/stat steal fraction; above this, a bench would come back
+# uniformly inflated even though every legacy gate passes.
+STEAL_GATE_PCT = 3.0
+
+
+def steal_probe(seconds: float = 3.0) -> float:
+    """%% of busy jiffies stolen while spinning every core for
+    ``seconds`` — the host-contention signal loadavg cannot see."""
+    import multiprocessing as mp
+
+    def read():
+        v = list(map(int, open("/proc/stat").readline().split()[1:]))
+        steal = v[7] if len(v) > 7 else 0
+        return steal, sum(v) - v[3] - (v[4] if len(v) > 4 else 0)
+
+    def spin(sec: float) -> None:
+        t0 = time.time()
+        x = 0
+        while time.time() - t0 < sec:
+            x += 1
+
+    s0, b0 = read()
+    procs = [
+        mp.Process(target=spin, args=(seconds,))
+        for _ in range(os.cpu_count() or 1)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    s1, b1 = read()
+    return (s1 - s0) / max(b1 - b0, 1) * 100.0
 
 _PROBE_SNIPPET = r"""
 import json, sys, time
@@ -104,6 +140,8 @@ def artifact_state() -> tuple[bool, str]:
     desc = (
         f"{n} queries, total {data.get('total_sec')}s, "
         f"load1_start {load.get('load1_start')}, "
+        f"steal {load.get('steal_pct_busy')}%, "
+        f"calib {load.get('calib_sec')}s, "
         f"contaminated={load.get('contaminated')}"
     )
     return not load.get("contaminated", True), desc
@@ -131,6 +169,10 @@ def main() -> int:
         if load1 > LOAD1_GATE:
             print(f"[{stamp}] attempt {attempt}: load1={load1:.2f} "
                   f"> {LOAD1_GATE}, sleeping", flush=True)
+        elif (steal := steal_probe()) > STEAL_GATE_PCT:
+            print(f"[{stamp}] attempt {attempt}: steal={steal:.1f}% "
+                  f"> {STEAL_GATE_PCT}% (host contention), sleeping",
+                  flush=True)
         else:
             probe = run_probe()
             verdict = probe_verdict(probe)
