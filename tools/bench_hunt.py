@@ -179,7 +179,29 @@ def main() -> int:
             print(f"[{stamp}] attempt {attempt}: load1={load1:.2f}, "
                   f"probe={probe} -> {verdict}", flush=True)
             if verdict == "ok":
-                print(f"[{stamp}] launching full bench", flush=True)
+                # The probes themselves inflate loadavg (the steal
+                # probe spins every core; the sentinel probe runs a
+                # fresh Spark session) — launching immediately hands
+                # bench.py a load1_start of ~6 and a self-inflicted
+                # contaminated_load divert (observed live 12:42,
+                # r12). Wait for OUR OWN load to decay first.
+                decay_deadline = time.time() + 300
+                while (
+                    os.getloadavg()[0] > LOAD1_GATE
+                    and time.time() < decay_deadline
+                ):
+                    time.sleep(15)
+                if os.getloadavg()[0] > 2.0:  # bench's own divert gate
+                    print(f"[{stamp}] load1 {os.getloadavg()[0]:.2f} "
+                          f"never decayed (another tenant?) — retrying",
+                          flush=True)
+                    if args.once:
+                        return 1
+                    time.sleep(args.sleep_sec)
+                    continue
+                print(f"[{stamp}] launching full bench "
+                      f"(load1 {os.getloadavg()[0]:.2f} after decay wait)",
+                      flush=True)
                 res = subprocess.run(
                     [sys.executable, "bench.py"],
                     cwd=REPO, capture_output=True, text=True, timeout=3600,
