@@ -89,6 +89,41 @@ DRIFT_MIN_BASE = 0.2
 # A median over a handful of shared keys is noise, not a signature
 # (e.g. the verify skill's smoke subset).
 DRIFT_MIN_SHARED = 20
+# Cumulative drift vs the PINNED anchor artifact (round-13, ADVICE):
+# the per-round guard compares against the most recent committed
+# BENCH_FULL.json, which each clean run replaces — sub-threshold creep
+# (<10%/round) would re-baseline every round and compound unboundedly.
+# BENCH_ANCHOR.json is a pinned clean artifact that clean runs do NOT
+# replace; re-anchoring is a deliberate committed action (BASELINE.md
+# records each re-anchor + why). Slightly looser than the per-round
+# gate because the honest entry mix drifts across many rounds.
+ANCHOR_DRIFT_THRESHOLD = 0.15
+# The calibration constant is a single-core best-of-5 measured before
+# Spark starts; a wildly different reading means the probe itself was
+# hit — clamp the normalization so a corrupt calib can't launder an
+# arbitrarily contaminated run into "clean".
+CALIB_RATIO_CLAMP = (0.5, 2.0)
+# Query wall moves LESS than the single-core probe when the box slows:
+# Spark queries amortize contention across 32 threads, I/O waits, and
+# JVM work the probe doesn't exercise. The r12 controlled pair
+# (BASELINE.md round-12 drift section) measured the coupling directly:
+# calib ×1.22 ↔ shared-key median ×1.122, i.e. queries see ≈55% of the
+# probe's shift. Normalizing by the FULL ratio would overcorrect — a
+# return to a fast box would read as a fake uniform regression.
+CALIB_COUPLING = 0.55
+
+
+def calib_ratio_vs(calib_now: float | None, baseline_calib: float | None) -> float:
+    """Expected uniform query-wall ratio (>1 slower, <1 faster) for the
+    measured probe shift vs when the baseline artifact was recorded:
+    1 + CALIB_COUPLING·(probe_ratio − 1), clamped to CALIB_RATIO_CLAMP.
+    Missing readings (pre-r12 artifacts have no calib_sec) → 1.0, i.e.
+    the raw-median behavior."""
+    if not calib_now or not baseline_calib:
+        return 1.0
+    effective = 1.0 + CALIB_COUPLING * (calib_now / baseline_calib - 1.0)
+    lo, hi = CALIB_RATIO_CLAMP
+    return min(max(effective, lo), hi)
 
 
 def uniform_drift(
@@ -98,9 +133,17 @@ def uniform_drift(
     threshold: float = DRIFT_MEDIAN_THRESHOLD,
     min_base: float = DRIFT_MIN_BASE,
     min_shared: int = DRIFT_MIN_SHARED,
+    calib_ratio: float = 1.0,
 ) -> dict[str, object]:
-    """Median relative shift of shared keys vs the committed clean
-    artifact, and whether it crosses the uniform-drift threshold."""
+    """Median relative shift of shared keys vs a committed clean
+    artifact, and whether it crosses the uniform-drift threshold.
+
+    Round-13 (VERDICT item 2): the gate applies to the CALIB-NORMALIZED
+    median — (1+median)/calib_ratio − 1 — so an honest run in a
+    known-slow window (measured by the single-core calibration probe)
+    isn't mislabeled, and a run in a known-FAST window can't hide a
+    real uniform regression behind the box speedup. Both the raw and
+    normalized medians are recorded."""
     shifts = sorted(
         (sec - baseline[name]) / baseline[name]
         for name, sec in timings.items()
@@ -108,13 +151,22 @@ def uniform_drift(
     )
     n = len(shifts)
     if n < min_shared:
-        return {"shared": n, "median_shift": None, "drift": False}
+        return {
+            "shared": n,
+            "median_shift": None,
+            "median_shift_norm": None,
+            "calib_ratio": round(calib_ratio, 4),
+            "drift": False,
+        }
     mid = n // 2
     med = shifts[mid] if n % 2 else (shifts[mid - 1] + shifts[mid]) / 2.0
+    norm = (1.0 + med) / calib_ratio - 1.0
     return {
         "shared": n,
         "median_shift": round(med, 4),
-        "drift": med > threshold,
+        "median_shift_norm": round(norm, 4),
+        "calib_ratio": round(calib_ratio, 4),
+        "drift": norm > threshold,
     }
 
 
@@ -307,8 +359,10 @@ def main() -> None:
         baseline = {
             k: float(v) for k, v in committed.get("queries", {}).items()
         }
+        baseline_calib = committed.get("load", {}).get("calib_sec")
     except (OSError, ValueError):
         baseline = {}
+        baseline_calib = None
     reruns: dict[str, dict[str, object]] = {}
     for name in select_reruns(timings, baseline):
         builder, _ = bench_queries[name]
@@ -365,13 +419,44 @@ def main() -> None:
     # drift is only meaningful against the committed artifact's OWN
     # scale — a smoke run at another SF is uniformly shifted by
     # construction
-    drift = (
-        uniform_drift(timings, baseline)
-        if sf == 0.1
-        else {"median_shift": None, "drift": False}
-    )
+    if sf == 0.1:
+        drift = uniform_drift(
+            timings,
+            baseline,
+            calib_ratio=calib_ratio_vs(calib, baseline_calib),
+        )
+        # cumulative drift vs the PINNED anchor (never replaced by a
+        # clean run — see ANCHOR_DRIFT_THRESHOLD rationale)
+        try:
+            anchor = json.loads((repo / "BENCH_ANCHOR.json").read_text())
+            anchor_drift = uniform_drift(
+                timings,
+                {k: float(v) for k, v in anchor.get("queries", {}).items()},
+                threshold=ANCHOR_DRIFT_THRESHOLD,
+                calib_ratio=calib_ratio_vs(
+                    calib, anchor.get("load", {}).get("calib_sec")
+                ),
+            )
+        except (OSError, ValueError):
+            anchor_drift = {
+                "median_shift_norm": None,
+                "calib_ratio": 1.0,
+                "drift": False,
+            }
+    else:
+        drift = {
+            "median_shift": None,
+            "median_shift_norm": None,
+            "calib_ratio": 1.0,
+            "drift": False,
+        }
+        anchor_drift = dict(drift)
     load["median_shift_vs_committed"] = drift["median_shift"]
-    load["contaminated_drift"] = drift["drift"]
+    load["median_shift_vs_committed_norm"] = drift["median_shift_norm"]
+    load["calib_ratio_vs_committed"] = drift["calib_ratio"]
+    load["median_shift_vs_anchor_norm"] = anchor_drift["median_shift_norm"]
+    load["calib_ratio_vs_anchor"] = anchor_drift["calib_ratio"]
+    load["contaminated_drift"] = bool(drift["drift"] or anchor_drift["drift"])
     load["contaminated"] = bool(
         load["contaminated_load"]
         or load["contaminated_steal"]

@@ -150,7 +150,68 @@ def test_uniform_drift_guard():
 
     # too few shared keys (fresh checkout / smoke subset) → no signal
     d = uniform_drift({"a": 2.0}, {"a": 1.0})
-    assert d == {"shared": 1, "median_shift": None, "drift": False}
+    assert d["shared"] == 1
+    assert d["median_shift"] is None and d["median_shift_norm"] is None
+    assert d["drift"] is False
+
+
+def test_uniform_drift_calib_normalized():
+    """Round-13 VERDICT item 2: bench.py records calib_sec but the
+    r12 guard compared raw medians — an honest 20%-steal window could
+    be mislabeled contaminated (or a fast window could hide a real
+    regression). The gate now applies to (1+median)/calib_ratio − 1."""
+    from bench import calib_ratio_vs, uniform_drift
+
+    base = {f"q{i}": 1.0 for i in range(30)}
+
+    # The live r12 controlled pair: probe ×1.2168 couples (×0.55) to an
+    # expected query ratio ≈1.119 — so the observed +12.2% median
+    # normalizes to ≈0%: clean, as the r12 forensics concluded by hand
+    ratio = calib_ratio_vs(0.238, 0.1956)
+    assert 1.10 < ratio < 1.13
+    d = uniform_drift({k: 1.122 for k in base}, base, calib_ratio=ratio)
+    assert d["drift"] is False
+    assert d["median_shift"] == 0.122 and abs(d["median_shift_norm"]) < 0.01
+
+    # +8% raw on a box measuring 15% FASTER → normalized +27%: a real
+    # uniform regression the raw gate would have waved through
+    d = uniform_drift({k: 1.08 for k in base}, base, calib_ratio=0.85)
+    assert d["drift"] is True and d["median_shift_norm"] > 0.10
+
+    # missing calib on either side (pre-r12 artifacts) → raw behavior
+    assert calib_ratio_vs(None, 0.2) == 1.0
+    assert calib_ratio_vs(0.2, None) == 1.0
+    d = uniform_drift({k: 1.12 for k in base}, base)
+    assert d["drift"] is True and d["median_shift_norm"] == 0.12
+
+    # a corrupt probe reading can't launder an arbitrarily slow run:
+    # effective ratio clamps at 2.0, so +150% raw still trips even at
+    # calib 10× (coupled: 1 + 0.55·9 = 5.95 → clamp)
+    assert calib_ratio_vs(2.0, 0.2) == 2.0
+    d = uniform_drift(
+        {k: 2.5 for k in base}, base, calib_ratio=calib_ratio_vs(2.0, 0.2)
+    )
+    assert d["drift"] is True
+
+
+def test_anchor_drift_threshold_is_looser_than_per_round():
+    """ADVICE r12: sub-threshold creep (<10%/round) re-baselines every
+    round and compounds unboundedly against the replaced-per-round
+    committed artifact. The pinned-anchor gate catches the cumulative
+    shift: three rounds of +9% (clean per-round) = +29.5% vs anchor →
+    contaminated_drift under ANCHOR_DRIFT_THRESHOLD."""
+    from bench import ANCHOR_DRIFT_THRESHOLD, DRIFT_MEDIAN_THRESHOLD, uniform_drift
+
+    assert ANCHOR_DRIFT_THRESHOLD > DRIFT_MEDIAN_THRESHOLD
+
+    anchor = {f"q{i}": 1.0 for i in range(30)}
+    crept = {k: 1.09**3 for k in anchor}  # +29.5% cumulative
+    last_round = {k: 1.09**2 for k in anchor}  # what the committed file shows
+
+    per_round = uniform_drift(crept, last_round)
+    assert per_round["drift"] is False  # +9% — invisible per-round
+    vs_anchor = uniform_drift(crept, anchor, threshold=ANCHOR_DRIFT_THRESHOLD)
+    assert vs_anchor["drift"] is True  # the compounding is visible here
 
 
 def test_non_canonical_sf_diverts_to_smoke(tmp_path):
