@@ -11,7 +11,9 @@ just the registry adapter.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,50 +41,77 @@ def entry(spark: SparkSession) -> DataFrame:
     return _hardened(builder)(spark, "/root/testdata/sf0.001")
 
 
+# The 8 fixed driver slots: the reference-workload analogs plus the
+# two approximate-family gate digests — the rows a human reads first
+# in every CORRECTNESS file, hashed every round without exception.
+ANCHORS = (
+    "q1_top_part", "q2_top_regions", "q3_top_segment",
+    "q4_yearly_shipments", "pricing_summary",
+    "supplier_volume_by_nation", "approx_suite_check",
+    "cluster_check",
+)
+# The driver records list(queries())[:50]; 50 − 8 anchors = 42
+# rotating slots per round.
+DRIVER_SLOTS = 50
+# Rounds 4-12 hashed the same frozen first-50 (≈ anchors + the first
+# 42 oracled non-anchors in registry order) — phase the rotation so
+# round 13's window starts immediately AFTER that already-covered
+# prefix and sweeps forward 42/round.
+ROTATION_EPOCH = 12
+
+
+def _round_no() -> int:
+    """Current build round, derived from the driver's own committed
+    artifacts (CORRECTNESS_r{N}.json / BENCH_r{N}.json are written at
+    the END of round N, so during round N the max on disk is N−1).
+    Pure function of the checkout — reproducible after the fact."""
+    here = Path(__file__).resolve().parent
+    rounds = [
+        int(m.group(1))
+        for p in here.glob("*_r*.json")
+        if (m := re.fullmatch(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json", p.name))
+    ]
+    return max(rounds, default=0) + 1
+
+
+def slot_order(round_no: int | None = None) -> list[str]:
+    """Deterministic per-round registry ordering (r12 VERDICT item 3):
+    the driver has not adopted the ``rotating_slots()`` proposal, so the
+    rotation is applied builder-side to the order of ``queries()``
+    itself. Layout: the 8 ANCHORS, then ALL oracled non-anchors rotated
+    so the 42 entries at ``list(queries())[8:50]`` advance by 42 each
+    round (wrapping), then the rows-only entries. Every registry entry
+    is always present; only the ORDER rotates — so the driver's
+    first-50 hash check sweeps all 203 oracled entries every ~5 rounds
+    instead of re-hashing the same frozen slots. Pure function of
+    (round_no, live registry): reproducible post-hoc, no state."""
+    if round_no is None:
+        round_no = _round_no()
+    pool = [
+        name
+        for name, (_, sql) in QUERIES.items()
+        if sql is not None and name not in ANCHORS
+    ]
+    rows_only = [name for name, (_, sql) in QUERIES.items() if sql is None]
+    take = DRIVER_SLOTS - len(ANCHORS)
+    start = (max(round_no - ROTATION_EPOCH, 0) * take) % max(len(pool), 1)
+    rotated = pool[start:] + pool[:start]
+    return list(ANCHORS) + rotated + rows_only
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator family from SURVEY.md §2."""
-    return {name: _hardened(builder) for name, (builder, _) in QUERIES.items()}
+    """One entry per implemented operator family from SURVEY.md §2,
+    in this round's rotated slot order (see ``slot_order``)."""
+    return {
+        name: _hardened(QUERIES[name][0]) for name in slot_order()
+    }
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each query (omitted for
     non-SQL-expressible ops → driver records a rows-only check)."""
     return {
-        name: sql for name, (_, sql) in QUERIES.items() if sql is not None
+        name: QUERIES[name][1]
+        for name in slot_order()
+        if QUERIES[name][1] is not None
     }
-
-
-def rotating_slots(round_no: int, k: int = 50) -> list[str]:
-    """PROPOSAL to the driver (r11 VERDICT item 5): a deterministic
-    rotating k-slot sample so every registry entry eventually gets
-    driver-hash coverage instead of the same 50 frozen since round 4.
-
-    Contract: slots 1-8 are fixed anchors (the reference-workload
-    analogs + the two driver-enforced approximate-family gates — the
-    rows a human reads first in every CORRECTNESS file); the remaining
-    k-8 slots are a window over ALL other ORACLED entries in registry
-    order, advanced by (k-8) each round, wrapping — so consecutive
-    rounds are disjoint away from the anchors and the whole oracled
-    registry is covered every ceil(pool/(k-8)) ≈ 5 rounds. Pure
-    function of (round_no, live registry): reproducible after the
-    fact, no state. The driver would call
-    ``rotating_slots(N)`` and record those entries instead of
-    ``list(queries())[:50]``; until it does, the at-HEAD-green
-    ORACLE_r{N}.json invariant (tests/test_analytics_oracle.py) is the
-    compensating control for the 174 never-driver-hashed entries.
-    """
-    anchors = [
-        "q1_top_part", "q2_top_regions", "q3_top_segment",
-        "q4_yearly_shipments", "pricing_summary",
-        "supplier_volume_by_nation", "approx_suite_check",
-        "cluster_check",
-    ]
-    pool = [
-        name
-        for name, (_, sql) in QUERIES.items()
-        if sql is not None and name not in anchors
-    ]
-    take = k - len(anchors)
-    start = (round_no * take) % len(pool)
-    window = (pool + pool)[start : start + take]
-    return anchors + window

@@ -86,39 +86,86 @@ def test_oracle_artifact_at_head():
     assert meta["pass"] == meta["run"] == len(QUERIES)
 
 
-def test_rotating_slots_proposal():
-    """The r12 rotation proposal (__spark_entry__.rotating_slots):
-    deterministic, 50 unique oracled entries per round, anchors always
-    present, and the full oracled registry covered within 5 rounds."""
+def _entry_module():
     import importlib
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-    entry = importlib.import_module("__spark_entry__")
+    return importlib.import_module("__spark_entry__")
 
-    oracled = set(entry.oracle_sql())
-    seen: set[str] = set()
-    for n in range(7):
-        slots = entry.rotating_slots(n)
-        assert len(slots) == 50 and len(set(slots)) == 50
-        assert set(slots) <= oracled
-        assert slots[:4] == [
-            "q1_top_part", "q2_top_regions", "q3_top_segment",
-            "q4_yearly_shipments",
-        ]
-        assert slots == entry.rotating_slots(n)  # pure function
-        seen |= set(slots)
-    assert seen == oracled  # full coverage within ceil(pool/42) rounds
+
+def test_slot_order_rotation():
+    """r12 VERDICT item 3, applied builder-side: queries() itself is
+    served in a per-round rotated order — anchors first, then the
+    oracled pool rotated by 42/round, then rows-only entries — so the
+    driver's first-50 hash check sweeps the whole oracled registry
+    every ~5 rounds. Deterministic, complete (every registry entry
+    always present exactly once), and the round-13 window must cover
+    entries never driver-hashed in rounds 4-12 (the frozen first-50,
+    recorded in every CORRECTNESS_r{4..12}.json)."""
+    entry = _entry_module()
+    from movie_data_pipeline_spark.plans.analytics import QUERIES
+
+    oracled = {n for n, (_, sql) in QUERIES.items() if sql is not None}
+
+    seen_in_50: set[str] = set()
+    for n in range(13, 20):
+        order = entry.slot_order(n)
+        # complete permutation of the registry — nothing dropped/duped
+        assert sorted(order) == sorted(QUERIES)
+        assert order[: len(entry.ANCHORS)] == list(entry.ANCHORS)
+        first50 = order[:50]
+        assert set(first50) <= oracled  # every driver slot hash-checkable
+        assert order == entry.slot_order(n)  # pure function of round_no
+        seen_in_50 |= set(first50)
+    assert seen_in_50 == oracled  # full sweep within ceil(195/42) rounds
+
+    # round 13 specifically: ≥40 of the 42 rotating slots were never
+    # driver-hashed before (frozen slots = the registry's first 50)
+    frozen = set(list(QUERIES)[:50])
+    fresh = [n for n in entry.slot_order(13)[8:50] if n not in frozen]
+    assert len(fresh) >= 40, len(fresh)
+
+    # consecutive rounds are disjoint away from the anchors
+    w13 = set(entry.slot_order(13)[8:50])
+    w14 = set(entry.slot_order(14)[8:50])
+    assert not (w13 & w14)
+
+
+def test_round_no_derivation():
+    """_round_no reads the driver's own committed artifacts: during
+    round N the max CORRECTNESS/BENCH index on disk is N−1."""
+    entry = _entry_module()
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    expect = 1 + max(
+        int(m.group(1))
+        for p in repo.glob("*_r*.json")
+        if (m := re.fullmatch(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json", p.name))
+    )
+    assert entry._round_no() == expect
+    # and the live queries()/oracle_sql() surfaces serve that order
+    assert list(entry.queries()) == entry.slot_order()
+    live_oracle = entry.oracle_sql()
+    assert list(live_oracle) == [
+        n for n in entry.slot_order() if n in live_oracle
+    ]
 
 
 def test_driver_slot_invariants():
-    """The driver records only the first 50 registry entries; those
-    slots must stay exactly the curated list, every one oracled."""
+    """The driver records the first 50 entries of queries(); every one
+    of those slots must be oracled (hash-checkable), anchors first.
+    The underlying registry order (plans.analytics.QUERIES) keeps the
+    historical curated prefix — only the entry-point order rotates."""
+    entry = _entry_module()
     from movie_data_pipeline_spark.plans.analytics import _DRIVER_SLOTS, QUERIES
 
-    first50 = list(QUERIES)[:50]
-    assert len(_DRIVER_SLOTS) == 50
-    assert first50 == _DRIVER_SLOTS
+    # registry order unchanged: bench keys / artifact diffs stay stable
+    assert list(QUERIES)[:50] == _DRIVER_SLOTS
+    first50 = list(entry.queries())[:50]
+    assert first50[: len(entry.ANCHORS)] == list(entry.ANCHORS)
     missing_oracle = [n for n in first50 if QUERIES[n][1] is None]
     assert not missing_oracle, missing_oracle
