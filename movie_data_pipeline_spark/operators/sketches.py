@@ -196,58 +196,128 @@ def kmv_overlap(
 # Estimator discipline (AMS '96 / Alon-Gibbons-Matias-Szegedy '99):
 # means of `mean_group` replicas bound the variance
 # (Var[mean of s2 replicas of Z^2] <= 2*F2^2/s2), a median of
-# `median_group` means bounds the tail. Deterministic here (xxhash64
-# replica-seeded), so the gate pins the one observed error against the
-# theory bound at every SF.
+# `median_group` means bounds the tail. The variance bound's
+# precondition is a 4-WISE INDEPENDENT +/-1 family per replica, and
+# mutually independent replicas — met here by construction (r12
+# VERDICT item 6): replica r's sign is the parity of a degree-3
+# polynomial over GF(2^61 - 1) evaluated at x = xxhash64(key) mod p,
+# the canonical 4-wise family from the AMS paper itself (bias from
+# the key->x fold and the parity map is O(K/2^61 + 1/p) — negligible
+# at any corpus size this engine targets). Coefficients are fixed
+# SHA-256-derived nothing-up-my-sleeve constants: one deterministic
+# draw from the family, so estimates are reproducible run-to-run and
+# the oracled gate pins the observed error of THIS draw against the
+# theory bound at every SF. (The earlier bits-of-one-xxhash64 scheme
+# was cheaper per row but carried no formal independence at all —
+# the 2-sigma gate held empirically, not by met preconditions.)
 # ---------------------------------------------------------------------------
 
+# Mersenne prime field for the 4-wise sign polynomials: reductions are
+# shift-and-fold, and 31-bit operand splits keep every intermediate
+# product under 2^62 — safe in SIGNED 64-bit lanes, so the numpy path
+# and the Column path run the IDENTICAL algorithm (Spark longs are
+# signed; numpy int64 matches it bit-for-bit on this domain).
+_P61 = (1 << 61) - 1
+_MASK31 = (1 << 31) - 1
+_MASK30 = (1 << 30) - 1
 
-def ams_z_columns(
-    key: Column, reps: int, block_bits: int = 64
-) -> list[Column]:
-    """`reps` +/-1 sign columns for one row's key; sum each over the
-    relation to get the replica Z values.
 
-    Signs come from the BITS of seeded xxhash64 values, not from one
-    hash per replica: a 64-bit hash is up to 64 sign coins, so 160
-    replicas cost a handful of hash evaluations per row instead of
-    160 — the difference between the sketch pass being bounded by
-    hashing (the first formulation benched 12.5 s for 3 columns at
-    sf0.1) and by the scan itself (~1 s). Bit-level shifts/masks are
-    whole-stage-codegen-friendly Column ops.
+def ams_coefficients(reps: int) -> list[list[int]]:
+    """``reps`` coefficient quadruples [a0, a1, a2, a3] in [0, p) for
+    the degree-3 sign polynomials, derived from SHA-256 of fixed
+    labels — deterministic stand-ins for the family's uniform draw
+    (a3 forced nonzero so every polynomial has true degree 3)."""
+    import hashlib
 
-    ``block_bits`` controls how many replicas share one hash value
-    (r11 ADVICE): replicas within a block draw their signs from the
-    same 64-bit value, so neither 4-wise independence per replica nor
-    independence ACROSS those replicas formally holds. The
-    median-of-means estimators therefore seed each medianed mean
-    group from a DISJOINT hash input (block_bits = mean_group), which
-    restores mutual independence between the s1 means the median's
-    tail bound actually needs — at the cost of s1 instead of
-    ceil(reps/64) hash evaluations per row (5 vs 3 for the default
-    32x5 profile; both regimes scan-bound). Determinism + the oracled
-    error gate remain the load-bearing guarantees."""
-    if not 1 <= block_bits <= 64:
-        raise ValueError(f"block_bits={block_bits}: need 1..64")
     out = []
-    for block in range((reps + block_bits - 1) // block_bits):
-        h = F.xxhash64(key, F.lit(block))
-        for bit in range(min(block_bits, reps - block_bits * block)):
-            out.append(
-                (
-                    F.lit(1)
-                    - F.lit(2)
-                    * F.shiftright(h, bit).bitwiseAND(F.lit(1))
-                )
-                .cast("double")
-                .alias(f"_z{block_bits * block + bit}")
+    for r in range(reps):
+        cs = [
+            int.from_bytes(
+                hashlib.sha256(f"ams-sign-{r}-{j}".encode()).digest()[:8],
+                "big",
             )
+            % _P61
+            for j in range(4)
+        ]
+        if cs[3] == 0:
+            cs[3] = 1
+        out.append(cs)
     return out
 
 
-def ams_replica_sums(
-    df: DataFrame, key_col: str, reps: int, block_bits: int = 64
-) -> DataFrame:
+def _mulmod61_col(a: Column, b: Column) -> Column:
+    """(a * b) mod (2^61 - 1) for longs in [0, 2^61) — 31-bit split
+    schoolbook product with Mersenne shift-folds; every intermediate
+    stays under 2^63. Mirrors the numpy `_mulmod61` in
+    ``ams_replica_sums`` operation-for-operation."""
+    a1, a0 = F.shiftright(a, 31), a.bitwiseAND(F.lit(_MASK31))
+    b1, b0 = F.shiftright(b, 31), b.bitwiseAND(F.lit(_MASK31))
+    # a*b = a1*b1*2^62 + (a1*b0 + a0*b1)*2^31 + a0*b0;  2^62 ≡ 2 (mod p)
+    hi = F.lit(2) * a1 * b1
+    mid = a1 * b0 + a0 * b1
+    mid_lo = F.shiftleft(mid.bitwiseAND(F.lit(_MASK30)), 31)
+    mid_hi = F.shiftright(mid, 30)  # mid*2^31 ≡ mid_hi + mid_lo (mod p)
+    lo = a0 * b0
+    lo = F.shiftright(lo, 61) + lo.bitwiseAND(F.lit(_P61))
+    v = hi + mid_hi + mid_lo + lo
+    v = F.shiftright(v, 61) + v.bitwiseAND(F.lit(_P61))
+    return F.when(v >= _P61, v - _P61).otherwise(v)
+
+
+def with_ams_powers(df: DataFrame, key_col: str) -> DataFrame:
+    """``(_x, _x2, _x3)`` — x = xxhash64(key) mod p and its field
+    powers, as NAMED columns via chained selects. The powers must be
+    attributes, not inline subtrees: every ``when`` in the field
+    arithmetic references its operand tree three times, so nesting
+    mulmods Horner-style multiplies the expression tree ~18× per
+    degree and OOMs the analyzer at 160 replicas — with named powers
+    each replica is a flat, bounded expression over three leaf refs."""
+    x = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_P61)).alias("_x")
+    d = df.select(x)
+    d = d.select(
+        "_x", _mulmod61_col(F.col("_x"), F.col("_x")).alias("_x2")
+    )
+    return d.select(
+        "_x",
+        "_x2",
+        _mulmod61_col(F.col("_x2"), F.col("_x")).alias("_x3"),
+    )
+
+
+def ams_z_columns(reps: int) -> list[Column]:
+    """`reps` +/-1 sign columns over a frame carrying the named power
+    columns from ``with_ams_powers``; sum each over the relation to
+    get the replica Z values. Pure Column algebra — the JVM-only twin
+    of the Arrow path in ``ams_replica_sums``, pinned equal by the
+    mergeability unit test.
+
+    Each replica's sign is 1 - 2·parity(h_r(x)) with h_r a degree-3
+    polynomial over GF(2^61-1) — the 4-wise independent construction
+    the AMS variance bound assumes, with replicas mutually independent
+    because their coefficient quadruples are disjoint. The three term
+    products are full field mulmods; their sum is < 4p < 2^63, so one
+    shift-fold plus one canonicalizing subtract (parity needs the
+    canonical residue: v and v-p differ in parity since p is odd)
+    finishes the reduction."""
+    out = []
+    for r, (a0, a1, a2, a3) in enumerate(ams_coefficients(reps)):
+        s = (
+            _mulmod61_col(F.lit(a3), F.col("_x3"))
+            + _mulmod61_col(F.lit(a2), F.col("_x2"))
+            + _mulmod61_col(F.lit(a1), F.col("_x"))
+            + F.lit(a0)
+        )
+        v = F.shiftright(s, 61) + s.bitwiseAND(F.lit(_P61))
+        v = F.when(v >= _P61, v - _P61).otherwise(v)
+        out.append(
+            (F.lit(1) - F.lit(2) * v.bitwiseAND(F.lit(1)))
+            .cast("double")
+            .alias(f"_z{r}")
+        )
+    return out
+
+
+def ams_replica_sums(df: DataFrame, key_col: str, reps: int) -> DataFrame:
     """One-row DataFrame ``(n_rows bigint, sums array<double>)`` —
     the `reps` replica sign-sums in one pass.
 
@@ -255,13 +325,14 @@ def ams_replica_sums(
     `reps` SUM expressions is outside whole-stage codegen (161
     aggregate fields; interpreted eval ran 2.8 s per 600k-row column
     at sf0.1, 12.5 s for the 3-column profile), so the hot path is the
-    repo's documented Arrow pattern instead — the JVM computes the
-    ceil(reps/64) hash longs per row (3 narrow expressions), and a
-    mapInPandas stage unpacks sign bits and partial-sums them in
-    numpy. numpy's arithmetic ``>>`` on int64 matches Spark's
-    shiftright bit-for-bit (two's complement, ``& 1`` takes the low
-    bit), which the mergeability unit pins by comparing against the
-    pure-Column ``ams_z_columns`` sums.
+    repo's documented Arrow pattern instead — the JVM computes ONE
+    hash long per row (x = xxhash64(key) mod p), and a mapInPandas
+    stage evaluates the `reps` degree-3 GF(2^61-1) sign polynomials
+    (see ``ams_coefficients``) vectorized in numpy and partial-sums
+    the signs. The numpy field arithmetic (`_mulmod61`) is the same
+    signed-safe 31-bit-split algorithm as the Column twin
+    ``_mulmod61_col``, pinned equal by the mergeability unit test and
+    by an exact big-int reference.
 
     Merge discipline (r11 ADVICE): each mapInPandas call folds ALL its
     Arrow batches into ONE partial per partition, and the partials
@@ -275,18 +346,30 @@ def ams_replica_sums(
     """
     import pandas as pd
 
-    if not 1 <= block_bits <= 64:
-        raise ValueError(f"block_bits={block_bits}: need 1..64")
-    blocks = (reps + block_bits - 1) // block_bits
+    coeffs = ams_coefficients(reps)
     hashed = df.select(
-        *[
-            F.xxhash64(F.col(key_col), F.lit(b)).alias(f"_h{b}")
-            for b in range(blocks)
-        ]
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(_P61)).alias("_x")
     )
 
     def partial(batches):
         import numpy as np
+
+        a = np.asarray(coeffs, dtype=np.int64)  # (reps, 4): a0..a3
+        a0, a1, a2, a3 = (a[:, j] for j in range(4))
+
+        def mulmod61(u, v):
+            # (u*v) mod 2^61-1; operands in [0, 2^61), intermediates
+            # < 2^63 — see _mulmod61_col for the identical Column form
+            u1, u0 = u >> 31, u & _MASK31
+            v1, v0 = v >> 31, v & _MASK31
+            hi = 2 * u1 * v1
+            mid = u1 * v0 + u0 * v1
+            mid = (mid >> 30) + ((mid & _MASK30) << 31)
+            lo = u0 * v0
+            lo = (lo >> 61) + (lo & _P61)
+            w = hi + mid + lo
+            w = (w >> 61) + (w & _P61)
+            return np.where(w >= _P61, w - _P61, w)
 
         n_total = 0
         acc = np.zeros(reps, dtype=np.float64)
@@ -295,15 +378,13 @@ def ams_replica_sums(
             if n == 0:
                 continue
             n_total += n
-            for b in range(blocks):
-                h = pdf[f"_h{b}"].to_numpy(dtype=np.int64)
-                width = min(block_bits, reps - block_bits * b)
-                # bit r of each hash: arithmetic shift + mask, exactly
-                # Spark's shiftright(h, r) & 1
-                bits = (h[:, None] >> np.arange(width, dtype=np.int64)) & 1
-                acc[block_bits * b : block_bits * b + width] += (
-                    n - 2.0 * bits.sum(axis=0)
-                )
+            x = pdf["_x"].to_numpy(dtype=np.int64)[:, None]  # (n, 1)
+            v = np.broadcast_to(a3, (n, reps))
+            for c in (a2, a1, a0):  # Horner over the field
+                w = mulmod61(v, x) + c
+                v = np.where(w >= _P61, w - _P61, w)
+            # sign = 1 - 2*parity; sum of signs = n - 2*sum(parity)
+            acc += n - 2.0 * (v & 1).sum(axis=0)
         if n_total:
             yield pd.DataFrame({"n": [n_total], "sums": [acc.tolist()]})
 
@@ -366,11 +447,12 @@ def ams_f2_estimate(
 ) -> DataFrame:
     """One-row DataFrame: (n_rows, est_f2). est_f2 estimates
     sum_k f(k)^2 (the self-join size) from mean_group*median_group
-    replica sums in ONE pass — no groupBy on the key. Each medianed
-    mean group draws its signs from a disjoint seeded hash
-    (block_bits=mean_group, see ams_z_columns)."""
+    replica sums in ONE pass — no groupBy on the key. Every replica
+    is an independent 4-wise sign polynomial (see ams_coefficients),
+    so both the per-mean variance bound and the median's independence
+    precondition hold by construction."""
     reps = mean_group * median_group
-    agg = ams_replica_sums(df, key_col, reps, block_bits=mean_group)
+    agg = ams_replica_sums(df, key_col, reps)
     prods = F.transform(F.col("sums"), lambda s: s * s)
     return agg.select(
         "n_rows",
@@ -388,13 +470,14 @@ def ams_join_size_estimate(
 ) -> DataFrame:
     """One-row DataFrame: (n_a, n_b, est_join_rows) estimating
     |a JOIN b ON a_key = b_key| from one pass over EACH side (shared
-    replica sign functions), never the join itself. Disjoint hash
-    seeds per medianed mean group, as in ams_f2_estimate."""
+    replica sign functions — both sides evaluate the SAME coefficient
+    quadruples, which is what makes E[Z_a * Z_b] the join size),
+    never the join itself."""
     reps = mean_group * median_group
-    agg_a = ams_replica_sums(a, a_key, reps, block_bits=mean_group).select(
+    agg_a = ams_replica_sums(a, a_key, reps).select(
         F.col("n_rows").alias("n_a"), F.col("sums").alias("_sa")
     )
-    agg_b = ams_replica_sums(b, b_key, reps, block_bits=mean_group).select(
+    agg_b = ams_replica_sums(b, b_key, reps).select(
         F.col("n_rows").alias("n_b"), F.col("sums").alias("_sb")
     )
     both = agg_a.crossJoin(agg_b)  # 1x1 rows

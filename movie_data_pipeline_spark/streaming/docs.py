@@ -115,3 +115,62 @@ def run_streaming_dedup(
     )
     q.awaitTermination()
     return q
+
+
+def run_streaming_chunks(
+    doc_stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    budget: int = 40,
+    overlap: int = 1,
+):
+    """Streaming twin of the sentence chunker (r12 VERDICT item 8) —
+    the doc pipeline's last batch-only op. Drain ``doc_stream`` with
+    AvailableNow; each micro-batch lateral-applies ChunkSentencesUDTF
+    (functions/chunking.py — the identical generator the batch entry
+    ``chunk_docs_sentences`` runs) and publishes its chunk rows to
+    ``out_path/batch_id=N`` via the staged atomic rename.
+
+    Replay class: chunking is a deterministic PER-DOC function with no
+    cross-doc state — the byte-identical-partials class already proven
+    for the KMV/AMS folds, needing no read-side merge at all. An
+    at-least-once replay rewrites the same rows; a mid-write crash
+    never exposes a truncated partition (streaming/sketches.py::
+    _atomic_partial_write). Contract: a doc_id must appear in at most
+    one micro-batch (same upstream-identity assumption as the dedup
+    stream's index fold documents above) — recurring ids would emit
+    their chunk set once per occurrence."""
+    from ..functions import chunking
+    from .sketches import _atomic_partial_write
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        chunking.register(spark)
+        batch_df.createOrReplaceTempView("_chunk_stream_batch")
+        chunks = spark.sql(
+            f"""
+            SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_tokens
+            FROM _chunk_stream_batch d,
+                 LATERAL chunk_sentences(d.text, {int(budget)}, {int(overlap)}) c
+            """
+        )
+        _atomic_partial_write(chunks, out_path, batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def current_chunks(spark: SparkSession, out_path: str) -> DataFrame:
+    """All chunks published so far — per-doc outputs need no fold, so
+    this is just the partition-discovered union of batch dirs."""
+    return spark.read.parquet(out_path).select(
+        "doc_id", "chunk_idx", "chunk", "chunk_tokens"
+    )

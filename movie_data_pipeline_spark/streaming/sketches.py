@@ -7,10 +7,11 @@ current estimate is a fold of partials, and no raw key is ever
 revisited.
 
 Layout mirrors streaming/docs.py's minhash index: each micro-batch
-writes its PARTIAL sketches to ``state_path/batch_id=N/`` with
-overwrite mode, so an at-least-once replay rewrites byte-identical
-files instead of double-counting (the partials are hash-deterministic
-functions of the batch rows alone). The merged current state is a
+publishes its PARTIAL sketches to ``state_path/batch_id=N/`` via a
+staged atomic rename (``_atomic_partial_write``), so an at-least-once
+replay rewrites byte-identical files instead of double-counting (the
+partials are hash-deterministic functions of the batch rows alone)
+and a mid-write crash can never expose a truncated partial. The merged current state is a
 read-side fold — KMV's closure law (bottom-k of a union is computable
 from bottom-k states; unit-proven in tests/test_sketches.py) makes
 the fold exact: the streamed sketch is BYTE-IDENTICAL to the batch
@@ -23,12 +24,36 @@ batch, SURVEY §2.10).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.sketches import kmv_estimate_expr, kmv_sketches
+
+
+def _atomic_partial_write(df: DataFrame, state_path: str, batch_id: int) -> None:
+    """Publish a micro-batch partial to ``state_path/batch_id=N``
+    atomically (r12 ADVICE item 4): a direct mode('overwrite') write
+    leaves a TRUNCATED partial visible between a mid-write crash and
+    the batch replay, and AMS's additive merge silently folds it into
+    wrong sums (KMV's union merge merely under-estimates). Stage to a
+    dot-prefixed sibling (invisible to Spark's partition discovery,
+    and mode('overwrite') self-heals a crashed stage), then
+    directory-rename into place — one atomic POSIX op, the same
+    discipline as sinks.upsert_overwrite. Crash windows: during the
+    stage write → published state untouched; after the rmtree of a
+    stale prior partial → the batch reads as never-processed and the
+    checkpoint replays it (foreachBatch commits AFTER this returns).
+    Object-store deployments would swap via their atomic commit API
+    instead, as sinks.py already documents."""
+    final = os.path.join(state_path, f"batch_id={batch_id}")
+    stage = os.path.join(state_path, f".stage_batch_id={batch_id}")
+    df.write.mode("overwrite").parquet(stage)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(stage, final)
 
 
 def run_streaming_kmv(
@@ -46,8 +71,8 @@ def run_streaming_kmv(
         if batch_df.isEmpty():
             return
         partial = kmv_sketches(batch_df, group_col, key_col, k=k)
-        partial.select(group_col, "kmv").write.mode("overwrite").parquet(
-            os.path.join(state_path, f"batch_id={batch_id}")
+        _atomic_partial_write(
+            partial.select(group_col, "kmv"), state_path, batch_id
         )
 
     q = (
@@ -114,26 +139,22 @@ def run_streaming_ams(
     checkpoint: str,
     key_col: str,
     reps: int,
-    block_bits: int = 64,
 ):
     """Drain ``stream`` with AvailableNow; each micro-batch writes its
-    (n, sums) AMS partial to ``state_path/batch_id=N/``.
-
-    ``block_bits`` must match whatever the batch-side consumer uses
-    (the median-of-means estimators pass block_bits=mean_group for
-    disjoint per-group seeds) — the (n, sums) schema carries no trace
-    of the sign layout, so a mismatch would be silent."""
+    (n, sums) AMS partial to ``state_path/batch_id=N/``. The sign
+    layout is fully determined by ``reps`` (per-replica 4-wise
+    polynomial coefficients are fixed constants — ams_coefficients),
+    so batch and streaming consumers can never silently disagree on
+    it."""
     from ..operators.sketches import ams_replica_sums
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        partial = ams_replica_sums(
-            batch_df, key_col, reps, block_bits=block_bits
-        ).select(F.col("n_rows").alias("n"), "sums")
-        partial.write.mode("overwrite").parquet(
-            os.path.join(state_path, f"batch_id={batch_id}")
+        partial = ams_replica_sums(batch_df, key_col, reps).select(
+            F.col("n_rows").alias("n"), "sums"
         )
+        _atomic_partial_write(partial, state_path, batch_id)
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -70,7 +70,9 @@ ARROW_WHITELISTED = [
     "ewma_user_values",
     # AMS replica sums: the 160-SUM global aggregate runs interpreted
     # (outside codegen), so the hot path is a deliberate mapInPandas
-    # bit-unpack — measured 12.5 s -> ~1 s for the 3-column profile
+    # stage — numpy evaluation of the 4-wise sign polynomials
+    # (measured 12.5 s -> ~1 s for the 3-column profile under the
+    # original bit-unpack; the polynomial family keeps the shape)
     "ams_skew_profile",
     "ams_moment_check",
 ]

@@ -150,13 +150,60 @@ def test_ams_join_size_planted(spark):
     assert abs(got["est_join_rows"] - 30) <= bound
 
 
+def test_ams_sign_polynomials_exact():
+    """The 4-wise sign machinery (r12 VERDICT item 6), pinned against
+    an exact big-int reference: the deterministic coefficients are
+    uniform-looking, degree-3, in-range; and the signed-safe 31-bit
+    split field arithmetic used by BOTH hot paths equals
+    (a3 x^3 + a2 x^2 + a1 x + a0) mod (2^61 - 1) computed with
+    Python's unbounded ints, across boundary values and a hash-spread
+    sample."""
+    import numpy as np
+
+    from movie_data_pipeline_spark.operators.sketches import (
+        _P61,
+        ams_coefficients,
+    )
+
+    coeffs = ams_coefficients(160)
+    assert len(coeffs) == 160 == len({tuple(c) for c in coeffs})
+    assert all(0 <= c < _P61 for quad in coeffs for c in quad)
+    assert all(quad[3] != 0 for quad in coeffs)
+    assert coeffs == ams_coefficients(160)  # deterministic
+
+    # numpy mulmod (the mapInPandas inner loop, re-created here the
+    # same way) vs big-int truth on adversarial operands
+    def np_mulmod61(u, v):
+        MASK31, MASK30 = (1 << 31) - 1, (1 << 30) - 1
+        u1, u0 = u >> 31, u & MASK31
+        v1, v0 = v >> 31, v & MASK31
+        hi = 2 * u1 * v1
+        mid = u1 * v0 + u0 * v1
+        mid = (mid >> 30) + ((mid & MASK30) << 31)
+        lo = u0 * v0
+        lo = (lo >> 61) + (lo & _P61)
+        w = hi + mid + lo
+        w = (w >> 61) + (w & _P61)
+        return np.where(w >= _P61, w - _P61, w)
+
+    edge = [0, 1, 2, _P61 - 1, _P61 - 2, (1 << 31) - 1, 1 << 31,
+            (1 << 60) + 12345, (1 << 45) - 7]
+    rng_like = [(pow(6364136223846793005, i, _P61)) for i in range(1, 200)]
+    vals = np.array(edge + rng_like, dtype=np.int64)
+    got = np_mulmod61(vals[:, None], vals[None, :])
+    want = (vals.astype(object)[:, None] * vals.astype(object)[None, :]) % _P61
+    assert (got.astype(object) == want).all()
+
+
 def test_ams_sketch_is_mergeable(spark):
     """The replica sums are plain SUMs, so sketching a union equals
-    adding the two partial sketches; and the numpy bit-unpack hot path
+    adding the two partial sketches; and the numpy polynomial hot path
     (ams_replica_sums) must agree BIT-FOR-BIT with the pure-Column
-    sign derivation (ams_z_columns) — numpy's arithmetic >> on int64
-    is Spark's shiftright."""
+    derivation (ams_z_columns) AND with an exact big-int evaluation of
+    the same degree-3 GF(2^61-1) sign polynomials."""
     from movie_data_pipeline_spark.operators.sketches import (
+        _P61,
+        ams_coefficients,
         ams_replica_sums,
         ams_z_columns,
     )
@@ -173,23 +220,34 @@ def test_ams_sketch_is_mergeable(spark):
     s1, s2, s_all = sums(half1), sums(half2), sums(orders)
     assert [a + b for a, b in zip(s1, s2)] == s_all
 
-    zs = ams_z_columns(F.col("o_custkey"), reps)
-    jvm_row = orders.agg(
-        *[F.sum(z).alias(f"s{r}") for r, z in enumerate(zs)]
+    from movie_data_pipeline_spark.operators.sketches import with_ams_powers
+
+    jvm_row = with_ams_powers(orders, "o_custkey").agg(
+        *[
+            F.sum(z).alias(f"s{r}")
+            for r, z in enumerate(ams_z_columns(reps))
+        ]
     ).collect()[0]
     assert [jvm_row[f"s{r}"] for r in range(reps)] == s_all
 
-    # r12 disjoint-seed mode (block_bits = mean_group, r11 ADVICE):
-    # the numpy unpack must track the Column derivation there too,
-    # and the layout genuinely differs from the 64-bit packing
-    s32 = ams_replica_sums(orders, "o_custkey", reps, block_bits=32)
-    s32 = s32.collect()[0]["sums"]
-    zs32 = ams_z_columns(F.col("o_custkey"), reps, block_bits=32)
-    jvm32 = orders.agg(
-        *[F.sum(z).alias(f"s{r}") for r, z in enumerate(zs32)]
-    ).collect()[0]
-    assert [jvm32[f"s{r}"] for r in range(reps)] == s32
-    assert s32 != s_all
+    # exact reference: big-int Horner over the field on the JVM's own
+    # x values — proves both hot paths compute the DEFINED polynomial,
+    # not merely the same wrong thing
+    xs = [
+        r["_x"]
+        for r in orders.select(
+            F.pmod(F.xxhash64("o_custkey"), F.lit(_P61)).alias("_x")
+        ).collect()
+    ]
+    coeffs = ams_coefficients(reps)
+    want = []
+    for a0, a1, a2, a3 in coeffs:
+        tot = 0
+        for x in xs:
+            v = (((a3 * x + a2) * x + a1) * x + a0) % _P61
+            tot += 1 - 2 * (v & 1)
+        want.append(float(tot))
+    assert want == s_all
 
 
 def test_ams_empty_input_is_additive_identity(spark):

@@ -897,3 +897,134 @@ def test_streaming_ams_stream_equals_batch(spark, tmp_path):
     again = SK.current_ams_sums(spark, state, reps).collect()[0]
     assert again["n_rows"] == want["n_rows"]
     assert again["sums"] == want["sums"]
+
+
+def test_streaming_chunks_stream_equals_batch(spark, tmp_path):
+    """r12 VERDICT item 8: sentence chunking gets a streaming twin.
+    The streamed union of per-batch chunk outputs must equal the batch
+    lateral UDTF over the same rows exactly (per-doc deterministic
+    function, no cross-doc state), and a replayed batch must rewrite
+    byte-equivalent partials instead of duplicating chunk rows."""
+    import os
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    from movie_data_pipeline_spark.functions import chunking
+    from movie_data_pipeline_spark.plans.analytics_ext17 import (
+        _BUDGET,
+        _OVERLAP,
+        _sentenced,
+    )
+    from movie_data_pipeline_spark.streaming import docs as SD
+
+    docs = _sentenced(
+        spark.read.parquet(f"{SF}/documents.parquet")
+    ).select("doc_id", F.col("sentenced").alias("text"))
+    out = str(tmp_path / "chunks")
+    stream_in = str(tmp_path / "incoming")
+    os.makedirs(stream_in)
+    base = _time.time()
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        p = f"{stream_in}/b{i}.parquet"
+        _shutil.copy(next(_Path(stage).glob("part-*.parquet")), p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    SD.run_streaming_chunks(
+        SD.read_docs_stream(spark, stream_in),
+        out,
+        str(tmp_path / "ckpt"),
+        budget=_BUDGET,
+        overlap=_OVERLAP,
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SD.current_chunks(spark, out).collect()
+    )
+    chunking.register(spark)
+    docs.createOrReplaceTempView("_batch_docs")
+    want = sorted(
+        tuple(r)
+        for r in spark.sql(
+            f"""
+            SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_tokens
+            FROM _batch_docs d,
+                 LATERAL chunk_sentences(d.text, {_BUDGET}, {_OVERLAP}) c
+            """
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # replay batch 0 under a fresh checkpoint: partial dir set
+    # unchanged, union unchanged (per-doc determinism = replay safety)
+    pre = sorted(str(x) for x in (tmp_path / "chunks").rglob("batch_id=*"))
+    only_b0 = str(tmp_path / "replay_in")
+    os.makedirs(only_b0)
+    _shutil.copy(f"{stream_in}/b0.parquet", f"{only_b0}/b0.parquet")
+    SD.run_streaming_chunks(
+        SD.read_docs_stream(spark, only_b0),
+        out,
+        str(tmp_path / "ckpt2"),
+        budget=_BUDGET,
+        overlap=_OVERLAP,
+    )
+    post = sorted(str(x) for x in (tmp_path / "chunks").rglob("batch_id=*"))
+    assert pre == post
+    again = sorted(tuple(r) for r in SD.current_chunks(spark, out).collect())
+    assert again == want
+
+
+def test_atomic_partial_write_crash_windows(spark, tmp_path):
+    """r12 ADVICE item 4: a crash mid-write must never expose a
+    truncated partial to the read-side fold — AMS merges by ADDITION,
+    so a half-written partial silently corrupts the current sums until
+    the replay. _atomic_partial_write stages to a dot-prefixed sibling
+    and renames into place; this pins all three crash windows plus the
+    read-side invisibility of a leftover stage."""
+    import os
+
+    from movie_data_pipeline_spark.streaming.sketches import (
+        _atomic_partial_write,
+    )
+
+    state = tmp_path / "state"
+    df = spark.range(5).selectExpr("id AS n", "array(id * 1.0) AS sums")
+
+    # normal publish
+    _atomic_partial_write(df, str(state), 0)
+    assert (state / "batch_id=0").is_dir()
+    assert not (state / ".stage_batch_id=0").exists()
+
+    # crash window A: a prior attempt died mid-STAGE-write, leaving a
+    # garbage stage dir — the replayed publish must heal it
+    stale = state / ".stage_batch_id=1"
+    stale.mkdir(parents=True)
+    (stale / "part-00000.parquet").write_bytes(b"PAR1truncated")
+    _atomic_partial_write(df, str(state), 1)
+    assert (state / "batch_id=1").is_dir()
+    assert not stale.exists()
+
+    # crash window B: a pre-fix deployment left a TRUNCATED published
+    # partial — the replay's publish atomically replaces it
+    broken = state / "batch_id=2"
+    broken.mkdir()
+    (broken / "part-00000.parquet").write_bytes(b"PAR1truncated")
+    _atomic_partial_write(df, str(state), 2)
+    got = spark.read.parquet(str(state / "batch_id=2"))
+    assert got.count() == 5
+
+    # read-side: a leftover stage dir (crash between stage-write and
+    # rename) is invisible to partition discovery — the fold reads
+    # only published batch_id=N partials
+    leftover = state / ".stage_batch_id=9"
+    leftover.mkdir()
+    (leftover / "part-00000.parquet").write_bytes(b"not parquet at all")
+    all_rows = spark.read.parquet(str(state))
+    assert all_rows.count() == 15  # 3 published batches x 5 rows
+    assert sorted(all_rows.select("batch_id").distinct().toPandas()["batch_id"]) == [0, 1, 2]
+    assert os.path.isdir(leftover)  # untouched, awaiting its replay
