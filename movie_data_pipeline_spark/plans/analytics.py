@@ -15,6 +15,20 @@ Determinism rules used throughout (so hashes never flap):
 - No raw timestamps in outputs — epoch seconds (BIGINT) instead.
 - Every computed column is aliased identically in both plans.
 
+Presentation-sort convention (round 13, VERDICT item 7): the driver
+and oracle hashes are ORDER-INSENSITIVE, so a trailing sort is never
+load-bearing — it exists only so humans can eyeball/diff output.
+- BOUNDED outputs (group summaries, top-k, O(groups)/O(dims) rows)
+  keep a total-order ORDER BY: determinism aids inspection, cost is
+  bounded.
+- CORPUS-SIZED outputs (per-row / per-doc / per-node / per-chunk)
+  must NOT end in a global ORDER BY — at 100 TB the range-sort
+  exchange is the largest avoidable cost in an otherwise-narrow
+  plan. Use sortWithinPartitions instead (local readability, zero
+  shuffle), or nothing. ORDER BY + LIMIT (top-k) is an operator, not
+  presentation, and is exempt. The DuckDB SQL twins may keep ORDER BY
+  for readability — the oracle compare ignores it.
+
 The registry at the bottom (QUERIES) is what __spark_entry__ serves.
 """
 

@@ -460,9 +460,8 @@ def frame_samples(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
-    return sample_frames(media, every_n_bytes=256, fake=True).orderBy(
-        "media_id", "frame_idx"
-    )
+    return sample_frames(media, every_n_bytes=256, fake=True)\
+        .sortWithinPartitions("media_id", "frame_idx")
 
 
 def frame_dhash_dupes(spark: SparkSession, sf: str) -> DataFrame:
@@ -488,7 +487,7 @@ def frame_dhash_dupes(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("media_id").alias("n_media"),
         )
         .filter(F.col("n_frames") >= 2)
-        .orderBy("dhash")
+        .sortWithinPartitions("dhash")
     )
 
 
@@ -555,7 +554,7 @@ def audio_windows(spark: SparkSession, sf: str) -> DataFrame:
             (F.round(F.col("rms"), 6) + 0.0).alias("rms"),
             "peak",
         )
-        .orderBy("media_id", "window_idx")
+        .sortWithinPartitions("media_id", "window_idx")
     )
 
 

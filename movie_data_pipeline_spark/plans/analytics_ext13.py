@@ -525,7 +525,7 @@ def user_rolling_7d_value(spark: SparkSession, sf: str) -> DataFrame:
         "user_id",
         "day",
         F.round(F.sum("v").over(w).cast("double"), 4).alias("v7"),
-    ).orderBy("user_id", "day")
+    ).sortWithinPartitions("user_id", "day")
 
 
 USER_ROLLING_SQL = """

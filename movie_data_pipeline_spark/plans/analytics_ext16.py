@@ -38,7 +38,7 @@ def null_key_order_ranks(spark: SparkSession, sf: str) -> DataFrame:
         .alias("v"),
     )
     ranked = parallel_row_number(s, "v", ["o_orderkey"], out_col="i")
-    return ranked.select("o_orderkey", "v", "i").orderBy("i")
+    return ranked.select("o_orderkey", "v", "i").sortWithinPartitions("i")
 
 
 NULL_KEY_ORDER_RANKS_SQL = """

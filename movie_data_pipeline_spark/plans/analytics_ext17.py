@@ -19,8 +19,10 @@ expresses the same definition as a recursive CTE over sentence
 prefix sums.
 
 Scale posture: the lateral UDTF is Arrow-batched and embarrassingly
-parallel per document — no shuffle at all before the presentation
-ORDER BY; state is O(one document's sentences) per eval call.
+parallel per document — no shuffle ANYWHERE in the plan (the
+corpus-sized output carries only a sortWithinPartitions, per the r13
+presentation-sort convention in plans/analytics.py); state is O(one
+document's sentences) per eval call.
 
 Same contract rules as plans/analytics.py.
 """
@@ -68,9 +70,8 @@ def chunk_docs_sentences(spark: SparkSession, sf: str) -> DataFrame:
         SELECT d.doc_id, c.chunk_idx, c.chunk, c.chunk_tokens
         FROM chunk_sent_src d,
              LATERAL chunk_sentences(d.sentenced, {_BUDGET}, {_OVERLAP}) c
-        ORDER BY d.doc_id, c.chunk_idx
         """
-    )
+    ).sortWithinPartitions("doc_id", "chunk_idx")
 
 
 # Definitional twin of ChunkSentencesUDTF.eval: sentence split on the
@@ -81,7 +82,10 @@ def chunk_docs_sentences(spark: SparkSession, sf: str) -> DataFrame:
 # whose cumulative token count since the chunk start fits the budget
 # (or keeps a lone over-budget sentence whole) and re-opens the next
 # chunk `overlap` sentences back, clamped to always advance.
-CHUNK_DOCS_SENTENCES_SQL = r"""
+# _BUDGET/_OVERLAP/_SENT_LEN are interpolated below (r12 ADVICE item
+# 1) so the Spark plan and this twin can never silently desync on a
+# constant change.
+CHUNK_DOCS_SENTENCES_SQL = rf"""
 WITH RECURSIVE
 toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\r\n]+') AS tk
@@ -94,7 +98,8 @@ toks AS (
 nums AS (SELECT CAST(range AS INT) AS gs FROM range(0, 100000)),
 sent_text AS (
   SELECT doc_id,
-         string_agg(tok || CASE WHEN gs % 7 = 6 THEN '.' ELSE '' END,
+         string_agg(tok || CASE WHEN gs % {_SENT_LEN} = {_SENT_LEN - 1}
+                                THEN '.' ELSE '' END,
                     ' ' ORDER BY gs) AS m
   FROM (SELECT doc_id, gs, tk[gs + 1] AS tok
         FROM toks JOIN nums ON gs < len(tk))
@@ -127,22 +132,23 @@ nd AS (SELECT doc_id, COUNT(*) AS n FROM sent GROUP BY doc_id),
 chunks AS (
   SELECT nd.doc_id, 0 AS chunk_idx, 0 AS s_start,
          coalesce((SELECT max(i) FROM cum c2
-                   WHERE c2.doc_id = nd.doc_id AND c2.p <= 40), 0) AS s_end
+                   WHERE c2.doc_id = nd.doc_id AND c2.p <= {_BUDGET}), 0)
+             AS s_end
   FROM nd
   UNION ALL
   SELECT ch.doc_id, ch.chunk_idx + 1,
-         greatest(ch.s_start + 1, ch.s_end + 1 - 1) AS s_start,
+         greatest(ch.s_start + 1, ch.s_end + 1 - {_OVERLAP}) AS s_start,
          coalesce(
            (SELECT max(i) FROM cum c2
             WHERE c2.doc_id = ch.doc_id
-              AND c2.i >= greatest(ch.s_start + 1, ch.s_end + 1 - 1)
+              AND c2.i >= greatest(ch.s_start + 1, ch.s_end + 1 - {_OVERLAP})
               AND c2.p - coalesce(
                     (SELECT p FROM cum c3
                      WHERE c3.doc_id = ch.doc_id
                        AND c3.i = greatest(ch.s_start + 1,
-                                           ch.s_end + 1 - 1) - 1),
-                    0) <= 40),
-           greatest(ch.s_start + 1, ch.s_end + 1 - 1)) AS s_end
+                                           ch.s_end + 1 - {_OVERLAP}) - 1),
+                    0) <= {_BUDGET}),
+           greatest(ch.s_start + 1, ch.s_end + 1 - {_OVERLAP})) AS s_end
   FROM chunks ch JOIN nd ON nd.doc_id = ch.doc_id
   WHERE ch.s_end < nd.n - 1
 )

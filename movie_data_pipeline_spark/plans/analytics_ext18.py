@@ -23,9 +23,10 @@ sampling boost q_l / p_l. One tiny aggregate over the corpus — the
 planner table a 100 TB multilingual run derives before writing its
 sampler config.
 
-Scale posture: redaction is a narrow per-row map (no shuffle before
-the presentation sort); the weights query is one groupBy(lang) over
-~10 groups with map-side partial aggregation.
+Scale posture: redaction is a narrow per-row map with zero shuffle
+(corpus-sized output → sortWithinPartitions only, per the r13
+presentation-sort convention); the weights query is one groupBy(lang)
+over ~10 groups with map-side partial aggregation.
 
 Same contract rules as plans/analytics.py.
 """
@@ -82,7 +83,7 @@ def redact_pii_docs(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_count(t, F.lit(_PHONE)).cast("long").alias("n_phones"),
             F.md5(redacted.cast("binary")).alias("redacted_fp"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -116,6 +117,15 @@ ORDER BY doc_id
 
 
 _ALPHA = 0.3
+# Cross-engine hashed doubles sit on pow()/float-sum outputs, and Java
+# Math.pow vs DuckDB's libm pow are not guaranteed identically rounded
+# (r12 ADVICE item 3): a value landing within ~1 ulp of a rounding
+# boundary could flip after a testdata regen. The flip probability is
+# (cross-engine discrepancy)/(boundary spacing), so coarser rounding
+# reduces it linearly — 4 decimals on probabilities / 2 on the boost
+# is 100× safer than 6/4 and loses nothing a sampler config needs.
+_P_DECIMALS = 4
+_BOOST_DECIMALS = 2
 
 
 def lang_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
@@ -144,17 +154,18 @@ def lang_temperature_weights(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         "n_docs",
         "n_tokens",
-        F.round("p", 6).alias("p_tokens"),
-        F.round(F.pow("p", F.lit(_ALPHA)) / F.col("_q"), 6).alias(
+        F.round("p", _P_DECIMALS).alias("p_tokens"),
+        F.round(F.pow("p", F.lit(_ALPHA)) / F.col("_q"), _P_DECIMALS).alias(
             "q_sample"
         ),
         F.round(
-            (F.pow("p", F.lit(_ALPHA)) / F.col("_q")) / F.col("p"), 4
+            (F.pow("p", F.lit(_ALPHA)) / F.col("_q")) / F.col("p"),
+            _BOOST_DECIMALS,
         ).alias("boost"),
     ).orderBy("lang")
 
 
-LANG_TEMPERATURE_SQL = r"""
+LANG_TEMPERATURE_SQL = rf"""
 WITH per AS (
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(len(regexp_split_to_array(trim(text), '[ \t\r\n]+')))
@@ -167,11 +178,11 @@ p AS (
            CAST(n_tokens AS DOUBLE) / t AS p
     FROM per, tot
 ),
-q AS (SELECT SUM(POWER(p, 0.3)) AS qs FROM p)
+q AS (SELECT SUM(POWER(p, {_ALPHA})) AS qs FROM p)
 SELECT lang, n_docs, n_tokens,
-       ROUND(p, 6) AS p_tokens,
-       ROUND(POWER(p, 0.3) / qs, 6) AS q_sample,
-       ROUND((POWER(p, 0.3) / qs) / p, 4) AS boost
+       ROUND(p, {_P_DECIMALS}) AS p_tokens,
+       ROUND(POWER(p, {_ALPHA}) / qs, {_P_DECIMALS}) AS q_sample,
+       ROUND((POWER(p, {_ALPHA}) / qs) / p, {_BOOST_DECIMALS}) AS boost
 FROM p, q
 ORDER BY lang
 """

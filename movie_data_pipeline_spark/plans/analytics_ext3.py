@@ -365,7 +365,7 @@ def chunk_tokens_native(docs: DataFrame, n: int) -> DataFrame:
                 )
             ).alias("chunk_idx", "chunk"),
         )
-        .orderBy("doc_id", "chunk_idx")
+        .sortWithinPartitions("doc_id", "chunk_idx")
     )
 
 
@@ -651,7 +651,7 @@ def scd2_user_state(spark: SparkSession, sf: str) -> DataFrame:
             F.col("ts_us").alias("valid_from_us"),
             "valid_to_us",
         )
-        .orderBy("user_id", "valid_from_us")
+        .sortWithinPartitions("user_id", "valid_from_us")
     )
 
 

@@ -675,7 +675,7 @@ def orders_version_diff(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(F.col("o_totalprice")),
         )
     )
-    return table_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+    return table_diff(old, new, ["o_orderkey"]).sortWithinPartitions("o_orderkey")
 
 
 ORDERS_VERSION_DIFF_SQL = """

@@ -692,7 +692,7 @@ def jl_project_embeddings(spark: SparkSession, sf: str) -> DataFrame:
             "vec_id", *[comp(j).alias(f"y{j}") for j in range(_JL_OUT)]
         )
         .select("vec_id", "y0", "y1", "y2", "y3", norm.alias("proj_sq_norm"))
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     )
 
 

@@ -207,7 +207,7 @@ def dup_span_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("dup_fraction"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -317,7 +317,7 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("dsir_logratio"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -394,7 +394,7 @@ def dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("kept", F.row_number().over(w) == 1)
         .select("doc_id", "cluster_id", "quality", "kept")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -597,7 +597,7 @@ def zorder_docs(spark: SparkSession, sf: str) -> DataFrame:
                 [F.col("lang_rank"), F.col("n_chars")], bits=16
             ).alias("zkey"),
         )
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -914,7 +914,7 @@ def priority_loo_encoding(spark: SparkSession, sf: str) -> DataFrame:
                 ),
             ).alias("loo_mean_price"),
         )
-        .orderBy("o_orderkey")
+        .sortWithinPartitions("o_orderkey")
     )
 
 

@@ -217,7 +217,7 @@ def trade_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
             F.col("node").cast("long").alias("node"),
             F.col("hops").cast("int").alias("hops"),
         )
-        .orderBy("node")
+        .sortWithinPartitions("node")
     )
 
 

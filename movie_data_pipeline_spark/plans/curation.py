@@ -120,7 +120,7 @@ def doc_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     return (
         tok_stats.join(bg_stats, "doc_id")
         .select("doc_id", "n_tokens", "dup_token_frac", "top_bigram_frac")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )
 
 
@@ -447,7 +447,7 @@ def charlm_doc_scores(spark: SparkSession, sf: str) -> DataFrame:
     # the ContextCleaner when the returned DataFrame is released.
     agg = agg.localCheckpoint()
     gc.unpersist(blocking=False)
-    return agg.orderBy("doc_id")
+    return agg.sortWithinPartitions("doc_id")
 
 
 CHARLM_SCORES_SQL = """
@@ -573,7 +573,7 @@ def bpe_doc_tokens(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     merges = [(l, r) for _, l, r, _ in _merges_for(spark, sf)]
-    return bpe_encode(docs, merges).orderBy("doc_id")
+    return bpe_encode(docs, merges).sortWithinPartitions("doc_id")
 
 
 def bpe_encode_check(spark: SparkSession, sf: str) -> DataFrame:

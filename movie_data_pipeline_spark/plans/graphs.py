@@ -98,7 +98,7 @@ def trade_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Rows-only registry entry: every node's rank after 10 rounds.
     Ranks are floats whose low bits ride partition-sum order, so no
     value hash — the oracled invariants live in ``pagerank_check``."""
-    return pagerank(_trade_edges(spark, sf), n_iter=10).orderBy("node")
+    return pagerank(_trade_edges(spark, sf), n_iter=10).sortWithinPartitions("node")
 
 
 def pagerank_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -216,7 +216,7 @@ _KCORE_K = 8
 def trade_kcore(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import k_core
 
-    return k_core(_trade_edges(spark, sf), k=_KCORE_K).orderBy("node")
+    return k_core(_trade_edges(spark, sf), k=_KCORE_K).sortWithinPartitions("node")
 
 
 def kcore_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -293,7 +293,7 @@ def trade_hits(spark: SparkSession, sf: str) -> DataFrame:
     return hits(
         pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst")),
         n_iter=10, normalize_every=10,
-    ).orderBy("node")
+    ).sortWithinPartitions("node")
 
 
 def hits_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -361,7 +361,7 @@ def _trade_edges_weighted(spark: SparkSession, sf: str) -> DataFrame:
 def trade_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(
         _trade_edges_weighted(spark, sf), n_iter=10, weight="w"
-    ).orderBy("node")
+    ).sortWithinPartitions("node")
 
 
 def weighted_pagerank_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -426,7 +426,7 @@ def trade_ppr_nation0(spark: SparkSession, sf: str) -> DataFrame:
     )
     return personalized_pagerank(
         _trade_edges(spark, sf), sources, n_iter=10
-    ).orderBy("node")
+    ).sortWithinPartitions("node")
 
 
 def ppr_check(spark: SparkSession, sf: str) -> DataFrame:

@@ -233,7 +233,7 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     return (
         pca_project(emb, mean, comps)
         .select("vec_id", "projected")
-        .orderBy("vec_id")
+        .sortWithinPartitions("vec_id")
     )
 
 
@@ -996,7 +996,7 @@ def token_pmi_pairs(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("pmi"),
         )
-        .orderBy("tok_a", "tok_b")
+        .sortWithinPartitions("tok_a", "tok_b")
     )
 
 

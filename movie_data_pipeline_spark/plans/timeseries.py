@@ -199,7 +199,7 @@ def purchase_window_events(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
         )
-        .orderBy("user_id", "purchase_id")
+        .sortWithinPartitions("user_id", "purchase_id")
     )
 
 
@@ -280,7 +280,7 @@ def ewma_user_values(spark: SparkSession, sf: str) -> DataFrame:
         e.repartition(npart, "user_id")
         .sortWithinPartitions("user_id", "ts_us", "event_id")
         .mapInPandas(gen, "user_id long, event_id long, ewma double")
-        .orderBy("user_id", "event_id")
+        .sortWithinPartitions("user_id", "event_id")
     )
 
 
@@ -591,7 +591,7 @@ def value_anomaly_flags(spark: SparkSession, sf: str) -> DataFrame:
             "user_id long, ts_us long, value double, "
             "ewma_before double, zscore double",
         )
-        .orderBy("user_id", "ts_us")
+        .sortWithinPartitions("user_id", "ts_us")
     )
 
 
