@@ -170,6 +170,21 @@ def uniform_drift(
     }
 
 
+def slow_early_stop(times: list[float], slow_cutoff: float) -> bool:
+    """Whether the slow-query rep loop may stop after ``times`` reps:
+    only when the best rep exceeds ``slow_cutoff`` AND the newest rep
+    failed to improve the prior best by >10% (converged). A rep still
+    improving >10% is re-JIT warm-up, not intrinsic plan cost — the
+    r13 A/B measured dsir_importance_weights at [3.06, 2.20, 1.78]
+    after full-registry codegen eviction, and the old unconditional
+    break at i>=1 froze its bench reading at the min-of-2 ≈ 3.0."""
+    return (
+        len(times) >= 2
+        and min(times) > slow_cutoff
+        and times[-1] > 0.9 * min(times[:-1])
+    )
+
+
 def read_proc_stat() -> tuple[int, int]:
     """(steal_jiffies, busy_jiffies) from /proc/stat — cumulative
     since boot. Hypervisor steal is the contention channel loadavg
@@ -335,17 +350,32 @@ def main() -> None:
     # keeps the 139-query bench inside the round driver's budget.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     slow_cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_SLOW_CUTOFF", "3.0"))
-    timings: dict[str, float] = {}
-    for name, (builder, _) in bench_queries.items():
-        best = float("inf")
-        for i in range(reps):
+
+    def timed_min(builder) -> float:
+        """Min-of-reps with the slow-query early stop, which (r13 A/B,
+        BASELINE.md round-13) must only fire once the readings have
+        CONVERGED: in a session that has executed the whole registry,
+        a codegen-heavy query's compiled code is evicted and its first
+        reps pay a multi-second re-JIT (dsir_importance_weights read
+        [3.06, 2.20, 1.78] fresh — the old `best > cutoff at i>=1`
+        break froze it at the still-converging min-of-2 ≈ 3.0 for two
+        rounds). A rep that improved the prior best by >10% means the
+        query is still warming, not intrinsically slow — keep going.
+        Stable slow queries (iterative fixpoints agree within ~5%)
+        still stop at min-of-2 exactly as before."""
+        times: list[float] = []
+        for _ in range(reps):
             start = time.perf_counter()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
+            times.append(time.perf_counter() - start)
             clear_state(spark)
-            if best > slow_cutoff and i >= 1:
+            if slow_early_stop(times, slow_cutoff):
                 break
-        timings[name] = round(best, 4)
+        return round(min(times), 4)
+
+    timings: dict[str, float] = {}
+    for name, (builder, _) in bench_queries.items():
+        timings[name] = timed_min(builder)
 
     # Sentinel-rerun pass (BASELINE.md "invisible steal"): compare
     # against the committed clean BENCH_FULL.json, rerun the sentinel
@@ -366,15 +396,7 @@ def main() -> None:
     reruns: dict[str, dict[str, object]] = {}
     for name in select_reruns(timings, baseline):
         builder, _ = bench_queries[name]
-        best = float("inf")
-        for i in range(reps):
-            start = time.perf_counter()
-            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-            clear_state(spark)
-            if best > slow_cutoff and i >= 1:
-                break
-        best = round(best, 4)
+        best = timed_min(builder)
         first = timings[name]
         # suspect = the two readings of byte-identical code disagree
         # beyond the same surprise threshold: ambient interference,

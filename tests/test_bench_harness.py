@@ -194,6 +194,28 @@ def test_uniform_drift_calib_normalized():
     assert d["drift"] is True
 
 
+def test_slow_early_stop_requires_convergence():
+    """r13 A/B finding: after full-registry codegen eviction, a
+    codegen-heavy query re-JITs across its first reps (dsir measured
+    [3.06, 2.20, 1.78] fresh). The slow-query early stop must not fire
+    while reps are still improving >10% — the old unconditional break
+    recorded the min-of-2 ≈ 3.0 as plan cost for two rounds."""
+    from bench import slow_early_stop
+
+    # never on the first rep
+    assert slow_early_stop([3.1], 3.0) is False
+    # still converging (rep improved >10%): keep going even above cutoff
+    assert slow_early_stop([3.06, 2.20], 3.0) is False
+    # converged above the cutoff: stop (iterative fixpoints, unchanged)
+    assert slow_early_stop([7.2, 7.3], 3.0) is True
+    assert slow_early_stop([7.2, 6.9], 3.0) is True  # within 10%
+    # fast queries never early-stop regardless of agreement
+    assert slow_early_stop([0.4, 0.41], 3.0) is False
+    # dsir's actual trajectory: rep3 brings best under the cutoff, the
+    # loop ends at the reps cap with the converged 1.78 recorded
+    assert slow_early_stop([3.06, 2.20, 1.78], 3.0) is False
+
+
 def test_anchor_drift_threshold_is_looser_than_per_round():
     """ADVICE r12: sub-threshold creep (<10%/round) re-baselines every
     round and compounds unboundedly against the replaced-per-round
