@@ -197,19 +197,40 @@ def kmv_overlap(
 # means of `mean_group` replicas bound the variance
 # (Var[mean of s2 replicas of Z^2] <= 2*F2^2/s2), a median of
 # `median_group` means bounds the tail. The variance bound's
-# precondition is a 4-WISE INDEPENDENT +/-1 family per replica, and
-# mutually independent replicas — met here by construction (r12
-# VERDICT item 6): replica r's sign is the parity of a degree-3
-# polynomial over GF(2^61 - 1) evaluated at x = xxhash64(key) mod p,
-# the canonical 4-wise family from the AMS paper itself (bias from
-# the key->x fold and the parity map is O(K/2^61 + 1/p) — negligible
-# at any corpus size this engine targets). Coefficients are fixed
-# SHA-256-derived nothing-up-my-sleeve constants: one deterministic
-# draw from the family, so estimates are reproducible run-to-run and
-# the oracled gate pins the observed error of THIS draw against the
-# theory bound at every SF. (The earlier bits-of-one-xxhash64 scheme
-# was cheaper per row but carried no formal independence at all —
-# the 2-sigma gate held empirically, not by met preconditions.)
+# precondition is a 4-WISE INDEPENDENT +/-1 family per replica, plus
+# enough cross-replica independence for the group-mean variance and
+# the median's Chernoff step — met here by construction (r12 VERDICT
+# item 6):
+#
+#   h_b(x) = a3 x^3 + a2 x^2 + a1 x + a0  over GF(p), p = 2^61 - 1,
+#   at x = xxhash64(key) mod p — the canonical 4-wise family from the
+#   AMS paper itself — and replica r in block b takes SIGN = 1 - 2 *
+#   bit_{r mod block_bits}(h_b(x)).
+#
+# Why bits are enough (the r12 bit-sharing caveat does NOT return):
+# for any <= 4 distinct keys the values h_b(x_1..x_4) are mutually
+# independent and uniform on [0, p), and the low 61 bits of a uniform
+# [0, 2^61 - 1) value are iid fair coins to within 2^-60 bias — so
+# ALL bits across those <= 4 keys factorize jointly. Every expectation
+# in the AMS variance analysis (E[Z^2], E[Z_i^2 Z_j^2], the join-size
+# cross moments) touches at most 4 distinct keys at a time, so each
+# replica is a 4-wise +/-1 family AND the cross-replica moments factor
+# exactly as for fully independent replicas. The one step needing
+# independence beyond 4 keys — the median's Chernoff over the s1
+# means — gets it structurally: each medianed mean group is a
+# DISJOINT polynomial (block_bits = mean_group in the estimators), so
+# the means are functions of independent families. The earlier
+# bits-of-one-XXHASH64 scheme failed not because bits were shared but
+# because xxhash64 carries no k-independence guarantee at all.
+#
+# Coefficients are fixed SHA-256-derived nothing-up-my-sleeve
+# constants: one deterministic draw from the family, so estimates are
+# reproducible run-to-run and the oracled gate pins the observed
+# error of THIS draw against the theory bound at every SF. One
+# polynomial per block keeps the hot path at O(blocks) field ops per
+# row — a per-REPLICA polynomial (the first r13 formulation) was
+# 10x the wall at sf0.1 (16 s vs 1.6) for no additional guarantee the
+# estimator uses.
 # ---------------------------------------------------------------------------
 
 # Mersenne prime field for the 4-wise sign polynomials: reductions are
@@ -220,17 +241,21 @@ def kmv_overlap(
 _P61 = (1 << 61) - 1
 _MASK31 = (1 << 31) - 1
 _MASK30 = (1 << 30) - 1
+# A block = the replicas drawing their sign bits from ONE polynomial
+# evaluation; h_b(x) < 2^61, so at most 61 usable bits per value.
+_MAX_BLOCK_BITS = 61
+_DEFAULT_BLOCK_BITS = 32
 
 
-def ams_coefficients(reps: int) -> list[list[int]]:
-    """``reps`` coefficient quadruples [a0, a1, a2, a3] in [0, p) for
-    the degree-3 sign polynomials, derived from SHA-256 of fixed
+def ams_coefficients(n_blocks: int) -> list[list[int]]:
+    """``n_blocks`` coefficient quadruples [a0, a1, a2, a3] in [0, p)
+    for the degree-3 block polynomials, derived from SHA-256 of fixed
     labels — deterministic stand-ins for the family's uniform draw
     (a3 forced nonzero so every polynomial has true degree 3)."""
     import hashlib
 
     out = []
-    for r in range(reps):
+    for r in range(n_blocks):
         cs = [
             int.from_bytes(
                 hashlib.sha256(f"ams-sign-{r}-{j}".encode()).digest()[:8],
@@ -243,6 +268,15 @@ def ams_coefficients(reps: int) -> list[list[int]]:
             cs[3] = 1
         out.append(cs)
     return out
+
+
+def _n_blocks(reps: int, block_bits: int) -> int:
+    if not 1 <= block_bits <= _MAX_BLOCK_BITS:
+        raise ValueError(
+            f"block_bits={block_bits}: need 1..{_MAX_BLOCK_BITS} "
+            "(a GF(2^61-1) value has 61 usable bits)"
+        )
+    return (reps + block_bits - 1) // block_bits
 
 
 def _mulmod61_col(a: Column, b: Column) -> Column:
@@ -264,43 +298,33 @@ def _mulmod61_col(a: Column, b: Column) -> Column:
     return F.when(v >= _P61, v - _P61).otherwise(v)
 
 
-def with_ams_powers(df: DataFrame, key_col: str) -> DataFrame:
-    """``(_x, _x2, _x3)`` — x = xxhash64(key) mod p and its field
-    powers, as NAMED columns via chained selects. The powers must be
-    attributes, not inline subtrees: every ``when`` in the field
-    arithmetic references its operand tree three times, so nesting
-    mulmods Horner-style multiplies the expression tree ~18× per
-    degree and OOMs the analyzer at 160 replicas — with named powers
-    each replica is a flat, bounded expression over three leaf refs."""
+def with_ams_sign_blocks(
+    df: DataFrame,
+    key_col: str,
+    reps: int,
+    block_bits: int = _DEFAULT_BLOCK_BITS,
+) -> DataFrame:
+    """``(_v0.._vB)`` — the block polynomial values h_b(x) at
+    x = xxhash64(key) mod p, as NAMED columns via chained selects.
+    Powers and block values must be attributes, not inline subtrees:
+    every ``when`` in the field arithmetic references its operand tree
+    three times, so nesting mulmods inline multiplies the expression
+    tree ~18× per level and OOMs the analyzer at real replica counts —
+    with named intermediates every downstream expression is flat and
+    bounded. The three term products sum to < 4p < 2^63, so one
+    shift-fold plus one canonicalizing subtract (parity needs the
+    canonical residue: v and v−p differ in parity since p is odd)
+    finishes each block's reduction."""
     x = F.pmod(F.xxhash64(F.col(key_col)), F.lit(_P61)).alias("_x")
     d = df.select(x)
+    d = d.select("_x", _mulmod61_col(F.col("_x"), F.col("_x")).alias("_x2"))
     d = d.select(
-        "_x", _mulmod61_col(F.col("_x"), F.col("_x")).alias("_x2")
+        "_x", "_x2", _mulmod61_col(F.col("_x2"), F.col("_x")).alias("_x3")
     )
-    return d.select(
-        "_x",
-        "_x2",
-        _mulmod61_col(F.col("_x2"), F.col("_x")).alias("_x3"),
-    )
-
-
-def ams_z_columns(reps: int) -> list[Column]:
-    """`reps` +/-1 sign columns over a frame carrying the named power
-    columns from ``with_ams_powers``; sum each over the relation to
-    get the replica Z values. Pure Column algebra — the JVM-only twin
-    of the Arrow path in ``ams_replica_sums``, pinned equal by the
-    mergeability unit test.
-
-    Each replica's sign is 1 - 2·parity(h_r(x)) with h_r a degree-3
-    polynomial over GF(2^61-1) — the 4-wise independent construction
-    the AMS variance bound assumes, with replicas mutually independent
-    because their coefficient quadruples are disjoint. The three term
-    products are full field mulmods; their sum is < 4p < 2^63, so one
-    shift-fold plus one canonicalizing subtract (parity needs the
-    canonical residue: v and v-p differ in parity since p is odd)
-    finishes the reduction."""
-    out = []
-    for r, (a0, a1, a2, a3) in enumerate(ams_coefficients(reps)):
+    blocks = []
+    for b, (a0, a1, a2, a3) in enumerate(
+        ams_coefficients(_n_blocks(reps, block_bits))
+    ):
         s = (
             _mulmod61_col(F.lit(a3), F.col("_x3"))
             + _mulmod61_col(F.lit(a2), F.col("_x2"))
@@ -308,16 +332,46 @@ def ams_z_columns(reps: int) -> list[Column]:
             + F.lit(a0)
         )
         v = F.shiftright(s, 61) + s.bitwiseAND(F.lit(_P61))
-        v = F.when(v >= _P61, v - _P61).otherwise(v)
+        blocks.append(
+            F.when(v >= _P61, v - _P61).otherwise(v).alias(f"_v{b}")
+        )
+    return d.select(*blocks)
+
+
+def ams_z_columns(
+    reps: int, block_bits: int = _DEFAULT_BLOCK_BITS
+) -> list[Column]:
+    """`reps` +/-1 sign columns over a frame carrying the named block
+    values from ``with_ams_sign_blocks`` (same reps/block_bits); sum
+    each over the relation to get the replica Z values. Pure Column
+    algebra — the JVM-only twin of the Arrow path in
+    ``ams_replica_sums``, pinned equal by the mergeability unit test
+    and by an exact big-int reference. Replica r's sign is
+    1 − 2·bit_{r mod block_bits}(h_{r // block_bits}(x)) — see the
+    section comment for why per-bit signs of a 4-wise block value
+    meet every independence precondition the estimator uses."""
+    _n_blocks(reps, block_bits)  # validate
+    out = []
+    for r in range(reps):
+        b, bit = divmod(r, block_bits)
         out.append(
-            (F.lit(1) - F.lit(2) * v.bitwiseAND(F.lit(1)))
+            (
+                F.lit(1)
+                - F.lit(2)
+                * F.shiftright(F.col(f"_v{b}"), bit).bitwiseAND(F.lit(1))
+            )
             .cast("double")
             .alias(f"_z{r}")
         )
     return out
 
 
-def ams_replica_sums(df: DataFrame, key_col: str, reps: int) -> DataFrame:
+def ams_replica_sums(
+    df: DataFrame,
+    key_col: str,
+    reps: int,
+    block_bits: int = _DEFAULT_BLOCK_BITS,
+) -> DataFrame:
     """One-row DataFrame ``(n_rows bigint, sums array<double>)`` —
     the `reps` replica sign-sums in one pass.
 
@@ -327,12 +381,15 @@ def ams_replica_sums(df: DataFrame, key_col: str, reps: int) -> DataFrame:
     at sf0.1, 12.5 s for the 3-column profile), so the hot path is the
     repo's documented Arrow pattern instead — the JVM computes ONE
     hash long per row (x = xxhash64(key) mod p), and a mapInPandas
-    stage evaluates the `reps` degree-3 GF(2^61-1) sign polynomials
-    (see ``ams_coefficients``) vectorized in numpy and partial-sums
-    the signs. The numpy field arithmetic (`_mulmod61`) is the same
-    signed-safe 31-bit-split algorithm as the Column twin
-    ``_mulmod61_col``, pinned equal by the mergeability unit test and
-    by an exact big-int reference.
+    stage evaluates the ceil(reps/block_bits) degree-3 GF(2^61-1)
+    block polynomials on (n,)-shaped arrays, unpacks sign bits, and
+    partial-sums them in numpy. Per-row work is O(blocks) field ops +
+    O(reps) bit ops — a per-REPLICA polynomial (the first r13
+    formulation) put 3 field mulmods on (n, reps)-shaped arrays and
+    measured 16 s vs 1.6 s for the 3-column profile at sf0.1. The
+    numpy field arithmetic is the same signed-safe 31-bit-split
+    algorithm as the Column twin ``_mulmod61_col``, pinned equal by
+    the mergeability unit test and by an exact big-int reference.
 
     Merge discipline (r11 ADVICE): each mapInPandas call folds ALL its
     Arrow batches into ONE partial per partition, and the partials
@@ -346,16 +403,13 @@ def ams_replica_sums(df: DataFrame, key_col: str, reps: int) -> DataFrame:
     """
     import pandas as pd
 
-    coeffs = ams_coefficients(reps)
+    coeffs = ams_coefficients(_n_blocks(reps, block_bits))
     hashed = df.select(
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(_P61)).alias("_x")
     )
 
     def partial(batches):
         import numpy as np
-
-        a = np.asarray(coeffs, dtype=np.int64)  # (reps, 4): a0..a3
-        a0, a1, a2, a3 = (a[:, j] for j in range(4))
 
         def mulmod61(u, v):
             # (u*v) mod 2^61-1; operands in [0, 2^61), intermediates
@@ -378,13 +432,17 @@ def ams_replica_sums(df: DataFrame, key_col: str, reps: int) -> DataFrame:
             if n == 0:
                 continue
             n_total += n
-            x = pdf["_x"].to_numpy(dtype=np.int64)[:, None]  # (n, 1)
-            v = np.broadcast_to(a3, (n, reps))
-            for c in (a2, a1, a0):  # Horner over the field
-                w = mulmod61(v, x) + c
-                v = np.where(w >= _P61, w - _P61, w)
-            # sign = 1 - 2*parity; sum of signs = n - 2*sum(parity)
-            acc += n - 2.0 * (v & 1).sum(axis=0)
+            x = pdf["_x"].to_numpy(dtype=np.int64)  # (n,)
+            for b, (a0, a1, a2, a3) in enumerate(coeffs):
+                v = np.full(n, a3, dtype=np.int64)
+                for c in (a2, a1, a0):  # Horner over the field, (n,)
+                    w = mulmod61(v, x) + c
+                    v = np.where(w >= _P61, w - _P61, w)
+                width = min(block_bits, reps - block_bits * b)
+                bits = (v[:, None] >> np.arange(width, dtype=np.int64)) & 1
+                acc[block_bits * b : block_bits * b + width] += (
+                    n - 2.0 * bits.sum(axis=0)
+                )
         if n_total:
             yield pd.DataFrame({"n": [n_total], "sums": [acc.tolist()]})
 
@@ -447,12 +505,13 @@ def ams_f2_estimate(
 ) -> DataFrame:
     """One-row DataFrame: (n_rows, est_f2). est_f2 estimates
     sum_k f(k)^2 (the self-join size) from mean_group*median_group
-    replica sums in ONE pass — no groupBy on the key. Every replica
-    is an independent 4-wise sign polynomial (see ams_coefficients),
-    so both the per-mean variance bound and the median's independence
-    precondition hold by construction."""
+    replica sums in ONE pass — no groupBy on the key.
+    block_bits=mean_group: each medianed mean group is one disjoint
+    4-wise block polynomial, so the per-mean variance bound (4-wise +
+    ≤4-key cross-replica factorization) and the median's
+    across-groups independence both hold by construction."""
     reps = mean_group * median_group
-    agg = ams_replica_sums(df, key_col, reps)
+    agg = ams_replica_sums(df, key_col, reps, block_bits=mean_group)
     prods = F.transform(F.col("sums"), lambda s: s * s)
     return agg.select(
         "n_rows",
@@ -472,12 +531,13 @@ def ams_join_size_estimate(
     |a JOIN b ON a_key = b_key| from one pass over EACH side (shared
     replica sign functions — both sides evaluate the SAME coefficient
     quadruples, which is what makes E[Z_a * Z_b] the join size),
-    never the join itself."""
+    never the join itself. block_bits=mean_group as in
+    ams_f2_estimate."""
     reps = mean_group * median_group
-    agg_a = ams_replica_sums(a, a_key, reps).select(
+    agg_a = ams_replica_sums(a, a_key, reps, block_bits=mean_group).select(
         F.col("n_rows").alias("n_a"), F.col("sums").alias("_sa")
     )
-    agg_b = ams_replica_sums(b, b_key, reps).select(
+    agg_b = ams_replica_sums(b, b_key, reps, block_bits=mean_group).select(
         F.col("n_rows").alias("n_b"), F.col("sums").alias("_sb")
     )
     both = agg_a.crossJoin(agg_b)  # 1x1 rows

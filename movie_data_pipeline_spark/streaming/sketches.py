@@ -139,21 +139,26 @@ def run_streaming_ams(
     checkpoint: str,
     key_col: str,
     reps: int,
+    block_bits: int | None = None,
 ):
     """Drain ``stream`` with AvailableNow; each micro-batch writes its
-    (n, sums) AMS partial to ``state_path/batch_id=N/``. The sign
-    layout is fully determined by ``reps`` (per-replica 4-wise
-    polynomial coefficients are fixed constants — ams_coefficients),
-    so batch and streaming consumers can never silently disagree on
-    it."""
-    from ..operators.sketches import ams_replica_sums
+    (n, sums) AMS partial to ``state_path/batch_id=N/``.
+
+    ``block_bits`` must match whatever the batch-side consumer uses
+    (the median-of-means estimators pass block_bits=mean_group so each
+    medianed group is a disjoint 4-wise block polynomial) — the
+    (n, sums) schema carries no trace of the sign layout, so a
+    mismatch would be silent. None → the operators' default."""
+    from ..operators.sketches import _DEFAULT_BLOCK_BITS, ams_replica_sums
+
+    bb = _DEFAULT_BLOCK_BITS if block_bits is None else block_bits
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        partial = ams_replica_sums(batch_df, key_col, reps).select(
-            F.col("n_rows").alias("n"), "sums"
-        )
+        partial = ams_replica_sums(
+            batch_df, key_col, reps, block_bits=bb
+        ).select(F.col("n_rows").alias("n"), "sums")
         _atomic_partial_write(partial, state_path, batch_id)
 
     q = (

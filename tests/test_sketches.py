@@ -165,11 +165,11 @@ def test_ams_sign_polynomials_exact():
         ams_coefficients,
     )
 
-    coeffs = ams_coefficients(160)
-    assert len(coeffs) == 160 == len({tuple(c) for c in coeffs})
+    coeffs = ams_coefficients(16)
+    assert len(coeffs) == 16 == len({tuple(c) for c in coeffs})
     assert all(0 <= c < _P61 for quad in coeffs for c in quad)
     assert all(quad[3] != 0 for quad in coeffs)
-    assert coeffs == ams_coefficients(160)  # deterministic
+    assert coeffs == ams_coefficients(16)  # deterministic
 
     # numpy mulmod (the mapInPandas inner loop, re-created here the
     # same way) vs big-int truth on adversarial operands
@@ -200,29 +200,32 @@ def test_ams_sketch_is_mergeable(spark):
     adding the two partial sketches; and the numpy polynomial hot path
     (ams_replica_sums) must agree BIT-FOR-BIT with the pure-Column
     derivation (ams_z_columns) AND with an exact big-int evaluation of
-    the same degree-3 GF(2^61-1) sign polynomials."""
+    the same degree-3 GF(2^61-1) block polynomials — proving both hot
+    paths compute the DEFINED signs, not merely the same wrong
+    thing. reps=96 with the default 32-bit blocks exercises 3 full
+    blocks; a second check at block_bits=61 exercises the
+    partial-width tail (61+35) and that the layout genuinely differs."""
     from movie_data_pipeline_spark.operators.sketches import (
         _P61,
         ams_coefficients,
         ams_replica_sums,
         ams_z_columns,
+        with_ams_sign_blocks,
     )
 
     orders = _orders(spark)
-    reps = 32 * 5
+    reps = 96
     half1 = orders.filter(F.col("o_orderkey") % 2 == 0)
     half2 = orders.filter(F.col("o_orderkey") % 2 == 1)
 
-    def sums(df):
-        row = ams_replica_sums(df, "o_custkey", reps).collect()[0]
+    def sums(df, **kw):
+        row = ams_replica_sums(df, "o_custkey", reps, **kw).collect()[0]
         return row["sums"]
 
     s1, s2, s_all = sums(half1), sums(half2), sums(orders)
     assert [a + b for a, b in zip(s1, s2)] == s_all
 
-    from movie_data_pipeline_spark.operators.sketches import with_ams_powers
-
-    jvm_row = with_ams_powers(orders, "o_custkey").agg(
+    jvm_row = with_ams_sign_blocks(orders, "o_custkey", reps).agg(
         *[
             F.sum(z).alias(f"s{r}")
             for r, z in enumerate(ams_z_columns(reps))
@@ -231,23 +234,34 @@ def test_ams_sketch_is_mergeable(spark):
     assert [jvm_row[f"s{r}"] for r in range(reps)] == s_all
 
     # exact reference: big-int Horner over the field on the JVM's own
-    # x values — proves both hot paths compute the DEFINED polynomial,
-    # not merely the same wrong thing
+    # x values, signs = block-value bits
     xs = [
         r["_x"]
         for r in orders.select(
             F.pmod(F.xxhash64("o_custkey"), F.lit(_P61)).alias("_x")
         ).collect()
     ]
-    coeffs = ams_coefficients(reps)
-    want = []
-    for a0, a1, a2, a3 in coeffs:
-        tot = 0
-        for x in xs:
+    block_bits = 32
+    coeffs = ams_coefficients((reps + block_bits - 1) // block_bits)
+    want = [0.0] * reps
+    for x in xs:
+        for b, (a0, a1, a2, a3) in enumerate(coeffs):
             v = (((a3 * x + a2) * x + a1) * x + a0) % _P61
-            tot += 1 - 2 * (v & 1)
-        want.append(float(tot))
+            for bit in range(min(block_bits, reps - block_bits * b)):
+                want[block_bits * b + bit] += 1 - 2 * ((v >> bit) & 1)
     assert want == s_all
+
+    # 61-bit blocks: partial tail width 35, different layout, and the
+    # numpy path still tracks the Column twin exactly
+    s61 = sums(orders, block_bits=61)
+    assert s61 != s_all
+    jvm61 = with_ams_sign_blocks(orders, "o_custkey", reps, 61).agg(
+        *[
+            F.sum(z).alias(f"s{r}")
+            for r, z in enumerate(ams_z_columns(reps, 61))
+        ]
+    ).collect()[0]
+    assert [jvm61[f"s{r}"] for r in range(reps)] == s61
 
 
 def test_ams_empty_input_is_additive_identity(spark):
