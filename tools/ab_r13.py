@@ -12,6 +12,13 @@ Discipline (BASELINE.md r5-bisect): interleave variants ABAB...,
 min-of-N per variant, noop sink, clear_state between runs, loadavg +
 whole-run /proc/stat steal recorded. Run with NOTHING else on the box.
 
+NOTE: the "old" dsir variant loads ext6 from git HEAD, which at
+experiment time (pre-commit working tree vs HEAD) still carried the
+global orderBy. After the r13 conversion commit the two variants are
+byte-identical — the measured table lives in BASELINE.md round-13;
+re-running this script today A/Bs dsir against itself plus the
+controls, which still measures in-window variance.
+
 Usage: python tools/ab_r13.py [sf_dir] [reps]
 """
 
