@@ -915,6 +915,7 @@ from .analytics_ext15 import EXT15_QUERIES  # noqa: E402
 from .analytics_ext16 import EXT16_QUERIES  # noqa: E402
 from .analytics_ext17 import EXT17_QUERIES  # noqa: E402
 from .analytics_ext18 import EXT18_QUERIES  # noqa: E402
+from .analytics_ext19 import EXT19_QUERIES  # noqa: E402
 from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
@@ -942,6 +943,7 @@ QUERIES.update(EXT15_QUERIES)
 QUERIES.update(EXT16_QUERIES)
 QUERIES.update(EXT17_QUERIES)
 QUERIES.update(EXT18_QUERIES)
+QUERIES.update(EXT19_QUERIES)
 
 # Driver-slot curation. The round driver's correctness gate records
 # only the first 50 registry entries (rounds 1-3 each produced exactly

@@ -59,6 +59,12 @@ JVM_ONLY = [
     # round 12: PII redaction is a narrow all-native regexp map — a
     # Python boundary here would put regex eval on the slow path
     "redact_pii_docs",
+    # round 13: the MIN/MAX-LCP boilerplate detector and the
+    # sentence-dedup stats are pure Column algebra (string/array ops +
+    # two groupBys) — a Python boundary would mean the sentence split
+    # fell off the JVM path
+    "source_template_prefix",
+    "dup_sentence_stats",
 ]
 
 # Deliberate Arrow surfaces: vectorized Python is allowed, but ONLY
