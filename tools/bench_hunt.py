@@ -184,13 +184,22 @@ def main() -> int:
                 # fresh Spark session) — launching immediately hands
                 # bench.py a load1_start of ~6 and a self-inflicted
                 # contaminated_load divert (observed live 12:42,
-                # r12). Wait for OUR OWN load to decay first.
+                # r12). Wait for OUR OWN load to decay first — and
+                # require TWO consecutive sub-gate readings >= 10 s
+                # apart: the kernel folds the run queue into loadavg
+                # on ~5 s ticks, so a single reading taken between
+                # ticks can show 0.7 while the very next tick jumps
+                # to 3+ from the probe spin (observed live 18:50,
+                # r13: hunter read 0.71, bench.py read 3.22 seconds
+                # later and a fully-clean 17-minute run diverted).
                 decay_deadline = time.time() + 300
-                while (
-                    os.getloadavg()[0] > LOAD1_GATE
-                    and time.time() < decay_deadline
-                ):
-                    time.sleep(15)
+                consecutive_ok = 0
+                while consecutive_ok < 2 and time.time() < decay_deadline:
+                    if os.getloadavg()[0] <= LOAD1_GATE:
+                        consecutive_ok += 1
+                    else:
+                        consecutive_ok = 0
+                    time.sleep(10)
                 if os.getloadavg()[0] > 2.0:  # bench's own divert gate
                     print(f"[{stamp}] load1 {os.getloadavg()[0]:.2f} "
                           f"never decayed (another tenant?) — retrying",
