@@ -60,18 +60,26 @@ DRIVER_SLOTS = 50
 ROTATION_EPOCH = 12
 
 
+_ROUND_CACHE: list[int] = []
+
+
 def _round_no() -> int:
     """Current build round, derived from the driver's own committed
     artifacts (CORRECTNESS_r{N}.json / BENCH_r{N}.json are written at
     the END of round N, so during round N the max on disk is N−1).
-    Pure function of the checkout — reproducible after the fact."""
-    here = Path(__file__).resolve().parent
-    rounds = [
-        int(m.group(1))
-        for p in here.glob("*_r*.json")
-        if (m := re.fullmatch(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json", p.name))
-    ]
-    return max(rounds, default=0) + 1
+    Pure function of the checkout — reproducible after the fact.
+    Memoized per process so the slot order cannot shift mid-verify if
+    the driver writes one artifact between two queries()/oracle_sql()
+    calls."""
+    if not _ROUND_CACHE:
+        here = Path(__file__).resolve().parent
+        rounds = [
+            int(m.group(1))
+            for p in here.glob("*_r*.json")
+            if (m := re.fullmatch(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json", p.name))
+        ]
+        _ROUND_CACHE.append(max(rounds, default=0) + 1)
+    return _ROUND_CACHE[0]
 
 
 def slot_order(round_no: int | None = None) -> list[str]:

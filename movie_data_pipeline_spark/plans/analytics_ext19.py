@@ -138,11 +138,19 @@ def dup_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sn"),
         )
     )
-    sent_docs = sent.groupBy("sn").agg(
+    # Shuffle on a 64-bit HASH of the normalized sentence, never the
+    # sentence string itself: at corpus scale the sentence-key groupBy
+    # and the join-back dominate shuffle bytes, and the stats only
+    # need key identity (an xxhash64 collision — ~2^-64 per pair —
+    # would merge two sentences' doc-counts; the DuckDB twin groups by
+    # the string, so the oracle hash would catch a collision as a
+    # value mismatch rather than silently agreeing).
+    keyed = sent.select("doc_id", F.xxhash64("sn").alias("k"))
+    sent_docs = keyed.groupBy("k").agg(
         F.countDistinct("doc_id").alias("nd")
     )
     per_doc = (
-        sent.join(sent_docs, "sn")
+        keyed.join(sent_docs, "k")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_sentences"),
