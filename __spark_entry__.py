@@ -11,6 +11,7 @@ just the registry adapter.
 
 from __future__ import annotations
 
+import os
 import re
 from collections.abc import Callable
 from pathlib import Path
@@ -64,21 +65,38 @@ _ROUND_CACHE: list[int] = []
 
 
 def _round_no() -> int:
-    """Current build round, derived from the driver's own committed
-    artifacts (CORRECTNESS_r{N}.json / BENCH_r{N}.json are written at
-    the END of round N, so during round N the max on disk is N−1).
-    Pure function of the checkout — reproducible after the fact.
+    """Current build round. Resolution order (r13 ADVICE item 1 —
+    the artifact-max heuristic alone shifts if a second process starts
+    after this round's own BENCH/CORRECTNESS artifact lands):
+
+    1. ``SPARK_GRAFT_ROUND`` env var (explicit operator override),
+    2. the committed ``ROUND`` file, written at round open — the
+       normal path, stable for the whole round no matter when a
+       process starts (``tests/test_analytics_oracle.py::
+       test_round_no_derivation`` forces the bump each round: it
+       pins ROUND == artifact-max+1, which only holds at round open),
+    3. artifact-max fallback (CORRECTNESS_r{N}/BENCH_r{N}.json are
+       written at the END of round N, so during round N the max on
+       disk is N−1) — kept for checkouts without a ROUND file.
+
     Memoized per process so the slot order cannot shift mid-verify if
     the driver writes one artifact between two queries()/oracle_sql()
     calls."""
     if not _ROUND_CACHE:
         here = Path(__file__).resolve().parent
-        rounds = [
-            int(m.group(1))
-            for p in here.glob("*_r*.json")
-            if (m := re.fullmatch(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json", p.name))
-        ]
-        _ROUND_CACHE.append(max(rounds, default=0) + 1)
+        env = os.environ.get("SPARK_GRAFT_ROUND", "").strip()
+        pin = here / "ROUND"
+        if env.isdigit():
+            _ROUND_CACHE.append(int(env))
+        elif pin.is_file() and pin.read_text().strip().isdigit():
+            _ROUND_CACHE.append(int(pin.read_text().strip()))
+        else:
+            rounds = [
+                int(m.group(1))
+                for p in here.glob("*_r*.json")
+                if (m := re.fullmatch(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json", p.name))
+            ]
+            _ROUND_CACHE.append(max(rounds, default=0) + 1)
     return _ROUND_CACHE[0]
 
 

@@ -411,7 +411,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     steal1, busy1 = read_proc_stat()
+    try:
+        import __spark_entry__ as _entry
+
+        bench_round = _entry._round_no()
+    except Exception:
+        bench_round = None
     load = {
+        # the round this process believes it is in (ROUND pin / env /
+        # artifact-max — r13 ADVICE item 1): lets a post-hoc audit
+        # detect a bench that ran under a shifted slot window
+        "round": bench_round,
         "load1_start": load1_start,
         "load1_end": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),

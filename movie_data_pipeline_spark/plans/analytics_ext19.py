@@ -48,6 +48,14 @@ from .analytics_ext17 import _SENT_LEN, _sentenced
 # Planted boilerplate (identical literals in both engines).
 _FOOTER = ". The standard corpus footer applies here."
 _PREFIX_PREVIEW = 60  # chars of detected template carried in the output
+# Binary-search probe count for the LCP: covers prefixes up to
+# 2^22 - 1 chars (~4 MB docs). Each probe is one substr-equality of
+# O(L) work, so the LCP costs O(L log L) instead of the original
+# filter-over-all-prefix-lengths O(L^2) (r13 VERDICT item 4 / ADVICE
+# item 3). Raise in lockstep with the SQL twin if the corpus ever
+# ships longer documents — an under-sized probe count would silently
+# report ok=floor-of-search, not the true LCP.
+_LCP_STEPS = 22
 
 
 def source_template_prefix(spark: SparkSession, sf: str) -> DataFrame:
@@ -63,17 +71,39 @@ def source_template_prefix(spark: SparkSession, sf: str) -> DataFrame:
         F.min("t").alias("lo"),
         F.max("t").alias("hi"),
     )
-    # LCP(lo, hi): prefixes are monotone, so the count of prefix
-    # lengths that match IS the longest match. The header guarantees
-    # least-length >= 1, so sequence(1, n) never descends.
+    # LCP(lo, hi) by BINARY SEARCH on the prefix length (prefix
+    # equality is monotone): invariant ok <= LCP < bad, with bad
+    # starting at n+1 (the virtual always-mismatching prefix). Each
+    # of the _LCP_STEPS probes halves the bracket with ONE
+    # substr-equality, and once bad - ok == 1 the fold passes the
+    # state through unchanged, so lcp = ok exactly.
     n = F.least(F.length("lo"), F.length("hi"))
-    lcp = F.size(
-        F.filter(
-            F.sequence(F.lit(1), n),
-            lambda i: F.col("lo").substr(F.lit(1), i)
-            == F.col("hi").substr(F.lit(1), i),
+
+    def _probe(acc, _):
+        done = (acc["bad"] - acc["ok"]) <= 1
+        mid = ((acc["ok"] + acc["bad"]) / 2).cast("int")
+        hit = F.col("lo").substr(F.lit(1), mid) == F.col("hi").substr(
+            F.lit(1), mid
         )
-    )
+        return F.struct(
+            F.when(done, acc["ok"])
+            .when(hit, mid)
+            .otherwise(acc["ok"])
+            .alias("ok"),
+            F.when(done, acc["bad"])
+            .when(hit, acc["bad"])
+            .otherwise(mid)
+            .alias("bad"),
+        )
+
+    lcp = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_LCP_STEPS)),
+        F.struct(
+            F.lit(0).cast("int").alias("ok"),
+            (n + 1).cast("int").alias("bad"),
+        ),
+        _probe,
+    )["ok"]
     return (
         agg.select(
             "source",
@@ -88,22 +118,35 @@ def source_template_prefix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Same binary search as the Spark side (probe count interpolated from
+# the shared _LCP_STEPS constant so the twins can never desync).
 SOURCE_TEMPLATE_PREFIX_SQL = rf"""
-WITH headed AS (
+WITH RECURSIVE headed AS (
   SELECT source, '[' || source || ' header] ' || text AS t FROM documents
 ),
 agg AS (
   SELECT source, COUNT(*) AS n_docs, MIN(t) AS lo, MAX(t) AS hi
   FROM headed GROUP BY source
 ),
-lcp AS (
-  SELECT source, n_docs, lo,
-         COALESCE((
-           SELECT MAX(i) FROM (
-             SELECT unnest(range(1, CAST(least(len(lo), len(hi)) AS BIGINT) + 1)) AS i
-           ) WHERE substr(lo, 1, CAST(i AS INT)) = substr(hi, 1, CAST(i AS INT))
-         ), 0) AS plen
+bs AS (
+  SELECT source, n_docs, lo, hi, 0 AS ok,
+         CAST(least(len(lo), len(hi)) + 1 AS INT) AS bad, 0 AS step
   FROM agg
+  UNION ALL
+  SELECT source, n_docs, lo, hi,
+         CASE WHEN bad - ok <= 1 THEN ok
+              WHEN substr(lo, 1, (ok + bad) // 2)
+                   = substr(hi, 1, (ok + bad) // 2) THEN (ok + bad) // 2
+              ELSE ok END,
+         CASE WHEN bad - ok <= 1 THEN bad
+              WHEN substr(lo, 1, (ok + bad) // 2)
+                   = substr(hi, 1, (ok + bad) // 2) THEN bad
+              ELSE (ok + bad) // 2 END,
+         step + 1
+  FROM bs WHERE step < {_LCP_STEPS}
+),
+lcp AS (
+  SELECT source, n_docs, lo, ok AS plen FROM bs WHERE step = {_LCP_STEPS}
 )
 SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(plen AS INT) AS shared_prefix_len,
@@ -112,8 +155,21 @@ FROM lcp ORDER BY source
 """
 
 
-def dup_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load_table(spark, sf, "documents")
+def sentence_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, k) for every normalized sentence INSTANCE of the
+    footed corpus — the currency of the sentence-dedup family: the
+    batch stats below group these keys, the streaming index
+    (streaming/docs.py::run_streaming_sentence_index) persists their
+    per-doc counts, and ext20's rewrite derives the same keys with
+    positions.
+
+    k is a 64-bit HASH of the normalized sentence, never the sentence
+    string itself: at corpus scale the sentence-key groupBy and the
+    join-back dominate shuffle bytes, and the stats only need key
+    identity (an xxhash64 collision — ~2^-64 per pair — would merge
+    two sentences' doc-counts; the DuckDB twin groups by the string,
+    so the oracle hash would catch a collision as a value mismatch
+    rather than silently agreeing)."""
     footed = _sentenced(docs).select(
         "doc_id",
         F.concat(
@@ -138,14 +194,12 @@ def dup_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sn"),
         )
     )
-    # Shuffle on a 64-bit HASH of the normalized sentence, never the
-    # sentence string itself: at corpus scale the sentence-key groupBy
-    # and the join-back dominate shuffle bytes, and the stats only
-    # need key identity (an xxhash64 collision — ~2^-64 per pair —
-    # would merge two sentences' doc-counts; the DuckDB twin groups by
-    # the string, so the oracle hash would catch a collision as a
-    # value mismatch rather than silently agreeing).
-    keyed = sent.select("doc_id", F.xxhash64("sn").alias("k"))
+    return sent.select("doc_id", F.xxhash64("sn").alias("k"))
+
+
+def dup_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    keyed = sentence_keys(docs)
     sent_docs = keyed.groupBy("k").agg(
         F.countDistinct("doc_id").alias("nd")
     )

@@ -174,3 +174,82 @@ def current_chunks(spark: SparkSession, out_path: str) -> DataFrame:
     return spark.read.parquet(out_path).select(
         "doc_id", "chunk_idx", "chunk", "chunk_tokens"
     )
+
+
+def run_streaming_sentence_index(
+    doc_stream: DataFrame, index_path: str, checkpoint: str
+):
+    """Streaming/incremental sentence-dedup index (r13 VERDICT item
+    7). ``dup_sentence_stats`` (plans/analytics_ext19.py) is cross-doc
+    STATEFUL — a sentence's distinct-doc count only grows as documents
+    arrive — so a per-batch emission of final stats would be wrong the
+    moment a later batch repeated a sentence. The honest streaming
+    analog persists the sufficient statistic instead: each micro-batch
+    derives its documents' sentence keys (the IDENTICAL
+    ``sentence_keys`` pipeline the batch entry groups — injection,
+    boundary marking, normalization, xxhash64) and publishes one
+    (doc_id, k, cnt) row per distinct (doc, sentence) pair to
+    ``index_path/batch_id=N`` via the staged atomic rename. 24-byte
+    rows — sentence text never leaves the batch that carried it.
+
+    Replay class: the partial is a hash-deterministic function of the
+    batch rows alone, so an at-least-once replay rewrites
+    byte-identical files (the KMV/AMS partials discipline). Contract:
+    a doc_id must appear in at most one micro-batch (the same
+    upstream-identity assumption as the dedup stream's index fold) —
+    a recurring id would double its instance counts in the fold."""
+    from ..plans.analytics_ext19 import sentence_keys
+    from .sketches import _atomic_partial_write
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            sentence_keys(batch_df)
+            .groupBy("doc_id", "k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        _atomic_partial_write(partial, index_path, batch_id)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def current_dup_sentence_stats(
+    spark: SparkSession, index_path: str
+) -> DataFrame:
+    """Fold every published index partial into the corpus-wide
+    duplicate-sentence stats — EXACTLY the batch entry's output
+    (same column names, same rounding) for every document the index
+    has seen. The fold is exact, not approximate: (doc_id, k) pairs
+    are unique across batches (one batch per doc), so nd is a plain
+    per-key row count and instance totals are sums of cnt. Documents
+    that produced zero sentences never reach the index; the batch
+    entry emits a zero row for them — callers comparing the two
+    restrict to indexed docs (the stream≡batch test does)."""
+    idx = spark.read.parquet(index_path).select("doc_id", "k", "cnt")
+    nd = idx.groupBy("k").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        idx.join(nd, "k")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_sentences"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("n_dup"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_dup").cast("long").alias("n_dup_sentences"),
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_sentences"), 6
+        ).alias("dup_sentence_frac"),
+    )

@@ -43,17 +43,32 @@ def _atomic_partial_write(df: DataFrame, state_path: str, batch_id: int) -> None
     and mode('overwrite') self-heals a crashed stage), then
     directory-rename into place — one atomic POSIX op, the same
     discipline as sinks.upsert_overwrite. Crash windows: during the
-    stage write → published state untouched; after the rmtree of a
-    stale prior partial → the batch reads as never-processed and the
-    checkpoint replays it (foreachBatch commits AFTER this returns).
-    Object-store deployments would swap via their atomic commit API
-    instead, as sinks.py already documents."""
+    stage write → published state untouched; between the two renames
+    of a replay → the partial is absent for two SYSCALLS (r13 ADVICE
+    item 2: the stale prior partial is renamed to a dot-prefixed
+    tombstone, the stage renamed into place, and only then is the
+    tombstone deleted — the old delete-then-rename order left the
+    partial missing for a whole O(files) rmtree, which a current_*
+    reader overlapping a replay would fold as a silent under-sum).
+    The residual two-rename window is documented, not zero: a reader
+    racing EXACTLY between them still misses the batch, so current_*
+    readers overlapping a DRAINING stream get at-least-the-previous
+    state, never a truncated one. Crash after the tombstone rename →
+    the partial reads as never-processed, the checkpoint replays it
+    (foreachBatch commits AFTER this returns), and the leftover
+    tombstone is swept below. Object-store deployments would swap via
+    their atomic commit API instead, as sinks.py already documents."""
     final = os.path.join(state_path, f"batch_id={batch_id}")
     stage = os.path.join(state_path, f".stage_batch_id={batch_id}")
+    tomb = os.path.join(state_path, f".tomb_batch_id={batch_id}")
     df.write.mode("overwrite").parquet(stage)
+    if os.path.exists(tomb):  # crashed predecessor's leftover
+        shutil.rmtree(tomb)
     if os.path.exists(final):
-        shutil.rmtree(final)
+        os.rename(final, tomb)
     os.rename(stage, final)
+    if os.path.exists(tomb):
+        shutil.rmtree(tomb)
 
 
 def run_streaming_kmv(

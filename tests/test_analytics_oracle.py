@@ -133,9 +133,42 @@ def test_slot_order_rotation():
     assert not (w13 & w14)
 
 
+def test_rotation_sweeps_never_hashed_pool():
+    """r13 VERDICT item 5: the oracled entries that have never
+    appeared in ANY committed CORRECTNESS_r*.json must all fall inside
+    the rounds-14..16 driver windows — i.e. the sweep finishes on
+    schedule PROVIDED the registry order stays append-only. A registry
+    insertion that reorders the pool breaks this set equation loudly
+    instead of silently re-hashing already-covered entries."""
+    entry = _entry_module()
+    import json
+    from pathlib import Path
+
+    from movie_data_pipeline_spark.plans.analytics import QUERIES
+
+    repo = Path(__file__).resolve().parent.parent
+    hashed: set[str] = set()
+    for p in sorted(repo.glob("CORRECTNESS_r*.json")):
+        hashed |= set(json.loads(p.read_text()))
+    oracled = {n for n, (_, sql) in QUERIES.items() if sql is not None}
+    remaining = oracled - hashed
+    upcoming: set[str] = set()
+    for n in (14, 15, 16):
+        upcoming |= set(entry.slot_order(n)[:50])
+    missed = remaining - upcoming
+    assert not missed, (
+        f"{len(missed)} never-hashed oracled entries fall outside the "
+        f"r14-r16 windows: {sorted(missed)[:10]}"
+    )
+
+
 def test_round_no_derivation():
-    """_round_no reads the driver's own committed artifacts: during
-    round N the max CORRECTNESS/BENCH index on disk is N−1."""
+    """The committed ROUND pin is the round of record (r13 ADVICE
+    item 1); at round open it must equal the artifact-max heuristic
+    (max committed CORRECTNESS/BENCH index + 1). When this fails at
+    the START of a round, the ROUND file was not bumped — update it
+    before anything else, or every driver process this round serves a
+    stale slot window."""
     entry = _entry_module()
     import re
     from pathlib import Path
@@ -146,7 +179,12 @@ def test_round_no_derivation():
         for p in repo.glob("*_r*.json")
         if (m := re.fullmatch(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json", p.name))
     )
-    assert entry._round_no() == expect
+    pinned = int((repo / "ROUND").read_text().strip())
+    assert pinned == expect, (
+        f"ROUND file says {pinned} but committed artifacts imply "
+        f"round {expect} — bump ROUND at round open"
+    )
+    assert entry._round_no() == pinned
     # and the live queries()/oracle_sql() surfaces serve that order
     assert list(entry.queries()) == entry.slot_order()
     live_oracle = entry.oracle_sql()

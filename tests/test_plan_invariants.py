@@ -65,6 +65,12 @@ JVM_ONLY = [
     # fell off the JVM path
     "source_template_prefix",
     "dup_sentence_stats",
+    # round 14: exact-span dedup is shingle hashing + windows, and the
+    # sentence-drop rewrite is explode/join/collect_list Column
+    # algebra — a Python boundary in either would pull corpus text
+    # through the Arrow boundary for nothing
+    "exact_span_dedup",
+    "drop_dup_sentences_docs",
 ]
 
 # Deliberate Arrow surfaces: vectorized Python is allowed, but ONLY

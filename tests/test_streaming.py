@@ -1028,3 +1028,119 @@ def test_atomic_partial_write_crash_windows(spark, tmp_path):
     assert all_rows.count() == 15  # 3 published batches x 5 rows
     assert sorted(all_rows.select("batch_id").distinct().toPandas()["batch_id"]) == [0, 1, 2]
     assert os.path.isdir(leftover)  # untouched, awaiting its replay
+
+
+def test_streaming_sentence_index_equals_batch(spark, tmp_path):
+    """r13 VERDICT item 7: dup_sentence_stats is cross-doc stateful,
+    so its streaming analog persists a per-batch (doc_id, k, cnt)
+    index and folds read-side. The fold over three micro-batches must
+    equal the batch registry entry exactly (docs with >= 1 sentence —
+    the index never sees sentence-less docs), and a replayed batch
+    must rewrite byte-equivalent partials instead of double-counting."""
+    import os
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    from movie_data_pipeline_spark.plans.analytics_ext19 import (
+        dup_sentence_stats,
+    )
+    from movie_data_pipeline_spark.streaming import docs as SD
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index = str(tmp_path / "sent_index")
+    stream_in = str(tmp_path / "incoming")
+    os.makedirs(stream_in)
+    base = _time.time()
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        p = f"{stream_in}/b{i}.parquet"
+        _shutil.copy(next(_Path(stage).glob("part-*.parquet")), p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    SD.run_streaming_sentence_index(
+        SD.read_docs_stream(spark, stream_in), index, str(tmp_path / "ckpt")
+    )
+
+    got = sorted(
+        tuple(r)
+        for r in SD.current_dup_sentence_stats(spark, index).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dup_sentence_stats(spark, SF)
+        .filter(F.col("n_sentences") > 0)
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+    # replay batch 0 under a fresh checkpoint: partial dir set
+    # unchanged, fold unchanged (hash-deterministic partials)
+    pre = sorted(
+        str(x) for x in (tmp_path / "sent_index").rglob("batch_id=*")
+    )
+    only_b0 = str(tmp_path / "replay_in")
+    os.makedirs(only_b0)
+    _shutil.copy(f"{stream_in}/b0.parquet", f"{only_b0}/b0.parquet")
+    SD.run_streaming_sentence_index(
+        SD.read_docs_stream(spark, only_b0), index, str(tmp_path / "ckpt2")
+    )
+    post = sorted(
+        str(x) for x in (tmp_path / "sent_index").rglob("batch_id=*")
+    )
+    assert pre == post
+    again = sorted(
+        tuple(r)
+        for r in SD.current_dup_sentence_stats(spark, index).collect()
+    )
+    assert again == want
+
+
+def test_atomic_partial_write_tombstone_windows(spark, tmp_path):
+    """r13 ADVICE item 2: the replace path must never DELETE the
+    published partial before its replacement is ready — the old
+    rmtree-then-rename order left the partial missing for a whole
+    O(files) delete, which a concurrent current_* reader would fold
+    as a silent under-sum. Now the stale partial is renamed to a
+    dot-prefixed tombstone (one syscall), the stage renamed into
+    place (one syscall), and the tombstone deleted last. Pins the
+    tombstone crash windows."""
+    import os
+
+    from movie_data_pipeline_spark.streaming.sketches import (
+        _atomic_partial_write,
+    )
+
+    state = tmp_path / "state"
+    df = spark.range(4).selectExpr("id AS n", "array(id * 1.0) AS sums")
+
+    # crash window: a predecessor died between the two renames —
+    # tombstone present, final absent. The replay must heal both.
+    tomb = state / ".tomb_batch_id=0"
+    tomb.mkdir(parents=True)
+    (tomb / "part-00000.parquet").write_bytes(b"PAR1stale")
+    _atomic_partial_write(df, str(state), 0)
+    assert (state / "batch_id=0").is_dir()
+    assert not tomb.exists()
+
+    # crash window: died after the stage rename but before the
+    # tombstone sweep — both final and tombstone present. The replay
+    # rewrites and sweeps.
+    tomb1 = state / ".tomb_batch_id=1"
+    _atomic_partial_write(df, str(state), 1)
+    tomb1.mkdir()
+    (tomb1 / "part-00000.parquet").write_bytes(b"PAR1stale")
+    _atomic_partial_write(df, str(state), 1)
+    assert spark.read.parquet(str(state / "batch_id=1")).count() == 4
+    assert not tomb1.exists()
+
+    # a dot-prefixed tombstone is invisible to the read-side fold
+    tomb2 = state / ".tomb_batch_id=7"
+    tomb2.mkdir()
+    (tomb2 / "part-00000.parquet").write_bytes(b"not parquet")
+    assert spark.read.parquet(str(state)).count() == 8
