@@ -86,10 +86,11 @@ def _round_no() -> int:
         here = Path(__file__).resolve().parent
         env = os.environ.get("SPARK_GRAFT_ROUND", "").strip()
         pin = here / "ROUND"
+        pinned = pin.read_text().strip() if pin.is_file() else ""
         if env.isdigit():
             _ROUND_CACHE.append(int(env))
-        elif pin.is_file() and pin.read_text().strip().isdigit():
-            _ROUND_CACHE.append(int(pin.read_text().strip()))
+        elif pinned.isdigit():
+            _ROUND_CACHE.append(int(pinned))
         else:
             rounds = [
                 int(m.group(1))

@@ -415,7 +415,10 @@ def main() -> None:
         import __spark_entry__ as _entry
 
         bench_round = _entry._round_no()
-    except Exception:
+    except Exception as exc:  # degrade, never die — but say so:
+        # a broken __spark_entry__ here is the exact failure the
+        # driver hits minutes later, so make it visible now
+        print(f"bench: round lookup failed: {exc!r}", file=sys.stderr)
         bench_round = None
     load = {
         # the round this process believes it is in (ROUND pin / env /

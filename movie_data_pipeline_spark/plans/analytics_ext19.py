@@ -58,6 +58,42 @@ _PREFIX_PREVIEW = 60  # chars of detected template carried in the output
 _LCP_STEPS = 22
 
 
+def lcp_expr(lo, hi):
+    """Longest-common-prefix LENGTH of two string Columns by BINARY
+    SEARCH on the prefix length (prefix equality is monotone):
+    invariant ok <= LCP < bad, with bad starting at n+1 (the virtual
+    always-mismatching prefix). Each of the _LCP_STEPS probes halves
+    the bracket with ONE substr-equality, and once bad - ok == 1 the
+    fold passes the state through unchanged, so the result is exact.
+    Shared by the registry entry below and tools/stress_r14.py, so
+    the stress tool always measures the SHIPPED formulation."""
+    n = F.least(F.length(lo), F.length(hi))
+
+    def _probe(acc, _):
+        done = (acc["bad"] - acc["ok"]) <= 1
+        mid = ((acc["ok"] + acc["bad"]) / 2).cast("int")
+        hit = lo.substr(F.lit(1), mid) == hi.substr(F.lit(1), mid)
+        return F.struct(
+            F.when(done, acc["ok"])
+            .when(hit, mid)
+            .otherwise(acc["ok"])
+            .alias("ok"),
+            F.when(done, acc["bad"])
+            .when(hit, acc["bad"])
+            .otherwise(mid)
+            .alias("bad"),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(_LCP_STEPS)),
+        F.struct(
+            F.lit(0).cast("int").alias("ok"),
+            (n + 1).cast("int").alias("bad"),
+        ),
+        _probe,
+    )["ok"]
+
+
 def source_template_prefix(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     headed = docs.select(
@@ -71,39 +107,7 @@ def source_template_prefix(spark: SparkSession, sf: str) -> DataFrame:
         F.min("t").alias("lo"),
         F.max("t").alias("hi"),
     )
-    # LCP(lo, hi) by BINARY SEARCH on the prefix length (prefix
-    # equality is monotone): invariant ok <= LCP < bad, with bad
-    # starting at n+1 (the virtual always-mismatching prefix). Each
-    # of the _LCP_STEPS probes halves the bracket with ONE
-    # substr-equality, and once bad - ok == 1 the fold passes the
-    # state through unchanged, so lcp = ok exactly.
-    n = F.least(F.length("lo"), F.length("hi"))
-
-    def _probe(acc, _):
-        done = (acc["bad"] - acc["ok"]) <= 1
-        mid = ((acc["ok"] + acc["bad"]) / 2).cast("int")
-        hit = F.col("lo").substr(F.lit(1), mid) == F.col("hi").substr(
-            F.lit(1), mid
-        )
-        return F.struct(
-            F.when(done, acc["ok"])
-            .when(hit, mid)
-            .otherwise(acc["ok"])
-            .alias("ok"),
-            F.when(done, acc["bad"])
-            .when(hit, acc["bad"])
-            .otherwise(mid)
-            .alias("bad"),
-        )
-
-    lcp = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_LCP_STEPS)),
-        F.struct(
-            F.lit(0).cast("int").alias("ok"),
-            (n + 1).cast("int").alias("bad"),
-        ),
-        _probe,
-    )["ok"]
+    lcp = lcp_expr(F.col("lo"), F.col("hi"))
     return (
         agg.select(
             "source",
@@ -155,21 +159,15 @@ FROM lcp ORDER BY source
 """
 
 
-def sentence_keys(docs: DataFrame) -> DataFrame:
-    """(doc_id, k) for every normalized sentence INSTANCE of the
-    footed corpus — the currency of the sentence-dedup family: the
-    batch stats below group these keys, the streaming index
-    (streaming/docs.py::run_streaming_sentence_index) persists their
-    per-doc counts, and ext20's rewrite derives the same keys with
-    positions.
-
-    k is a 64-bit HASH of the normalized sentence, never the sentence
-    string itself: at corpus scale the sentence-key groupBy and the
-    join-back dominate shuffle bytes, and the stats only need key
-    identity (an xxhash64 collision — ~2^-64 per pair — would merge
-    two sentences' doc-counts; the DuckDB twin groups by the string,
-    so the oracle hash would catch a collision as a value mismatch
-    rather than silently agreeing)."""
+def sentence_instances(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, sn): every normalized sentence INSTANCE of the
+    footed corpus with its raw split position — THE single Spark-side
+    definition of what a sentence is for the whole dedup family (the
+    stats below ignore pos; ext20's rewrite uses it to restore
+    document order; the streaming index persists the hashed keys).
+    The DuckDB twins share the matching single definition via
+    SENTENCE_CTE_SQL, so a boundary-rule change has exactly one edit
+    site per engine."""
     footed = _sentenced(docs).select(
         "doc_id",
         F.concat(
@@ -182,19 +180,39 @@ def sentence_keys(docs: DataFrame) -> DataFrame:
     marked = F.regexp_replace(
         F.col("m"), r"([.!?])[ \t\r\n]+", "$1\u001e"
     )
-    sent = (
+    return (
         footed.select(
-            "doc_id", F.explode(F.split(marked, "\u001e")).alias("s")
+            "doc_id",
+            F.posexplode(F.split(marked, "\u001e")).alias("pos", "s"),
         )
         .filter(F.trim("s") != "")
         .select(
             "doc_id",
+            "pos",
             F.array_join(
                 F.split(F.trim("s"), r"[ \t\r\n]+"), " "
             ).alias("sn"),
         )
     )
-    return sent.select("doc_id", F.xxhash64("sn").alias("k"))
+
+
+def sentence_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, k) for every sentence instance — the shuffle currency
+    of the sentence-dedup family: the batch stats below group these
+    keys and the streaming index
+    (streaming/docs.py::run_streaming_sentence_index) persists their
+    per-doc counts.
+
+    k is a 64-bit HASH of the normalized sentence, never the sentence
+    string itself: at corpus scale the sentence-key groupBy and the
+    join-back dominate shuffle bytes, and the stats only need key
+    identity (an xxhash64 collision — ~2^-64 per pair — would merge
+    two sentences' doc-counts; the DuckDB twin groups by the string,
+    so the oracle hash would catch a collision as a value mismatch
+    rather than silently agreeing)."""
+    return sentence_instances(docs).select(
+        "doc_id", F.xxhash64("sn").alias("k")
+    )
 
 
 def dup_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -237,8 +255,11 @@ def dup_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-DUP_SENTENCE_STATS_SQL = rf"""
-WITH toks AS (
+# The single SQL-side sentence definition (tokenize, inject, foot,
+# mark, split, normalize — WITH position), shared verbatim by this
+# module's stats twin and ext20's rewrite twin: the mirror of
+# ``sentence_instances`` above.
+SENTENCE_CTE_SQL = rf"""toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\r\n]+') AS tk
   FROM documents
 ),
@@ -263,16 +284,20 @@ marked AS (
   FROM footed
 ),
 rawsent AS (
-  SELECT doc_id, arr[gs + 1] AS s
+  SELECT doc_id, gs AS pos, arr[gs + 1] AS s
   FROM (SELECT doc_id, string_split(m, chr(30)) AS arr FROM marked)
   JOIN nums ON gs < len(arr)
 ),
 sent AS (
-  SELECT doc_id,
+  SELECT doc_id, pos,
          array_to_string(regexp_split_to_array(trim(s), '[ \t\r\n]+'), ' ')
              AS sn
   FROM rawsent WHERE trim(s) <> ''
-),
+)"""
+
+
+DUP_SENTENCE_STATS_SQL = rf"""
+WITH {SENTENCE_CTE_SQL},
 sent_docs AS (
   SELECT sn, COUNT(DISTINCT doc_id) AS nd FROM sent GROUP BY sn
 ),

@@ -37,9 +37,16 @@ exactly the sentences `dup_sentence_stats` counts. Output proves the
 REWRITTEN BYTES equal across engines via md5 (the redact_pii_docs
 precedent, analytics_ext18.py), not just the kept/dropped counts.
 
-Scale posture: exact_span_dedup's only corpus-wide shuffle carries
-(k: long, doc_id, gs) — the shingle text is hashed map-side and never
-moves; islands/spans run in doc-partitioned windows and the following
+Scale posture: exact_span_dedup's corpus-wide shuffles (the
+occurrence aggregate and the join probe — two k-keyed exchanges, two
+shingle scans) carry only (k: long, doc_id, gs) triples — the shingle
+text is hashed map-side and never moves. The single-scan alternative
+(count over a Window partitioned by k) was rejected: Spark's
+unbounded window frame buffers each key's whole partition run, so a
+viral shingle OOMs where the groupBy's map-side partials and AQE
+skew-join do not; if the second scan ever dominates at real scale,
+stage the shingle frame to parquet once and read it twice.
+Islands/spans run in doc-partitioned windows and the following
 doc-keyed groupBys reuse that partitioning (no further exchange).
 drop_dup_sentences_docs must move sentence TEXT once (its output IS
 rewritten text — C4's own rewrite pays the same shuffle); the
@@ -57,8 +64,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..sources.catalog import load_table
-from .analytics_ext17 import _SENT_LEN, _sentenced
-from .analytics_ext19 import _FOOTER
+from .analytics_ext19 import SENTENCE_CTE_SQL, sentence_instances
 
 # Span length in tokens: matches the decontamination family's 13-gram
 # convention (operators/decontam.py).
@@ -219,39 +225,6 @@ ORDER BY t.doc_id
 """
 
 
-def _sentence_instances(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, sn): every normalized sentence instance of the
-    footed corpus in document order — exactly ext19's sentence keys
-    (same injection, boundary marking, normalization) with the raw
-    split position retained so the rewrite can restore order."""
-    footed = _sentenced(docs).select(
-        "doc_id",
-        F.concat(
-            F.col("sentenced"),
-            F.when(F.col("doc_id") % 3 != 1, F.lit(_FOOTER)).otherwise(
-                F.lit("")
-            ),
-        ).alias("m"),
-    )
-    marked = F.regexp_replace(
-        F.col("m"), r"([.!?])[ \t\r\n]+", "$1\u001e"
-    )
-    return (
-        footed.select(
-            "doc_id",
-            F.posexplode(F.split(marked, "\u001e")).alias("pos", "s"),
-        )
-        .filter(F.trim("s") != "")
-        .select(
-            "doc_id",
-            "pos",
-            F.array_join(F.split(F.trim("s"), r"[ \t\r\n]+"), " ").alias(
-                "sn"
-            ),
-        )
-    )
-
-
 def rewrite_without_cross_doc_dups(sent: DataFrame) -> DataFrame:
     """Per-doc rewrite of ``sent`` (doc_id, pos, sn): drop every
     sentence instance whose text occurs in >= 2 distinct docs unless
@@ -295,7 +268,7 @@ def rewrite_without_cross_doc_dups(sent: DataFrame) -> DataFrame:
 
 def drop_dup_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    rewritten = rewrite_without_cross_doc_dups(_sentence_instances(docs))
+    rewritten = rewrite_without_cross_doc_dups(sentence_instances(docs))
     return (
         docs.select("doc_id")
         .join(rewritten, "doc_id", "left")
@@ -314,41 +287,7 @@ def drop_dup_sentences_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DROP_DUP_SENTENCES_SQL = rf"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\r\n]+') AS tk
-  FROM documents
-),
-nums AS (SELECT CAST(range AS INT) AS gs FROM range(0, 100000)),
-sent_text AS (
-  SELECT doc_id,
-         string_agg(tok || CASE WHEN gs % {_SENT_LEN} = {_SENT_LEN - 1}
-                                THEN '.' ELSE '' END, ' ' ORDER BY gs) AS m
-  FROM (SELECT doc_id, gs, tk[gs + 1] AS tok
-        FROM toks JOIN nums ON gs < len(tk))
-  GROUP BY doc_id
-),
-footed AS (
-  SELECT t.doc_id,
-         COALESCE(s.m, '') ||
-         CASE WHEN t.doc_id % 3 <> 1 THEN '{_FOOTER}' ELSE '' END AS m
-  FROM toks t LEFT JOIN sent_text s USING (doc_id)
-),
-marked AS (
-  SELECT doc_id,
-         regexp_replace(m, '([.!?])[ \t\r\n]+', '\1' || chr(30), 'g') AS m
-  FROM footed
-),
-rawsent AS (
-  SELECT doc_id, gs AS pos, arr[gs + 1] AS s
-  FROM (SELECT doc_id, string_split(m, chr(30)) AS arr FROM marked)
-  JOIN nums ON gs < len(arr)
-),
-sent AS (
-  SELECT doc_id, pos,
-         array_to_string(regexp_split_to_array(trim(s), '[ \t\r\n]+'), ' ')
-             AS sn
-  FROM rawsent WHERE trim(s) <> ''
-),
+WITH {SENTENCE_CTE_SQL},
 sent_docs AS (
   SELECT sn, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper
   FROM sent GROUP BY sn

@@ -84,32 +84,14 @@ def lcp_old(docs):
 
 
 def lcp_new(docs):
-    """The shipped binary search (plans/analytics_ext19.py) applied
-    to the same frame."""
-    from movie_data_pipeline_spark.plans import analytics_ext19 as e19
+    """The SHIPPED binary search — imported from ext19, not copied,
+    so this tool can never measure a stale formulation."""
+    from movie_data_pipeline_spark.plans.analytics_ext19 import lcp_expr
 
     agg = _lcp_agg(docs)
-    n = F.least(F.length("lo"), F.length("hi"))
-
-    def _probe(acc, _):
-        done = (acc["bad"] - acc["ok"]) <= 1
-        mid = ((acc["ok"] + acc["bad"]) / 2).cast("int")
-        hit = F.col("lo").substr(F.lit(1), mid) == F.col("hi").substr(
-            F.lit(1), mid
-        )
-        return F.struct(
-            F.when(done, acc["ok"]).when(hit, mid).otherwise(acc["ok"]).alias("ok"),
-            F.when(done, acc["bad"]).when(hit, acc["bad"]).otherwise(mid).alias("bad"),
-        )
-
-    lcp = F.aggregate(
-        F.sequence(F.lit(1), F.lit(e19._LCP_STEPS)),
-        F.struct(
-            F.lit(0).cast("int").alias("ok"), (n + 1).cast("int").alias("bad")
-        ),
-        _probe,
-    )["ok"]
-    return agg.select("source", lcp.alias("plen"))
+    return agg.select(
+        "source", lcp_expr(F.col("lo"), F.col("hi")).alias("plen")
+    )
 
 
 def main() -> None:
