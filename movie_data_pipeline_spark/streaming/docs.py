@@ -27,6 +27,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .events import state_write_lock
+
 DOCS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -107,13 +109,17 @@ def run_streaming_dedup(
             os.path.join(index_path, f"batch_id={batch_id}")
         )
 
-    q = (
-        doc_stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the drain holds the index root's writer lock for its whole run:
+    # a concurrent compaction's swap would discard any partial a batch
+    # commits after compaction's fold read (r14 ADVICE item)
+    with state_write_lock(index_path, "drain"):
+        q = (
+            doc_stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -211,13 +217,15 @@ def run_streaming_sentence_index(
         )
         _atomic_partial_write(partial, index_path, batch_id)
 
-    q = (
-        doc_stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # writer lock vs compact_sentence_index — see run_streaming_dedup
+    with state_write_lock(index_path, "drain"):
+        q = (
+            doc_stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -233,6 +241,9 @@ def current_dup_sentence_stats(
     that produced zero sentences never reach the index; the batch
     entry emits a zero row for them — callers comparing the two
     restrict to indexed docs (the stream≡batch test does)."""
+    from .events import _recover_interrupted_swap
+
+    _recover_interrupted_swap(index_path)  # crashed compaction swap
     idx = spark.read.parquet(index_path).select("doc_id", "k", "cnt")
     nd = idx.groupBy("k").agg(F.countDistinct("doc_id").alias("nd"))
     per = (

@@ -10,6 +10,8 @@ stream-vs-batch equivalence under Trigger.AvailableNow).
 
 from __future__ import annotations
 
+from contextlib import contextmanager as _contextmanager
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -454,12 +456,99 @@ def _recover_interrupted_swap(path: str) -> None:
     reading ``path`` in every foreachBatch merge. (All sinks using the
     swap are idempotent folds — MIN / set-union — so restoring the
     pre-swap state and re-merging the replayed batch converges to the
-    same table.)"""
+    same table.)
+
+    A LIVE lock held by another pid (``state_write_lock``) means a
+    writer is mid-operation on the root right now — recovery must NOT
+    touch it: renaming ``__old`` back between a live compaction's two
+    renames would make its second rename collide and fail. The live
+    holder finishes (or dies, after which the lock is stale and the
+    next caller recovers). Our own pid's lock does not suppress
+    recovery — a drain's foreachBatch merges run under the drain's
+    own lock."""
     import os
 
+    holder = _live_lock_holder(path)
+    if holder is not None and holder != os.getpid():
+        return
     aside = path.rstrip("/") + "__old"
     if not os.path.exists(path) and os.path.exists(aside):
         os.rename(aside, path)
+
+
+def _live_lock_holder(path: str) -> "int | None":
+    """Pid recorded in ``<path>.lock`` if that process is alive, else
+    None (no lock file, unreadable contents, or a dead holder)."""
+    import os
+
+    lock = path.rstrip("/") + ".lock"
+    try:
+        with open(lock) as fh:
+            pid = int(fh.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return None
+    except PermissionError:
+        pass  # alive, just owned by another uid
+    return pid
+
+
+@_contextmanager
+def state_write_lock(state_path: str, purpose: str):
+    """Advisory exclusive lock serializing WRITERS of a streaming
+    state root (r14 ADVICE item): a draining stream's partial writes
+    and a compaction's whole-root swap (streaming/compaction.py) must
+    not overlap — a batch partial committed between compaction's fold
+    read and its rename would be silently discarded, and the
+    checkpoint never replays a committed batch. ``O_CREAT|O_EXCL`` is
+    atomic on the local filesystems local mode runs on; the lock file
+    carries ``pid purpose`` and a lock whose pid is DEAD is broken
+    automatically (a crashed holder must not wedge the root — its
+    on-disk state is already crash-safe by the staged-rename
+    disciplines, so breaking the lock is always recoverable). NOT
+    reentrant: a second same-pid acquisition raises too, because
+    compact-inside-drain is exactly the overlap being forbidden.
+    Stale-break has the classic advisory race (holder-check then
+    unlink can remove a lock created in between) — acceptable for an
+    advisory guard whose failure mode is the pre-lock status quo; an
+    object-store deployment would use a lease/conditional-put
+    service instead."""
+    import os
+
+    lock = state_path.rstrip("/") + ".lock"
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            holder = _live_lock_holder(state_path)
+            if holder is not None:
+                try:
+                    with open(lock) as fh:
+                        held_for = fh.read().split(None, 1)[1].strip()
+                except (OSError, IndexError):
+                    held_for = "?"
+                raise RuntimeError(
+                    f"state root {state_path} is locked by live pid "
+                    f"{holder} ({held_for}): drains and compactions "
+                    f"of one root must not overlap"
+                )
+            try:
+                os.unlink(lock)  # holder is dead — break the stale lock
+            except FileNotFoundError:
+                pass
+    try:
+        os.write(fd, f"{os.getpid()} {purpose}".encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def _atomic_swap_parquet(df: DataFrame, path: str) -> None:

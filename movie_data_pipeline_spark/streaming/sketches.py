@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..operators.sketches import kmv_estimate_expr, kmv_sketches
+from .events import state_write_lock
 
 
 def _atomic_partial_write(df: DataFrame, state_path: str, batch_id: int) -> None:
@@ -90,13 +91,16 @@ def run_streaming_kmv(
             partial.select(group_col, "kmv"), state_path, batch_id
         )
 
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # writer lock vs compact_kmv_state: a compaction overlapping the
+    # drain would discard partials committed after its fold read
+    with state_write_lock(state_path, "drain"):
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -108,10 +112,13 @@ def current_sketches(
 
     The fold explodes each partial's <= k hashes, dedups, and re-takes
     the bottom-k per group: input is O(batches * groups * k) sketch
-    rows, never the raw keys. (If batch count itself grows unbounded,
-    the same write path can compact: the fold's output is a valid
-    partial.)
+    rows, never the raw keys. (When batch count grows unbounded,
+    streaming/compaction.py::compact_kmv_state rewrites the state as
+    one base partial via exactly this fold.)
     """
+    from .events import _recover_interrupted_swap
+
+    _recover_interrupted_swap(state_path)  # crashed compaction swap
     partials = spark.read.parquet(state_path)
     merged = (
         partials.select(group_col, F.explode("kmv").alias("_h"))
@@ -176,13 +183,15 @@ def run_streaming_ams(
         ).select(F.col("n_rows").alias("n"), "sums")
         _atomic_partial_write(partial, state_path, batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # writer lock vs compact_ams_state — see run_streaming_kmv
+    with state_write_lock(state_path, "drain"):
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return q
 
 
@@ -195,5 +204,7 @@ def current_ams_sums(
     over O(batches) bounded rows, zeros(reps) identity on empty
     state)."""
     from ..operators.sketches import merge_ams_partials
+    from .events import _recover_interrupted_swap
 
+    _recover_interrupted_swap(state_path)  # crashed compaction swap
     return merge_ams_partials(spark.read.parquet(state_path), reps)

@@ -1144,3 +1144,341 @@ def test_atomic_partial_write_tombstone_windows(spark, tmp_path):
     tomb2.mkdir()
     (tomb2 / "part-00000.parquet").write_bytes(b"not parquet")
     assert spark.read.parquet(str(state)).count() == 8
+
+
+def test_sentence_index_compaction(spark, tmp_path):
+    """r14 compaction surface: fold all sentence-index partials into
+    the single batch_id=-1 base partial — stats unchanged, directory
+    count 1 — and a LATER drain under the same checkpoint folds on
+    top of the compacted base correctly."""
+    import os
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    from movie_data_pipeline_spark.plans.analytics_ext19 import (
+        dup_sentence_stats,
+    )
+    from movie_data_pipeline_spark.streaming import docs as SD
+    from movie_data_pipeline_spark.streaming.compaction import (
+        compact_sentence_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    index = str(tmp_path / "idx")
+    stream_in = str(tmp_path / "incoming")
+    os.makedirs(stream_in)
+    base = _time.time()
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        p = f"{stream_in}/b{i}.parquet"
+        _shutil.copy(next(_Path(stage).glob("part-*.parquet")), p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    # drain batches 0 and 1 only, then compact, then drain batch 2
+    held_back = str(tmp_path / "b2.parquet")
+    os.rename(f"{stream_in}/b2.parquet", held_back)
+    SD.run_streaming_sentence_index(
+        SD.read_docs_stream(spark, stream_in), index, str(tmp_path / "ckpt")
+    )
+    want_partial = sorted(
+        tuple(r)
+        for r in SD.current_dup_sentence_stats(spark, index).collect()
+    )
+
+    compact_sentence_index(spark, index)
+    dirs = sorted(x.name for x in (tmp_path / "idx").glob("batch_id=*"))
+    assert dirs == ["batch_id=-1"]
+    assert not (tmp_path / "idx__old").exists()
+    assert not (tmp_path / "idx__staged").exists()
+    got = sorted(
+        tuple(r)
+        for r in SD.current_dup_sentence_stats(spark, index).collect()
+    )
+    assert got == want_partial
+
+    # the next drain (same checkpoint) folds on top of the base
+    os.rename(held_back, f"{stream_in}/b2.parquet")
+    SD.run_streaming_sentence_index(
+        SD.read_docs_stream(spark, stream_in), index, str(tmp_path / "ckpt")
+    )
+    full = sorted(
+        tuple(r)
+        for r in SD.current_dup_sentence_stats(spark, index).collect()
+    )
+    want_full = sorted(
+        tuple(r)
+        for r in dup_sentence_stats(spark, SF)
+        .filter(F.col("n_sentences") > 0)
+        .collect()
+    )
+    assert full == want_full
+
+
+def test_kmv_and_ams_compaction(spark, tmp_path):
+    """Compacted KMV and AMS state folds to the identical current
+    values (closure under their own merges)."""
+    import os
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    from movie_data_pipeline_spark.streaming import events as SE
+    from movie_data_pipeline_spark.streaming import sketches as SK
+    from movie_data_pipeline_spark.streaming.compaction import (
+        compact_ams_state,
+        compact_kmv_state,
+    )
+
+    k, reps = 64, 40
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    stream_in = str(tmp_path / "incoming")
+    os.makedirs(stream_in)
+    base = _time.time()
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        p = f"{stream_in}/b{i}.parquet"
+        _shutil.copy(next(_Path(stage).glob("part-*.parquet")), p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    kmv_state = str(tmp_path / "kmv")
+    SK.run_streaming_kmv(
+        SE.read_events_stream(spark, stream_in),
+        kmv_state,
+        str(tmp_path / "ck1"),
+        group_col="event_type",
+        key_col="user_id",
+        k=k,
+    )
+    want_kmv = sorted(
+        tuple(r)
+        for r in SK.current_sketches(
+            spark, kmv_state, "event_type", k
+        ).collect()
+    )
+    compact_kmv_state(spark, kmv_state, "event_type", k)
+    assert sorted(
+        x.name for x in (tmp_path / "kmv").glob("batch_id=*")
+    ) == ["batch_id=-1"]
+    got_kmv = sorted(
+        tuple(r)
+        for r in SK.current_sketches(
+            spark, kmv_state, "event_type", k
+        ).collect()
+    )
+    assert got_kmv == want_kmv
+
+    ams_state = str(tmp_path / "ams")
+    SK.run_streaming_ams(
+        SE.read_events_stream(spark, stream_in),
+        ams_state,
+        str(tmp_path / "ck2"),
+        key_col="user_id",
+        reps=reps,
+    )
+    want_ams = SK.current_ams_sums(spark, ams_state, reps).collect()
+    compact_ams_state(spark, ams_state, reps)
+    assert sorted(
+        x.name for x in (tmp_path / "ams").glob("batch_id=*")
+    ) == ["batch_id=-1"]
+    got_ams = SK.current_ams_sums(spark, ams_state, reps).collect()
+    assert got_ams == want_ams
+
+
+def test_compaction_crash_recovery(spark, tmp_path):
+    """The swap's only crash window (state root renamed aside, staged
+    not yet in place) is healed by the recovery rename at the top of
+    every current_* read and of the next compaction; a leftover
+    staged root is swept."""
+    import os
+
+    from movie_data_pipeline_spark.streaming import docs as SD
+    from movie_data_pipeline_spark.streaming.compaction import (
+        compact_sentence_index,
+    )
+    from movie_data_pipeline_spark.streaming.sketches import (
+        _atomic_partial_write,
+    )
+
+    index = str(tmp_path / "idx")
+    part = spark.createDataFrame(
+        [(1, 11, 2), (2, 11, 1), (2, 22, 1)], ["doc_id", "k", "cnt"]
+    )
+    _atomic_partial_write(part, index, 0)
+    want = sorted(
+        tuple(r)
+        for r in SD.current_dup_sentence_stats(spark, index).collect()
+    )
+    assert want == [(1, 2, 2, 1.0), (2, 2, 1, 0.5)]
+
+    # simulate the crash window: root renamed aside, nothing in place
+    os.rename(index, index + "__old")
+    got = sorted(
+        tuple(r)
+        for r in SD.current_dup_sentence_stats(spark, index).collect()
+    )
+    assert got == want  # reader restored the root
+
+    # a stale staged root from a crashed fold must not poison the swap
+    os.makedirs(index + "__staged/batch_id=-1")
+    with open(index + "__staged/batch_id=-1/junk", "w") as f:
+        f.write("not parquet")
+    compact_sentence_index(spark, index)
+    assert sorted(
+        x.name for x in (tmp_path / "idx").glob("batch_id=*")
+    ) == ["batch_id=-1"]
+    again = sorted(
+        tuple(r)
+        for r in SD.current_dup_sentence_stats(spark, index).collect()
+    )
+    assert again == want
+
+
+def test_minhash_index_compaction(spark, tmp_path):
+    """Minhash index compaction rewrites the signature union as the
+    single base partial — row set unchanged."""
+    from movie_data_pipeline_spark.operators.dedup import minhash_index
+    from movie_data_pipeline_spark.streaming.compaction import (
+        compact_minhash_index,
+    )
+    from movie_data_pipeline_spark.streaming.sketches import (
+        _atomic_partial_write,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    idx = minhash_index(docs)
+    state = str(tmp_path / "mh")
+    _atomic_partial_write(
+        idx.filter(F.col("doc_id") % 2 == 0), state, 0
+    )
+    _atomic_partial_write(
+        idx.filter(F.col("doc_id") % 2 == 1), state, 1
+    )
+    want = (
+        spark.read.parquet(state)
+        .select("doc_id", "sh", "bands")
+        .sort("doc_id")
+        .collect()
+    )
+    compact_minhash_index(spark, state)
+    assert sorted(
+        x.name for x in (tmp_path / "mh").glob("batch_id=*")
+    ) == ["batch_id=-1"]
+    got = (
+        spark.read.parquet(state)
+        .select("doc_id", "sh", "bands")
+        .sort("doc_id")
+        .collect()
+    )
+    assert got == want and len(got) == docs.count()
+
+
+def test_state_write_lock_excludes_overlap(spark, tmp_path):
+    """r14 ADVICE item enforced: a compaction attempted while a LIVE
+    pid holds the root's writer lock raises instead of swapping (the
+    silent-loss overlap); a drain refuses under the same condition;
+    a DEAD holder's lock is broken and the operation proceeds; locks
+    are released on exit."""
+    import os
+    import subprocess
+
+    import pytest
+
+    from movie_data_pipeline_spark.streaming import sketches as SK
+    from movie_data_pipeline_spark.streaming.compaction import (
+        compact_sentence_index,
+    )
+    from movie_data_pipeline_spark.streaming.events import (
+        read_events_stream,
+        state_write_lock,
+    )
+
+    index = str(tmp_path / "idx")
+    part = spark.createDataFrame(
+        [(1, 11, 2), (2, 11, 1)], ["doc_id", "k", "cnt"]
+    )
+    SK._atomic_partial_write(part, index, 0)
+
+    # live holder (this very process counts: the lock is deliberately
+    # non-reentrant — compact-inside-drain IS the forbidden overlap)
+    with open(index + ".lock", "w") as fh:
+        fh.write(f"{os.getpid()} drain")
+    with pytest.raises(RuntimeError, match="locked by live pid"):
+        compact_sentence_index(spark, index)
+    assert os.path.exists(index + ".lock")  # foreign lock untouched
+
+    # a drain refuses the same way, before writing anything
+    events = spark.read.parquet(f"{SF}/events.parquet").limit(10)
+    stream_in = str(tmp_path / "incoming")
+    events.coalesce(1).write.parquet(stream_in)
+    kmv_state = str(tmp_path / "kmv")
+    os.makedirs(kmv_state)
+    with open(kmv_state + ".lock", "w") as fh:
+        fh.write(f"{os.getpid()} compaction")
+    with pytest.raises(RuntimeError, match="locked by live pid"):
+        SK.run_streaming_kmv(
+            read_events_stream(spark, stream_in),
+            kmv_state,
+            str(tmp_path / "ck"),
+            group_col="event_type",
+            key_col="user_id",
+            k=16,
+        )
+    assert list((tmp_path / "kmv").glob("batch_id=*")) == []
+    os.unlink(kmv_state + ".lock")
+
+    # dead holder: lock broken, compaction proceeds, lock released
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(index + ".lock", "w") as fh:
+        fh.write(f"{p.pid} drain")
+    compact_sentence_index(spark, index)
+    assert not os.path.exists(index + ".lock")
+    assert sorted(
+        x.name for x in (tmp_path / "idx").glob("batch_id=*")
+    ) == ["batch_id=-1"]
+
+    # the context manager releases on exceptions too
+    with pytest.raises(ValueError):
+        with state_write_lock(index, "drain"):
+            assert os.path.exists(index + ".lock")
+            raise ValueError("boom")
+    assert not os.path.exists(index + ".lock")
+
+
+def test_recover_skips_under_live_foreign_lock(tmp_path):
+    """Reader-side recovery must NOT rename __old back while another
+    LIVE pid is mid-swap on the root (it would collide with the
+    holder's second rename); with no lock — or a dead holder's — the
+    restore happens."""
+    import os
+    import subprocess
+
+    from movie_data_pipeline_spark.streaming.events import (
+        _recover_interrupted_swap,
+    )
+
+    root = str(tmp_path / "state")
+    os.makedirs(root + "__old")
+
+    # live foreign holder (pid 1 is alive and never us): hands off
+    with open(root + ".lock", "w") as fh:
+        fh.write("1 compaction")
+    _recover_interrupted_swap(root)
+    assert not os.path.exists(root) and os.path.exists(root + "__old")
+
+    # dead holder: stale lock does not suppress recovery
+    p = subprocess.Popen(["true"])
+    p.wait()
+    with open(root + ".lock", "w") as fh:
+        fh.write(f"{p.pid} compaction")
+    _recover_interrupted_swap(root)
+    assert os.path.exists(root) and not os.path.exists(root + "__old")
