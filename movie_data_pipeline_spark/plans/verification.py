@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine
 from ..sources.catalog import load_table
+from .analytics_ext21 import (
+    BLOOM_DECONTAM_CHECK_SQL as _BLOOM_DECONTAM_CHECK_SQL,
+)
 from .curation import BPE_CHECK_SQL as _BPE_CHECK_SQL
 from .curation import BPE_ENCODE_CHECK_SQL as _BPE_ENCODE_CHECK_SQL
 from .graphs import HITS_CHECK_SQL as _HITS_CHECK_SQL
@@ -633,10 +636,11 @@ VERIFY_QUERIES.update(
 # Combined suite: every one-row twin above, normalized to a uniform
 # (family, m1, m2, ok_a, ok_b) row and unioned. The driver's
 # correctness gate records only a bounded prefix of the registry, so
-# this single entry carries all SEVENTEEN family gates (ten
+# this single entry carries all EIGHTEEN family gates (ten
 # approximate families including the round-7 IVF-PQ gate + the six
-# round-6 iterative/ML gates + the round-11 KMV overlap gate) in one
-# driver row-set; the individual twins stay registered for local runs.
+# round-6 iterative/ML gates + the round-11 KMV overlap gate + the
+# round-14 Bloom-decontamination gate) in one driver row-set; the
+# individual twins stay registered for local runs.
 # ---------------------------------------------------------------------------
 
 def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -714,6 +718,16 @@ def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
         norm(pca_check(spark, sf), "pca",
              "n_vectors", None, "centered_ok", "ordered_ok"),
     ]
+    # 18th family (round 14): Bloom-filter decontamination — exact
+    # doc/pair counts DuckDB-recomputed; the no-false-negative and
+    # fp-bound laws ride the ok predicates.
+    from .analytics_ext21 import bloom_decontam_check
+
+    parts.append(
+        norm(bloom_decontam_check(spark, sf), "bloom_decontam",
+             "n_exact_docs", "n_exact_pairs", "no_false_neg",
+             "fp_bound_ok")
+    )
     # 17th family (round 11): KMV distinct-sketch set algebra — the
     # pairwise overlap estimates must land inside the theoretical
     # bottom-k error bounds (exact pair counts DuckDB-recomputed).
@@ -792,6 +806,11 @@ APPROX_SUITE_SQL = "\nUNION ALL\n".join(
             "CAST(0 AS BIGINT) AS m2, TRUE AS ok_a, TRUE AS ok_b "
             "FROM embeddings"
         ),
+        # 18th family (round 14): Bloom decontamination — exact
+        # doc/pair counts recomputed; the Bloom laws ride ok_*
+        _suite_member("bloom_decontam", _BLOOM_DECONTAM_CHECK_SQL,
+                      "n_exact_docs", "n_exact_pairs", "no_false_neg",
+                      "fp_bound_ok"),
         # 17th family (round 11): KMV overlap — pair count + exact
         # intersection mass recomputed; the bound predicates ride ok_*
         (

@@ -151,3 +151,17 @@ def compact_ams_state(
             F.col("n_rows").alias("n"), "sums"
         ),
     )
+
+
+def compact_bloom_state(spark: SparkSession, state_path: str) -> None:
+    """Streaming Bloom bitmap (streaming/docs.py): per-word bit_or —
+    idempotent, so this is the one compaction where even overlapping
+    generations could not double-count; the fold IS the read-side
+    merge."""
+    compact_state_root(
+        spark,
+        state_path,
+        lambda df: df.groupBy("word_idx").agg(
+            F.bit_or("word").alias("word")
+        ),
+    )

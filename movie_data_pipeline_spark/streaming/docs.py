@@ -264,3 +264,71 @@ def current_dup_sentence_stats(
             F.col("n_dup").cast("double") / F.col("n_sentences"), 6
         ).alias("dup_sentence_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Bloom-filter maintenance (round 14): the reference set a
+# corpus is decontaminated AGAINST grows over time (yesterday's crawl
+# joins the "already seen" side today). The Bloom bitmap
+# (operators/decontam.py::bloom_bitmap) merges by per-word bit_or —
+# associative, commutative and IDEMPOTENT, the strongest closure law
+# in the streaming family (KMV's union merge is idempotent only
+# set-wise; AMS addition is not idempotent at all), so even a
+# double-folded replay partial could not corrupt the state. Each
+# micro-batch publishes its docs' bitmap partial to
+# ``state_path/batch_id=N``; the current filter is the bit_or fold,
+# byte-identical to the batch build over the same docs.
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_bloom(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    n: int = 13,
+    m_bits: int = 1 << 20,
+    k: int = 7,
+):
+    """Drain ``doc_stream`` with AvailableNow; each micro-batch folds
+    its documents' n-gram Bloom positions into a bitmap partial at
+    ``state_path/batch_id=N`` (<= m_bits/64 rows per batch). Replay
+    class: the partial is a hash-deterministic function of the batch
+    rows alone — and uniquely here, even a NON-byte-identical replay
+    interleaving would be harmless, because the read-side bit_or fold
+    is idempotent. No doc-identity contract needed: re-contributing a
+    document's grams sets the same bits."""
+    from ..operators.decontam import _gram_hashes, bloom_bitmap
+    from .sketches import _atomic_partial_write
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        grams = _gram_hashes(batch_df, "doc_id", n, "doc_id", "text")
+        partial = bloom_bitmap(grams.select("ng"), m_bits, k)
+        _atomic_partial_write(partial, state_path, batch_id)
+
+    # writer lock vs compact_bloom_state — see run_streaming_dedup
+    with state_write_lock(state_path, "drain"):
+        q = (
+            doc_stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return q
+
+
+def current_bloom_bitmap(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold all batch partials into the current (word_idx, word)
+    bitmap — same schema as ``bloom_bitmap`` and byte-identical to
+    the batch build over the union of streamed docs (the stream≡batch
+    test pins it). Input is O(batches × m/64) bitmap rows."""
+    from .events import _recover_interrupted_swap
+
+    _recover_interrupted_swap(state_path)  # crashed compaction swap
+    return (
+        spark.read.parquet(state_path)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )

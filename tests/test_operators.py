@@ -1273,6 +1273,77 @@ def test_benchmark_decontamination_planted(spark):
     assert all(r.shared_ngrams >= 1 for r in hits)
 
 
+def test_bloom_decontamination_laws(spark):
+    """Round-14 Bloom membership path: (a) planted contamination is
+    always flagged (no false negatives — a truly shared gram sets all
+    its bits by construction); (b) the flagged doc set is a SUPERSET
+    of the exact operator's on real data; (c) the bitmap relation is
+    bounded by m/64 words; (d) a deliberately saturated filter
+    (m=64 bits) still obeys the superset law — false positives only
+    ever over-flag."""
+    from pyspark.sql import functions as F
+
+    from movie_data_pipeline_spark.operators.decontam import (
+        benchmark_decontamination,
+        bloom_bitmap,
+        bloom_decontamination,
+        _gram_hashes,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+               "lambda mu nu xi omicron")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "intro words then alpha beta gamma delta epsilon zeta eta "
+                "theta iota kappa lambda mu nu closing remark"),
+            (3, "completely disjoint vocabulary about distributed query "
+                "engines and shuffle planning at scale today ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    flagged = bloom_decontamination(
+        train, bench, n=13, m_bits=1 << 16, k=7
+    ).collect()
+    assert 1 in {r.doc_id for r in flagged}  # planted hit never missed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    b = docs.filter(F.col("doc_id") % 50 == 0)
+    t = docs.filter(F.col("doc_id") % 50 != 0)
+    exact_docs = {
+        r.doc_id
+        for r in benchmark_decontamination(t, b, n=8)
+        .select("doc_id").distinct().collect()
+    }
+    bloom_docs = {
+        r.doc_id
+        for r in bloom_decontamination(
+            t, b, n=8, m_bits=1 << 17, k=7
+        ).collect()
+    }
+    assert exact_docs <= bloom_docs
+
+    grams = _gram_hashes(b, "bench_id", 8, "doc_id", "text").select("ng")
+    bm = bloom_bitmap(grams, m_bits=1 << 12, k=5).collect()
+    assert len(bm) <= (1 << 12) // 64
+    assert all(0 <= r.word_idx < (1 << 12) // 64 for r in bm)
+    # total set bits bounded by k x distinct grams
+    n_grams = grams.distinct().count()
+    set_bits = sum(bin(r.word & ((1 << 64) - 1)).count("1") for r in bm)
+    assert 0 < set_bits <= 5 * n_grams
+
+    # saturated filter: every probed doc flags, superset law intact
+    sat = {
+        r.doc_id
+        for r in bloom_decontamination(
+            t, b, n=8, m_bits=64, k=2
+        ).collect()
+    }
+    assert exact_docs <= sat
+
+
 def test_doc_repetition_stats_planted(spark, tmp_path):
     import pytest as _pytest
 

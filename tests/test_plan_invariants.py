@@ -71,6 +71,10 @@ JVM_ONLY = [
     # through the Arrow boundary for nothing
     "exact_span_dedup",
     "drop_dup_sentences_docs",
+    # round 14: the Bloom bitmap is xxhash64/pmod/shiftleft/bit_or
+    # Column algebra and the probe is a broadcast join — a Python
+    # boundary would put the membership test on the slow path
+    "bloom_decontaminate_docs",
 ]
 
 # Deliberate Arrow surfaces: vectorized Python is allowed, but ONLY

@@ -1482,3 +1482,110 @@ def test_recover_skips_under_live_foreign_lock(tmp_path):
         fh.write(f"{p.pid} compaction")
     _recover_interrupted_swap(root)
     assert os.path.exists(root) and not os.path.exists(root + "__old")
+
+
+def test_streaming_bloom_stream_equals_batch(spark, tmp_path):
+    """Round-14 streaming Bloom maintenance: the folded bitmap is
+    BYTE-IDENTICAL to the batch build over the same docs; a full
+    replay (fresh checkpoint, same files) leaves it unchanged —
+    bit_or is idempotent, the strongest closure law in the family;
+    compaction folds to one base partial with the bitmap intact; and
+    the folded filter serves the actual probe (flagged docs match
+    the batch operator end-to-end)."""
+    import os
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    from movie_data_pipeline_spark.operators.decontam import (
+        _gram_hashes,
+        bloom_bitmap,
+        bloom_decontamination,
+    )
+    from movie_data_pipeline_spark.streaming import docs as SD
+    from movie_data_pipeline_spark.streaming.compaction import (
+        compact_bloom_state,
+    )
+
+    N, M, K = 8, 1 << 16, 7
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+
+    state = str(tmp_path / "bloom")
+    stream_in = str(tmp_path / "incoming")
+    os.makedirs(stream_in)
+    base = _time.time()
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        bench.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        p = f"{stream_in}/b{i}.parquet"
+        _shutil.copy(next(_Path(stage).glob("part-*.parquet")), p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    SD.run_streaming_bloom(
+        SD.read_docs_stream(spark, stream_in),
+        state,
+        str(tmp_path / "ckpt"),
+        n=N,
+        m_bits=M,
+        k=K,
+    )
+    assert not os.path.exists(state + ".lock")  # released post-drain
+
+    want = sorted(
+        tuple(r)
+        for r in bloom_bitmap(
+            _gram_hashes(bench, "bench_id", N, "doc_id", "text").select(
+                "ng"
+            ),
+            M,
+            K,
+        ).collect()
+    )
+    got = sorted(
+        tuple(r) for r in SD.current_bloom_bitmap(spark, state).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # idempotence: replay EVERYTHING under a fresh checkpoint — the
+    # folded bitmap cannot change (same bits set twice)
+    SD.run_streaming_bloom(
+        SD.read_docs_stream(spark, stream_in),
+        state,
+        str(tmp_path / "ckpt2"),
+        n=N,
+        m_bits=M,
+        k=K,
+    )
+    again = sorted(
+        tuple(r) for r in SD.current_bloom_bitmap(spark, state).collect()
+    )
+    assert again == want
+
+    compact_bloom_state(spark, state)
+    assert sorted(
+        x.name for x in (tmp_path / "bloom").glob("batch_id=*")
+    ) == ["batch_id=-1"]
+    folded = SD.current_bloom_bitmap(spark, state)
+    assert sorted(tuple(r) for r in folded.collect()) == want
+
+    # the streamed filter drives the real probe: same flagged docs as
+    # the batch operator over the same reference set
+    want_docs = sorted(
+        tuple(r)
+        for r in bloom_decontamination(
+            train, bench, n=N, m_bits=M, k=K
+        ).collect()
+    )
+    got_docs = sorted(
+        tuple(r)
+        for r in bloom_decontamination(
+            train, None, n=N, m_bits=M, k=K, bitmap=folded
+        ).collect()
+    )
+    assert got_docs == want_docs and len(got_docs) > 0

@@ -1,8 +1,10 @@
-"""Round-14 scale stress: (1) growth curves for the two new ext20
-operators (exact_span_dedup, drop_dup_sentences_docs) at 1x (sf0.1)
-and Kx — both should track rows ~linearly: the span pipeline shuffles
-only 24-byte (k, doc_id, gs) triples and the sentence rewrite moves
-text exactly once; (2) the source_template_prefix LCP curve
+"""Round-14 scale stress: (1) growth curves for the round's new
+operators (ext20 exact_span_dedup + drop_dup_sentences_docs, ext21
+bloom_decontaminate_docs) at 1x (sf0.1) and Kx — all should track
+rows ~linearly: the span pipeline shuffles only 24-byte
+(k, doc_id, gs) triples, the sentence rewrite moves text exactly
+once, and the Bloom probe is k positions per gram against a
+broadcast bitmap; (2) the source_template_prefix LCP curve
 (r13 VERDICT item 4 / ADVICE item 3): the old formulation compared
 every prefix length (O(L^2) char work per source row), the new one
 binary-searches it (O(L log L)) — time both on synthetic single-source
@@ -128,6 +130,9 @@ def main() -> None:
         drop_dup_sentences_docs,
         exact_span_dedup,
     )
+    from movie_data_pipeline_spark.plans.analytics_ext21 import (
+        bloom_decontaminate_docs,
+    )
 
     results: dict[str, list[float]] = {}
     for label, sf_dir, idx in [("1x", SF_DIR, 0), (f"{k}x", big, 1)]:
@@ -135,6 +140,7 @@ def main() -> None:
         for name, builder in (
             ("exact_span_dedup", exact_span_dedup),
             ("drop_dup_sentences_docs", drop_dup_sentences_docs),
+            ("bloom_decontaminate_docs", bloom_decontaminate_docs),
         ):
             best, n = timed(spark, builder, sf_dir)
             results.setdefault(name, [0.0, 0.0])[idx] = best
