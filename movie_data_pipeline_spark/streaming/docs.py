@@ -296,9 +296,33 @@ def run_streaming_bloom(
     rows alone — and uniquely here, even a NON-byte-identical replay
     interleaving would be harmless, because the read-side bit_or fold
     is idempotent. No doc-identity contract needed: re-contributing a
-    document's grams sets the same bits."""
+    document's grams sets the same bits.
+
+    The (n, m_bits, k) tuple is pinned in a ``.params.json`` sidecar
+    (NEXT TO the root, so it survives compaction's whole-root swap):
+    the bitmap schema cannot carry it, and folding partials built
+    under different parameters would corrupt the filter SILENTLY —
+    wrong bits are indistinguishable from fp noise. A later drain
+    with mismatched parameters raises instead."""
+    import json
+
     from ..operators.decontam import _gram_hashes, bloom_bitmap
     from .sketches import _atomic_partial_write
+
+    params = {"n": n, "m_bits": m_bits, "k": k}
+    pfile = state_path.rstrip("/") + ".params.json"
+    if os.path.exists(pfile):
+        with open(pfile) as fh:
+            pinned = json.load(fh)
+        if pinned != params:
+            raise ValueError(
+                f"bloom state {state_path} was built with {pinned}; "
+                f"draining with {params} would silently corrupt the "
+                f"filter — use a fresh state root to change parameters"
+            )
+    else:
+        with open(pfile, "w") as fh:
+            json.dump(params, fh)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

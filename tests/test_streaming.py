@@ -1589,3 +1589,17 @@ def test_streaming_bloom_stream_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert got_docs == want_docs and len(got_docs) > 0
+
+    # parameter pin: a drain under different (n, m, k) must refuse —
+    # folding mixed-parameter partials corrupts the filter silently
+    import pytest
+
+    with pytest.raises(ValueError, match="silently corrupt"):
+        SD.run_streaming_bloom(
+            SD.read_docs_stream(spark, stream_in),
+            state,
+            str(tmp_path / "ckpt3"),
+            n=N,
+            m_bits=M * 2,
+            k=K,
+        )
