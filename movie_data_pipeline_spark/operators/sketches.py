@@ -547,3 +547,100 @@ def ams_join_size_estimate(
         "n_b",
         _median_of_means(prods, mean_group, median_group).alias("est_join_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (round 14): point-frequency estimation in bounded
+# space — the frequency member of the mergeable-sketch family (HLL =
+# distinct counts, KMV = distinct-set algebra, AMS = second moments,
+# CMS = per-key counts). d hash rows of w counters; a key's estimate
+# is the MIN of its d counters, so CMS NEVER underestimates and
+# overestimates by at most the hash-collision mass (E[overshoot] <=
+# N/w per row; the min over d independent rows drives the tail down
+# geometrically — Cormode & Muthukrishnan 2005).
+#
+# The sketch is a RELATION of (row_idx, pos, cnt) counter cells —
+# sparse (at most min(distinct_keys, w) x d rows, bounded by w*d =
+# the classic dense array), built by one map-side-combined groupBy
+# and probed by a broadcast join. Partials over disjoint row sets
+# merge by per-cell ADDITION (same replay discipline as AMS: not
+# idempotent, so the streaming twin rides the byte-identical-partial
+# layout). All JVM Column algebra: xxhash64 + pmod + sum.
+# ---------------------------------------------------------------------------
+
+
+def cms_sketch(
+    df: DataFrame, key_col: str, width: int = 4096, depth: int = 5
+) -> DataFrame:
+    """Fold ``df[key_col]`` occurrences into count-min counter cells
+    (row_idx INT, pos BIGINT, cnt BIGINT). One narrow scan exploding
+    ``depth`` positions per row, then a map-side-combined groupBy of
+    at most width*depth cells."""
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(i)),
+                            F.lit(width),
+                        ).alias("pos"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select("c.row_idx", "c.pos")
+        .groupBy("row_idx", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimates(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 4096,
+    depth: int = 5,
+) -> DataFrame:
+    """(key, est) for every row of ``keys``: the min over the key's
+    ``depth`` counters. The sketch side is broadcast (bounded at
+    width*depth cells by construction); a probed cell absent from the
+    sparse sketch is a zero counter, so the min coalesces to 0 —
+    exactly the dense-array semantics. width/depth must match the
+    build; the cell schema cannot carry them (the streaming state
+    pins them in a sidecar, the batch caller owns the pair)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row_idx"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col), F.lit(i)),
+                            F.lit(width),
+                        ).alias("pos"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(key_col, "c.row_idx", "c.pos")
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "pos"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def merge_cms_partials(partials: DataFrame) -> DataFrame:
+    """Per-cell addition over any number of disjoint-row-set partials
+    — the closure law the streaming twin folds by (a cell's count
+    over a union of row sets is the sum of its per-set counts)."""
+    return partials.groupBy("row_idx", "pos").agg(
+        F.sum("cnt").alias("cnt")
+    )

@@ -918,6 +918,7 @@ from .analytics_ext18 import EXT18_QUERIES  # noqa: E402
 from .analytics_ext19 import EXT19_QUERIES  # noqa: E402
 from .analytics_ext20 import EXT20_QUERIES  # noqa: E402
 from .analytics_ext21 import EXT21_QUERIES  # noqa: E402
+from .analytics_ext22 import EXT22_QUERIES  # noqa: E402
 from .verification import VERIFY_QUERIES  # noqa: E402
 
 QUERIES.update(EXT_QUERIES)
@@ -948,6 +949,7 @@ QUERIES.update(EXT18_QUERIES)
 QUERIES.update(EXT19_QUERIES)
 QUERIES.update(EXT20_QUERIES)
 QUERIES.update(EXT21_QUERIES)
+QUERIES.update(EXT22_QUERIES)
 
 # Driver-slot curation. The round driver's correctness gate records
 # only the first 50 registry entries (rounds 1-3 each produced exactly

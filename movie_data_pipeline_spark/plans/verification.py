@@ -34,6 +34,7 @@ from ..sources.catalog import load_table
 from .analytics_ext21 import (
     BLOOM_DECONTAM_CHECK_SQL as _BLOOM_DECONTAM_CHECK_SQL,
 )
+from .analytics_ext22 import CMS_CHECK_SQL as _CMS_CHECK_SQL
 from .curation import BPE_CHECK_SQL as _BPE_CHECK_SQL
 from .curation import BPE_ENCODE_CHECK_SQL as _BPE_ENCODE_CHECK_SQL
 from .graphs import HITS_CHECK_SQL as _HITS_CHECK_SQL
@@ -636,11 +637,11 @@ VERIFY_QUERIES.update(
 # Combined suite: every one-row twin above, normalized to a uniform
 # (family, m1, m2, ok_a, ok_b) row and unioned. The driver's
 # correctness gate records only a bounded prefix of the registry, so
-# this single entry carries all EIGHTEEN family gates (ten
+# this single entry carries all NINETEEN family gates (ten
 # approximate families including the round-7 IVF-PQ gate + the six
 # round-6 iterative/ML gates + the round-11 KMV overlap gate + the
-# round-14 Bloom-decontamination gate) in one driver row-set; the
-# individual twins stay registered for local runs.
+# round-14 Bloom-decontamination and count-min gates) in one driver
+# row-set; the individual twins stay registered for local runs.
 # ---------------------------------------------------------------------------
 
 def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
@@ -728,6 +729,15 @@ def approx_suite_check(spark: SparkSession, sf: str) -> DataFrame:
              "n_exact_docs", "n_exact_pairs", "no_false_neg",
              "fp_bound_ok")
     )
+    # 19th family (round 14): count-min sketch — fact/probe counts
+    # DuckDB-recomputed; the no-underestimate and collision-mass
+    # bound laws ride the ok predicates.
+    from .analytics_ext22 import cms_check
+
+    parts.append(
+        norm(cms_check(spark, sf), "cms",
+             "n_rows", "n_probes", "no_underestimate", "bound_ok")
+    )
     # 17th family (round 11): KMV distinct-sketch set algebra — the
     # pairwise overlap estimates must land inside the theoretical
     # bottom-k error bounds (exact pair counts DuckDB-recomputed).
@@ -811,6 +821,11 @@ APPROX_SUITE_SQL = "\nUNION ALL\n".join(
         _suite_member("bloom_decontam", _BLOOM_DECONTAM_CHECK_SQL,
                       "n_exact_docs", "n_exact_pairs", "no_false_neg",
                       "fp_bound_ok"),
+        # 19th family (round 14): count-min — fact/probe counts
+        # recomputed; the CMS laws ride ok_*
+        _suite_member("cms", _CMS_CHECK_SQL,
+                      "n_rows", "n_probes", "no_underestimate",
+                      "bound_ok"),
         # 17th family (round 11): KMV overlap — pair count + exact
         # intersection mass recomputed; the bound predicates ride ok_*
         (

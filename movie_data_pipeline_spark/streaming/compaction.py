@@ -165,3 +165,13 @@ def compact_bloom_state(spark: SparkSession, state_path: str) -> None:
             F.bit_or("word").alias("word")
         ),
     )
+
+
+def compact_cms_state(spark: SparkSession, state_path: str) -> None:
+    """Streaming count-min cells (streaming/sketches.py): per-cell
+    addition — the merged sketch IS a valid partial (the AMS class:
+    NOT idempotent, which is exactly why compaction must exclude
+    concurrent drains; the lock does)."""
+    from ..operators.sketches import merge_cms_partials
+
+    compact_state_root(spark, state_path, merge_cms_partials)

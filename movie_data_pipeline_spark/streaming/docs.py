@@ -304,25 +304,11 @@ def run_streaming_bloom(
     under different parameters would corrupt the filter SILENTLY —
     wrong bits are indistinguishable from fp noise. A later drain
     with mismatched parameters raises instead."""
-    import json
-
     from ..operators.decontam import _gram_hashes, bloom_bitmap
+    from .events import pin_state_params
     from .sketches import _atomic_partial_write
 
-    params = {"n": n, "m_bits": m_bits, "k": k}
-    pfile = state_path.rstrip("/") + ".params.json"
-    if os.path.exists(pfile):
-        with open(pfile) as fh:
-            pinned = json.load(fh)
-        if pinned != params:
-            raise ValueError(
-                f"bloom state {state_path} was built with {pinned}; "
-                f"draining with {params} would silently corrupt the "
-                f"filter — use a fresh state root to change parameters"
-            )
-    else:
-        with open(pfile, "w") as fh:
-            json.dump(params, fh)
+    pin_state_params(state_path, {"n": n, "m_bits": m_bits, "k": k})
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -10,6 +10,7 @@ stream-vs-batch equivalence under Trigger.AvailableNow).
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager as _contextmanager
 
 import pandas as pd
@@ -474,6 +475,31 @@ def _recover_interrupted_swap(path: str) -> None:
     aside = path.rstrip("/") + "__old"
     if not os.path.exists(path) and os.path.exists(aside):
         os.rename(aside, path)
+
+
+def pin_state_params(state_path: str, params: dict) -> None:
+    """Pin a state root's build parameters in a ``.params.json``
+    sidecar (NEXT TO the root so it survives compaction's whole-root
+    swap). Sketch/bitmap cell schemas cannot carry their (width,
+    depth, hash-count…) parameters, and folding partials built under
+    different ones corrupts the state SILENTLY — wrong cells are
+    indistinguishable from collision noise. First caller writes the
+    pin; a later drain with a different tuple raises."""
+    import json
+
+    pfile = state_path.rstrip("/") + ".params.json"
+    if os.path.exists(pfile):
+        with open(pfile) as fh:
+            pinned = json.load(fh)
+        if pinned != params:
+            raise ValueError(
+                f"state root {state_path} was built with {pinned}; "
+                f"draining with {params} would silently corrupt it — "
+                f"use a fresh state root to change parameters"
+            )
+    else:
+        with open(pfile, "w") as fh:
+            json.dump(params, fh)
 
 
 def _live_lock_holder(path: str) -> "int | None":

@@ -208,3 +208,63 @@ def current_ams_sums(
 
     _recover_interrupted_swap(state_path)  # crashed compaction swap
     return merge_ams_partials(spark.read.parquet(state_path), reps)
+
+
+# ---------------------------------------------------------------------------
+# Streaming count-min (round 14): per-batch (row_idx, pos, cnt) cell
+# partials, merged by per-cell ADDITION — the AMS replay class (a sum
+# is not idempotent), so correctness rides the byte-identical-partial
+# layout exactly like the AMS stream. Each partial is bounded at
+# width*depth cells regardless of batch size.
+# ---------------------------------------------------------------------------
+
+
+def run_streaming_cms(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    key_col: str,
+    width: int = 4096,
+    depth: int = 5,
+):
+    """Drain ``stream`` with AvailableNow; each micro-batch writes its
+    CMS cell partial to ``state_path/batch_id=N``. (width, depth) are
+    pinned in the ``.params.json`` sidecar — the cell schema cannot
+    carry them, and summing cells hashed under different widths
+    corrupts every estimate silently."""
+    from ..operators.sketches import cms_sketch
+    from .events import pin_state_params, state_write_lock
+
+    pin_state_params(state_path, {"width": width, "depth": depth})
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _atomic_partial_write(
+            cms_sketch(batch_df, key_col, width=width, depth=depth),
+            state_path,
+            batch_id,
+        )
+
+    # writer lock vs compact_cms_state — see run_streaming_kmv
+    with state_write_lock(state_path, "drain"):
+        q = (
+            stream.writeStream.foreachBatch(process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return q
+
+
+def current_cms(spark: SparkSession, state_path: str) -> DataFrame:
+    """Fold all batch partials into the current (row_idx, pos, cnt)
+    sketch — same schema as ``cms_sketch``, via the SAME shared merge
+    (operators/sketches.py::merge_cms_partials); byte-identical to
+    the batch sketch over the union of streamed rows."""
+    from ..operators.sketches import merge_cms_partials
+    from .events import _recover_interrupted_swap
+
+    _recover_interrupted_swap(state_path)  # crashed compaction swap
+    return merge_cms_partials(spark.read.parquet(state_path))

@@ -75,6 +75,9 @@ JVM_ONLY = [
     # Column algebra and the probe is a broadcast join — a Python
     # boundary would put the membership test on the slow path
     "bloom_decontaminate_docs",
+    # round 14: count-min is xxhash64/pmod explode + one groupBy and
+    # a broadcast probe join — same all-JVM contract
+    "cms_part_frequencies",
 ]
 
 # Deliberate Arrow surfaces: vectorized Python is allowed, but ONLY

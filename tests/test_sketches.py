@@ -283,3 +283,40 @@ def test_ams_empty_input_is_additive_identity(spark):
     est = ams_join_size_estimate(empty, "o_custkey", orders, "o_custkey")
     r = est.collect()[0]
     assert (r["n_a"], r["est_join_rows"]) == (0, 0.0)  # not NULL
+
+
+def test_cms_sketch_laws(spark):
+    """Count-min (round 14): with a roomy width the sparse sketch has
+    no colliding cells and estimates are EXACT; with a tiny width
+    collisions only ever inflate (never underestimate); merging
+    disjoint partials equals the single-pass sketch (per-cell
+    addition closure law)."""
+    from movie_data_pipeline_spark.operators.sketches import (
+        cms_estimates,
+        cms_sketch,
+        merge_cms_partials,
+    )
+
+    rows = [(k,) for k, c in [("a", 5), ("b", 3), ("c", 1)] for _ in range(c)]
+    df = spark.createDataFrame(rows, ["k"])
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], ["k"])
+
+    sk = cms_sketch(df, "k", width=4096, depth=5)
+    got = {
+        r.k: r.est for r in cms_estimates(sk, keys, "k", 4096, 5).collect()
+    }
+    assert got == {"a": 5, "b": 3, "c": 1, "zzz": 0}
+
+    tiny = cms_sketch(df, "k", width=2, depth=3)
+    est = {
+        r.k: r.est for r in cms_estimates(tiny, keys, "k", 2, 3).collect()
+    }
+    true = {"a": 5, "b": 3, "c": 1, "zzz": 0}
+    assert all(est[k] >= true[k] for k in true)
+    assert sum(r.cnt for r in tiny.collect()) == 3 * 9  # depth x rows
+
+    half1 = cms_sketch(df.filter(F.col("k") == "a"), "k", width=64, depth=4)
+    half2 = cms_sketch(df.filter(F.col("k") != "a"), "k", width=64, depth=4)
+    merged = merge_cms_partials(half1.unionByName(half2))
+    want = sorted(tuple(r) for r in cms_sketch(df, "k", 64, 4).collect())
+    assert sorted(tuple(r) for r in merged.collect()) == want

@@ -1603,3 +1603,85 @@ def test_streaming_bloom_stream_equals_batch(spark, tmp_path):
             m_bits=M * 2,
             k=K,
         )
+
+
+def test_streaming_cms_stream_equals_batch(spark, tmp_path):
+    """Round-14 streaming count-min: the folded cell sketch is
+    BYTE-IDENTICAL to the batch build over the same rows (per-cell
+    addition is exact integer arithmetic); compaction folds to the
+    single base partial with estimates intact; the params sidecar
+    refuses a mismatched drain."""
+    import os
+    import shutil as _shutil
+    import time as _time
+    from pathlib import Path as _Path
+
+    import pytest
+
+    from movie_data_pipeline_spark.operators.sketches import (
+        cms_estimates,
+        cms_sketch,
+    )
+    from movie_data_pipeline_spark.streaming import events as SE
+    from movie_data_pipeline_spark.streaming import sketches as SK
+    from movie_data_pipeline_spark.streaming.compaction import (
+        compact_cms_state,
+    )
+
+    W, D = 1024, 5
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    stream_in = str(tmp_path / "incoming")
+    os.makedirs(stream_in)
+    base = _time.time()
+    for i in range(3):
+        stage = str(tmp_path / f"stage{i}")
+        ev.filter(F.col("user_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        p = f"{stream_in}/b{i}.parquet"
+        _shutil.copy(next(_Path(stage).glob("part-*.parquet")), p)
+        os.utime(p, (base + 5 * i, base + 5 * i))
+
+    state = str(tmp_path / "cms")
+    SK.run_streaming_cms(
+        SE.read_events_stream(spark, stream_in),
+        state,
+        str(tmp_path / "ckpt"),
+        key_col="user_id",
+        width=W,
+        depth=D,
+    )
+    want = sorted(
+        tuple(r) for r in cms_sketch(ev, "user_id", W, D).collect()
+    )
+    got = sorted(tuple(r) for r in SK.current_cms(spark, state).collect())
+    assert got == want and len(want) > 0
+
+    compact_cms_state(spark, state)
+    assert sorted(
+        x.name for x in (tmp_path / "cms").glob("batch_id=*")
+    ) == ["batch_id=-1"]
+    folded = SK.current_cms(spark, state)
+    assert sorted(tuple(r) for r in folded.collect()) == want
+
+    # the folded sketch estimates correctly: never under the true
+    # per-user counts
+    probes = ev.select("user_id").distinct().limit(50)
+    true = {
+        r.user_id: r.c
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for r in cms_estimates(folded, probes, "user_id", W, D).collect():
+        assert r.est >= true.get(r.user_id, 0)
+
+    with pytest.raises(ValueError, match="silently corrupt"):
+        SK.run_streaming_cms(
+            SE.read_events_stream(spark, stream_in),
+            state,
+            str(tmp_path / "ckpt2"),
+            key_col="user_id",
+            width=W * 2,
+            depth=D,
+        )

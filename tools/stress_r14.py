@@ -133,6 +133,9 @@ def main() -> None:
     from movie_data_pipeline_spark.plans.analytics_ext21 import (
         bloom_decontaminate_docs,
     )
+    from movie_data_pipeline_spark.plans.analytics_ext22 import (
+        cms_part_frequencies,
+    )
 
     results: dict[str, list[float]] = {}
     for label, sf_dir, idx in [("1x", SF_DIR, 0), (f"{k}x", big, 1)]:
@@ -141,6 +144,7 @@ def main() -> None:
             ("exact_span_dedup", exact_span_dedup),
             ("drop_dup_sentences_docs", drop_dup_sentences_docs),
             ("bloom_decontaminate_docs", bloom_decontaminate_docs),
+            ("cms_part_frequencies", cms_part_frequencies),
         ):
             best, n = timed(spark, builder, sf_dir)
             results.setdefault(name, [0.0, 0.0])[idx] = best
