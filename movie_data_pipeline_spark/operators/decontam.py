@@ -161,6 +161,11 @@ def bloom_hit_grams(
     schema cannot carry — a mismatch silently degrades to
     flag-nothing or flag-everything, so callers own the pin."""
     if bitmap is None:
+        if bench is None:
+            raise ValueError(
+                "bloom probe needs a reference: pass bench docs to "
+                "build the filter, or a prebuilt bitmap"
+            )
         b = _gram_hashes(bench, "bench_id", n, id_col, text_col).select("ng")
         bitmap = bloom_bitmap(b, m_bits, k)
     t = _gram_hashes(train, "doc_id", n, id_col, text_col)
