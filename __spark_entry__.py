@@ -109,7 +109,7 @@ def slot_order(round_no: int | None = None) -> list[str]:
     so the 42 entries at ``list(queries())[8:50]`` advance by 42 each
     round (wrapping), then the rows-only entries. Every registry entry
     is always present; only the ORDER rotates — so the driver's
-    first-50 hash check sweeps all 203 oracled entries every ~5 rounds
+    first-50 hash check sweeps the whole oracled registry every ~5 rounds
     instead of re-hashing the same frozen slots. Pure function of
     (round_no, live registry): reproducible post-hoc, no state."""
     if round_no is None:

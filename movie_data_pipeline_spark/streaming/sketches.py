@@ -1,10 +1,10 @@
-"""Streaming KMV + AMS sketches: sketch state maintained
+"""Streaming KMV + AMS + count-min sketches: sketch state maintained
 incrementally across micro-batches — the streaming twin of
 ``operators/sketches.py`` and the live demonstration of WHY a
 mergeable sketch is the 100 TB posture: each micro-batch contributes
-a bounded partial (O(groups * k) for KMV, O(reps) for AMS), the
-current estimate is a fold of partials, and no raw key is ever
-revisited.
+a bounded partial (O(groups * k) for KMV, O(reps) for AMS,
+O(width * depth) for CMS), the current estimate is a fold of
+partials, and no raw key is ever revisited.
 
 Layout mirrors streaming/docs.py's minhash index: each micro-batch
 publishes its PARTIAL sketches to ``state_path/batch_id=N/`` via a
