@@ -108,13 +108,24 @@ def pagerank(
     base = nodes.join(out_deg, nodes.node == out_deg.src, "left").select(
         "node", "deg"
     ).localCheckpoint()
-    n_nodes = base.count()  # bounded driver scalar (a count, not data)
+    # one bounded 2-scalar probe: node count + dangling-node count.
+    # When the graph has NO dangling nodes — true for every
+    # symmetrized edge list (both directions present ⇒ every node has
+    # an out-edge), e.g. the whole trade-graph family — dmass is
+    # EXACTLY 0.0 every round, so the per-round dangling aggregation
+    # and its 1-row crossJoin are dead weight: each one re-executes
+    # the un-checkpointed ranks lineage a second time per round and
+    # adds an exchange + broadcast. Skipping the term is bit-exact
+    # (x + 0.0·anything ≡ x for the non-negative contribs here); the
+    # dangling path is unchanged when n_dangling > 0.
+    probe = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("deg").isNull(), 1)).alias("nd"),
+    ).first()
+    n_nodes, n_dangling = probe["n"], probe["nd"]
 
     ranks = base.select("node", F.lit(1.0).alias("rank"), "deg")
     for it in range(n_iter):
-        dangling = ranks.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
-        )
         contrib = (
             ranks.join(e, ranks.node == e.src)
             .select(
@@ -123,21 +134,21 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            base.join(contrib, base.node == contrib.dst, "left")
-            .crossJoin(dangling)  # 1-row side: the bounded pattern
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dmass") / F.lit(float(n_nodes))
-                    )
-                ).alias("rank"),
-                "deg",
+        new_ranks = base.join(contrib, base.node == contrib.dst, "left")
+        if n_dangling:
+            dangling = ranks.filter(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
             )
+            new_ranks = new_ranks.crossJoin(dangling)  # 1-row side
+            mass = F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col(
+                "dmass"
+            ) / F.lit(float(n_nodes))
+        else:
+            mass = F.coalesce(F.col("contrib"), F.lit(0.0))
+        ranks = new_ranks.select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * mass).alias("rank"),
+            "deg",
         )
         if it % ckpt_every == ckpt_every - 1 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
@@ -207,16 +218,21 @@ def personalized_pagerank(
         .select("node", "deg", F.coalesce("_is_src", F.lit(False)).alias("is_src"))
         .localCheckpoint()
     )
-    n_src = base.filter("is_src").count()  # bounded driver scalar
+    # bounded 2-scalar probe: source count + dangling-node count (the
+    # pagerank dead-dangling optimization — see pagerank above; with
+    # zero dangling nodes dmass·tele ≡ 0.0 exactly, so the per-round
+    # dangling aggregate + crossJoin are skipped bit-exactly).
+    probe = base.agg(
+        F.count(F.when(F.col("is_src"), 1)).alias("ns"),
+        F.count(F.when(F.col("deg").isNull(), 1)).alias("nd"),
+    ).first()
+    n_src, n_dangling = probe["ns"], probe["nd"]
     if n_src == 0:
         raise ValueError("no source id appears in the graph")
     tele = F.when(F.col("is_src"), F.lit(1.0 / n_src)).otherwise(F.lit(0.0))
 
     ranks = base.select("node", tele.alias("rank"), "deg", "is_src")
     for it in range(n_iter):
-        dangling = ranks.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
-        )
         contrib = (
             ranks.join(e, ranks.node == e.src)
             .select(
@@ -225,22 +241,25 @@ def personalized_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = (
-            base.join(contrib, base.node == contrib.dst, "left")
-            .crossJoin(dangling)  # 1-row side: the bounded pattern
-            .select(
-                "node",
-                (
-                    F.lit(1.0 - damping) * tele
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dmass") * tele
-                    )
-                ).alias("rank"),
-                "deg",
-                "is_src",
+        new_ranks = base.join(contrib, base.node == contrib.dst, "left")
+        if n_dangling:
+            dangling = ranks.filter(F.col("deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
             )
+            new_ranks = new_ranks.crossJoin(dangling)  # 1-row side
+            mass = (
+                F.coalesce(F.col("contrib"), F.lit(0.0))
+                + F.col("dmass") * tele
+            )
+        else:
+            mass = F.coalesce(F.col("contrib"), F.lit(0.0))
+        ranks = new_ranks.select(
+            "node",
+            (F.lit(1.0 - damping) * tele + F.lit(damping) * mass).alias(
+                "rank"
+            ),
+            "deg",
+            "is_src",
         )
         if it % ckpt_every == ckpt_every - 1 or it == n_iter - 1:
             ranks = ranks.localCheckpoint()
@@ -264,6 +283,14 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     shuffles total (degree agg, wedge self-join, closing semi-join);
     no iteration, no driver data.
     """
+    # e has THREE consumers (degree agg, the oriented build, the edge
+    # count) and ``oriented`` three more (both wedge sides + the
+    # closing semi-join); without materialization every consumer
+    # re-executes the full upstream derivation — for a derived edge
+    # list (a fact-table self-join + distinct) that multiplied the
+    # heaviest join 6×. Both relations are 2-3 longs per row, the
+    # cheapest possible checkpoint payload. Integer-exact: the census
+    # values cannot change.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("u"),
@@ -271,6 +298,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -289,7 +317,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).localCheckpoint()
     x, y = oriented.alias("x"), oriented.alias("y")
     wedges = x.join(y, F.col("x.a") == F.col("y.a")).filter(
         (F.col("x.db") < F.col("y.db"))
@@ -359,8 +387,15 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     rounds = 0
     while True:
         deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
-        keep = deg.filter(F.col("core_degree") >= k).select("node")
-        n_keep = keep.count()  # 1-row convergence probe
+        # keep has THREE consumers per round (the convergence count +
+        # both semi-join sides of the peel); materialized once (r14)
+        # so the degree aggregate runs once per round instead of three
+        # times. Node-id payload only; integer-exact.
+        keep = (
+            deg.filter(F.col("core_degree") >= k).select("node")
+            .localCheckpoint()
+        )
+        n_keep = keep.count()  # count over the materialized leaf
         if n_keep == n_nodes:
             break
         # the cap is checked BEFORE peeling again, so a graph that
@@ -399,12 +434,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     the buyers and authorities the suppliers.
 
     Same execution discipline as ``pagerank`` EXCEPT the lineage
-    cut stays per-round: HITS materializes TWO relations per round
-    (auth feeds hub), so batching rounds turns each batch-end into
-    two checkpoint actions that re-execute the shared un-checkpointed
-    chain — measured 8.4 s -> 12.3 s at sf0.1, reverted. The only driver-bound
-    data is the 1-row L2 norm joined back through the bounded-crossJoin
-    pattern. Scores are floats whose low bits ride partition-sum order
+    cut stays per-round — but ONE checkpoint per round, not two (r14):
+    auth's only within-round consumer is the hub join, so the round's
+    single hub checkpoint job computes the auth subtree in-line (same
+    shuffle count, half the eager-job overhead). Multi-ROUND batching
+    remains rejected: it re-executes the shared un-checkpointed chain
+    through the per-round norm crossJoins — measured 8.4 s -> 12.3 s
+    at sf0.1. The only driver-bound data is the 1-row L2 norm joined
+    back through the bounded-crossJoin pattern. Scores are floats whose low bits ride partition-sum order
     → rows-only in the registry; the gate pins the L2-norm invariants
     and exact graph cardinalities.
 
@@ -483,17 +520,34 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("authority"))
         )
+        # ONE materialization per round, not two (r14 optimization):
+        # auth feeds exactly one consumer inside the round (the hub
+        # join), so the hub checkpoint job can compute the auth
+        # subtree in-line — same shuffles, half the eager-job
+        # scheduling/materialization overhead. This is NOT the
+        # rejected multi-round batching (which re-executed the shared
+        # un-checkpointed chain through the per-round norm crossJoins,
+        # measured 8.4 s -> 12.3 s): the previous hub is always a
+        # checkpointed leaf, so nothing is computed twice. On norm
+        # rounds auth IS checkpointed first — _l2_normalize embeds its
+        # input twice (the norm aggregate + the crossJoin side), so
+        # normalizing an un-materialized subtree would re-derive it.
         if do_norm:
+            auth = auth.localCheckpoint()
             auth = _l2_normalize(auth, "authority")
-        auth = auth.localCheckpoint()
         hub = (
             e_by_dst.join(auth, e_by_dst.dst == auth.node)
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("hub"))
         )
         if do_norm:
+            # the raw hub is already a checkpointed leaf; the
+            # normalized plan is one aggregate + crossJoin over it, so
+            # a second loop-end checkpoint would buy nothing
+            hub = hub.localCheckpoint()
             hub = _l2_normalize(hub, "hub")
-        hub = hub.localCheckpoint()
+        else:
+            hub = hub.localCheckpoint()
     return (
         nodes.join(hub, "node", "left")
         .join(auth, "node", "left")
@@ -559,6 +613,12 @@ def bfs_hops(
             .withColumn("hops", F.lit(k))
             .localCheckpoint()
         )
-        visited = visited.unionAll(new).localCheckpoint()
+        # visited is a union of already-checkpointed per-round leaves:
+        # re-materializing the WHOLE visited set every round (r14 fix)
+        # paid an extra O(|visited|) job per round for a plan that is
+        # only ever scanned, and the union tree's depth is bounded by
+        # max_hops — the lineage localCheckpoint exists to cut is
+        # already cut at every leaf.
+        visited = visited.unionAll(new)
         frontier = new.select("node")
     return visited

@@ -217,7 +217,14 @@ def sentence_keys(docs: DataFrame) -> DataFrame:
 
 def dup_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
-    keyed = sentence_keys(docs)
+    # materialize the (doc_id, k) instance keys ONCE (r14): the
+    # occurrence groupBy and the join-back probe previously each
+    # re-derived the full sentence pipeline (tokenize → inject → foot
+    # → mark → split → normalize → hash) — two corpus string passes
+    # for one query. The checkpoint payload is 16 bytes/instance, the
+    # explicit-materialization discipline the ext20 module docstring
+    # prescribes for this double-scan family (stage once, read twice).
+    keyed = sentence_keys(docs).localCheckpoint()
     sent_docs = keyed.groupBy("k").agg(
         F.countDistinct("doc_id").alias("nd")
     )

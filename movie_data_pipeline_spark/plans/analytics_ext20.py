@@ -115,6 +115,13 @@ def exact_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
                 )
             ).alias("k"),
         )
+        # materialized ONCE (r14): the occurrence groupBy and the dup
+        # join probe below previously each re-derived the whole
+        # tokenize+slice+join+hash shingle pass — the module docstring's
+        # own "stage the shingle frame once and read it twice" remedy.
+        # Payload is the 24-byte (k, doc_id, gs) triple, never shingle
+        # text; integer outputs, so the oracle hash cannot move.
+        .localCheckpoint()
     )
     # A shingle is duplicated if it occurs >= 2 times ANYWHERE (the
     # paper's suffix-array semantics — within-doc repeats count). An
@@ -231,9 +238,16 @@ def rewrite_without_cross_doc_dups(sent: DataFrame) -> DataFrame:
     this doc is the keeper (min doc_id). Returns (doc_id, n_kept,
     n_dropped, rebuilt) — factored from the registry entry so unit
     fixtures can feed crafted sentence sets directly."""
+    # materialized ONCE (r14): the keeper-stats groupBy and the
+    # join-back previously each re-derived the sentence pipeline (two
+    # full corpus string passes). Unlike the stats-only siblings this
+    # frame must carry the sentence TEXT (the rewrite re-emits it), so
+    # the staged payload is corpus-sized — the same bytes the rewrite
+    # output itself moves, and the explicit-materialization trade the
+    # module docstring prescribes over re-derivation.
     keyed = sent.select(
         "doc_id", "pos", "sn", F.xxhash64("sn").alias("k")
-    )
+    ).localCheckpoint()
     stats = keyed.groupBy("k").agg(
         F.countDistinct("doc_id").alias("nd"),
         F.min("doc_id").alias("keeper"),

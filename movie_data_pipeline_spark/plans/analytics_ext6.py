@@ -76,32 +76,56 @@ def _dup_window_positions(docs: DataFrame) -> DataFrame:
     repeated within one document (self-repetition is duplication for
     the memorization risk this measures)."""
     tk = F.split(F.col("text"), " ")
-    w = (
-        docs.select(F.col("doc_id"), tk.alias("tk"))
-        .filter(F.size("tk") >= _SPAN_L)
-        .select(
+    toks = docs.select(F.col("doc_id"), tk.alias("tk")).filter(
+        F.size("tk") >= _SPAN_L
+    )
+    # ONE full window-string pass (r14; previously two — the hot-hash
+    # groupBy and the candidate semi-join each re-derived the window
+    # relation, and every derivation builds ~L tokens of string per
+    # corpus position). The strings are built and hashed TRANSIENTLY;
+    # what materializes is the 24-byte (doc_id, pos, h) triple — the
+    # same narrow-stage discipline as ext20's shingle frame, cheap to
+    # checkpoint at any scale. The window TEXT is rebuilt afterwards at
+    # candidate positions only (true duplicates + vanishing 64-bit
+    # collisions) from one extra cheap tokenize of the matching docs.
+    wh = (
+        toks.select(
             "doc_id",
             F.explode(
                 F.expr(
                     f"transform(sequence(1, size(tk) - {_SPAN_L - 1}), "
                     f"p -> struct(p AS pos, "
+                    f"xxhash64(array_join(slice(tk, p, {_SPAN_L}), ' ')) AS h))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+        .localCheckpoint()
+    )
+    hot = wh.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 2
+    ).select("h")
+    cand_pos = (
+        wh.join(hot, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("ps"))
+    )
+    cand = (
+        toks.join(cand_pos, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(ps, p -> struct(p AS pos, "
                     f"array_join(slice(tk, p, {_SPAN_L}), ' ') AS win))"
                 )
             ).alias("s"),
         )
-        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.win").alias("win"))
-        .withColumn("h", F.xxhash64("win"))
+        .select(
+            "doc_id", F.col("s.pos").alias("pos"), F.col("s.win").alias("win")
+        )
+        .localCheckpoint()
     )
-    hot = w.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(
-        F.col("c") >= 2
-    ).select("h")
-    # materialize only the POST-prefilter candidate subset (true
-    # duplicates + vanishing 64-bit collisions): the full window
-    # relation is corpus_tokens-sized and is cheaper to re-derive
-    # from the scan (it feeds exactly two actions, both here) than to
-    # checkpoint at 100 TB; the candidates it collapses to are what
-    # the verify and the final semi-join both reuse.
-    cand = w.join(hot, "h", "left_semi").localCheckpoint()
     dup_win = (
         cand.groupBy("win").agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 2)
@@ -274,10 +298,25 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("bucket", F.expr(_BUCKET_EXPR))
     )
-    per = ng.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    cnt = ng.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    # ONE derivation of the exploded+md5-bucketed ngram stream (r14):
+    # both downstream aggregates previously re-derived ``ng`` — two
+    # full tokenize+explode+md5 corpus passes for one query. The
+    # (doc_id, lang, bucket) pre-aggregate is map-side combinable and
+    # at most 256 rows per document, so the checkpoint payload is the
+    # small count table, never the gram instances. Exact: lang is
+    # functionally dependent on doc_id (one row per doc in
+    # ``documents``), so grouping by (doc_id, lang, bucket) partitions
+    # identically to (doc_id, bucket), and both ``per`` and ``cnt``
+    # below are pure integer re-aggregations of these counts.
+    gc2 = (
+        ng.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    per = gc2.select("doc_id", "bucket", "n")
+    cnt = gc2.groupBy("bucket").agg(
+        F.sum("n").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(F.lit(0))).alias("ct"),
     )
     tot = cnt.agg(
         F.sum("cr").alias("tr_tot"), F.sum("ct").alias("tt_tot")

@@ -156,7 +156,16 @@ def supplier_cotrade_triangles(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import triangle_count
 
     li = load_table(spark, sf, "lineitem")
-    os_ = li.select("l_orderkey", "l_suppkey").distinct()
+    # os_ feeds BOTH sides of the self-join; pairs feeds the max-w
+    # scalar AND the edge filter. Un-materialized, each extra consumer
+    # re-executes the fact-table distinct (and, for pairs, the
+    # quadratic co-shipment expansion) — the r14 plan audit measured
+    # this entry's physical plan at 238 KB of duplicated subtrees.
+    # Both checkpoints are narrow integer relations; counts are exact,
+    # so the oracled census is unchanged.
+    os_ = (
+        li.select("l_orderkey", "l_suppkey").distinct().localCheckpoint()
+    )
     a, b = os_.alias("a"), os_.alias("b")
     pairs = (
         a.join(
@@ -168,6 +177,7 @@ def supplier_cotrade_triangles(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint()
     )
     mx = pairs.agg(F.max("w").alias("max_w"))
     edges = (
