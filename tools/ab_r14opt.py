@@ -455,6 +455,141 @@ def _exactspan_old(spark, sf):
     )
 
 
+def _ppr_old(edges, sources, damping=0.85, n_iter=10, ckpt_every=2):
+    npart = shuffle_parallelism(edges.sparkSession)
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .repartition(npart, "src")
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    s = sources.select(
+        F.col(sources.columns[0]).cast("long").alias("node")
+    ).distinct()
+    base = (
+        nodes.join(out_deg, nodes.node == out_deg.src, "left")
+        .join(s.withColumn("_is_src", F.lit(True)), "node", "left")
+        .select("node", "deg", F.coalesce("_is_src", F.lit(False)).alias("is_src"))
+        .localCheckpoint()
+    )
+    n_src = base.filter("is_src").count()
+    tele = F.when(F.col("is_src"), F.lit(1.0 / n_src)).otherwise(F.lit(0.0))
+    ranks = base.select("node", tele.alias("rank"), "deg", "is_src")
+    for it in range(n_iter):
+        dangling = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        contrib = (
+            ranks.join(e, ranks.node == e.src)
+            .select("dst", (F.col("rank") * F.col("w") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * tele
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") * tele
+                    )
+                ).alias("rank"),
+                "deg",
+                "is_src",
+            )
+        )
+        if it % ckpt_every == ckpt_every - 1 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", "rank")
+
+
+def _kcore_old(edges, k):
+    npart = shuffle_parallelism(edges.sparkSession)
+    e = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("u"),
+            F.greatest(F.col("src"), F.col("dst")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .repartition(npart, "node")
+        .localCheckpoint()
+    )
+    n_nodes = adj.select("node").distinct().count()
+    while True:
+        deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.filter(F.col("core_degree") >= k).select("node")
+        n_keep = keep.count()
+        if n_keep == n_nodes:
+            break
+        n_nodes = n_keep
+        adj = (
+            adj.join(keep, "node", "left_semi")
+            .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+            .repartition(npart, "node")
+            .localCheckpoint()
+        )
+        if n_keep == 0:
+            break
+    return (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
+
+
+def _bfs_old(edges, seeds, max_hops):
+    spark = edges.sparkSession
+    npart = shuffle_parallelism(spark)
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .repartition(npart, "src")
+        .localCheckpoint()
+    )
+    visited = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited.select("node")
+    for k in range(1, max_hops + 1):
+        nbrs = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = (
+            nbrs.join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(new).localCheckpoint()
+        frontier = new.select("node")
+    return visited
+
+
 # ---------------------------------------------------------------------------
 # NEW variants: the shipped registry entries / operators.
 # ---------------------------------------------------------------------------
@@ -481,6 +616,35 @@ def _pairs(name):
             return _sentstats_old(spark, sf)
         if name == "exactspan":
             return _exactspan_old(spark, sf)
+        if name == "ppr":
+            from movie_data_pipeline_spark.sources.catalog import load_table
+
+            cust = load_table(spark, sf, "customer")
+            sources = cust.filter(F.col("c_nationkey") == 0).select(
+                F.col("c_custkey").alias("node")
+            )
+            return _ppr_old(
+                G._trade_edges(spark, sf), sources
+            ).sortWithinPartitions("node")
+        if name == "kcore":
+            return _kcore_old(
+                G._trade_edges(spark, sf), k=8
+            ).sortWithinPartitions("node")
+        if name == "bfs":
+            from movie_data_pipeline_spark.sources.catalog import load_table
+
+            seeds = (
+                load_table(spark, sf, "supplier")
+                .agg((-F.min("s_suppkey")).alias("node"))
+            )
+            return (
+                _bfs_old(G._trade_edges(spark, sf), seeds, max_hops=3)
+                .select(
+                    F.col("node").cast("long").alias("node"),
+                    F.col("hops").cast("int").alias("hops"),
+                )
+                .sortWithinPartitions("node")
+            )
         raise KeyError(name)
 
     def new(spark, sf):
@@ -494,6 +658,9 @@ def _pairs(name):
             "spans": "repeated_ngram_spans",
             "sentstats": "dup_sentence_stats",
             "exactspan": "exact_span_dedup",
+            "ppr": "trade_ppr_nation0",
+            "kcore": "trade_kcore",
+            "bfs": "trade_bfs_hops",
         }[name]
         return QUERIES[entry][0](spark, sf)
 
