@@ -434,10 +434,15 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     the buyers and authorities the suppliers.
 
     Same execution discipline as ``pagerank`` EXCEPT the lineage
-    cut stays per-round — but ONE checkpoint per round, not two (r14):
-    auth's only within-round consumer is the hub join, so the round's
-    single hub checkpoint job computes the auth subtree in-line (same
-    shuffle count, half the eager-job overhead). Multi-ROUND batching
+    cut stays per-round — and on NON-NORM rounds one checkpoint per
+    round, not two (r14): auth's only within-round consumer there is
+    the hub join, so the round's single hub checkpoint job computes
+    the auth subtree in-line (same shuffle count, half the eager-job
+    overhead). On norm rounds auth is still checkpointed separately
+    (it feeds both the norm aggregate and the hub join), so at
+    normalize_every=1 every round keeps two checkpoints — the saving
+    applies to the end-only-normalization configuration the registry
+    uses (r14 ADVICE). Multi-ROUND batching
     remains rejected: it re-executes the shared un-checkpointed chain
     through the per-round norm crossJoins — measured 8.4 s -> 12.3 s
     at sf0.1. The only driver-bound data is the 1-row L2 norm joined

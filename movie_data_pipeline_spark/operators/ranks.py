@@ -347,6 +347,30 @@ def _adaptive_buckets(
     raise AssertionError("unreachable")
 
 
+def _dense_prefix_list(rows, nbuckets: int) -> list[int]:
+    """Exclusive prefix counts as a dense list indexed by bucket id + 1
+    (slot 0 is the NULL bucket -1). Only valid for LEVEL-0 ids, which
+    are -1..nbuckets-1 by construction; empty buckets get the running
+    count (no rows ever read those slots, but the value is still the
+    correct exclusive prefix)."""
+    counts = {r["_b"]: r["_bn"] for r in rows}
+    pfx, acc = [], 0
+    for bid in range(-1, nbuckets):
+        pfx.append(acc)
+        acc += counts.get(bid, 0)
+    return pfx
+
+
+def _prefix_lookup_expr(pfx_list: list[int], b_col) -> Column:
+    """O(1) per-row exclusive-prefix lookup on the dense level-0 array
+    literal (see _dense_prefix_list): element_at is 1-based, bucket ids
+    start at -1, hence the +2."""
+    c = F.col(b_col) if isinstance(b_col, str) else b_col
+    return F.element_at(
+        F.lit(pfx_list).cast("array<long>"), (c + 2).cast("int")
+    )
+
+
 def _image_cols(n_imgs: int) -> list:
     return [f"_m{k}{ab}" for k in range(n_imgs) for ab in ("a", "b")]
 
@@ -416,6 +440,15 @@ def _refine_ungrouped(
         )
         if not hot_ids or _level == max_levels - 1:
             _finalize_stats(call_stats, max_width, stats_out)
+            if _level == 0:
+                # level-0 bucket ids are DENSE (-1..nbuckets-1), so the
+                # exclusive prefix is a plain array literal indexed by
+                # bucket id — an O(1) per-row lookup that removes the
+                # createDataFrame round-trip, the broadcast exchange
+                # and the join from the final plan (guide §2.4: remove
+                # shuffles outright). Refined levels keep the join:
+                # composite ids are sparse.
+                return b, _dense_prefix_list(rows, nbuckets)
             acc = 0
             pfx = []
             for r in sorted(rows, key=lambda r: r["_b"]):
@@ -508,12 +541,165 @@ def parallel_row_number(
     in_bucket = Window.partitionBy(*part, "_b").orderBy(
         value_col, *tiebreaks
     )
-    joined = b.withColumn("_rin", F.row_number().over(in_bucket)).join(
-        F.broadcast(prefix) if not part else prefix, [*part, "_b"]
-    )
+    ranked = b.withColumn("_rin", F.row_number().over(in_bucket))
+    if isinstance(prefix, list):
+        # dense level-0 prefix: pure projection, no broadcast join
+        joined = ranked.withColumn(
+            "_pfx", _prefix_lookup_expr(prefix, "_b")
+        )
+    else:
+        joined = ranked.join(
+            F.broadcast(prefix) if not part else prefix, [*part, "_b"]
+        )
     return joined.withColumn(
         out_col, (F.col("_pfx") + F.col("_rin")).cast("long")
     ).drop(*_HELPER_COLS)
+
+
+def parallel_multi_row_number(
+    df: DataFrame,
+    specs: Sequence[tuple],
+    nbuckets: int = 256,
+    hot_factor: int = 4,
+    split_floor: int = 1_000_000,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Append SEVERAL independent global row numbers in one fused
+    bucket round — ``specs`` is a sequence of
+    ``(value_col, tiebreaks, out_col)`` and each out_col gets exactly
+    the integers ``parallel_row_number(df, value_col, tiebreaks,
+    out_col=out_col)`` would produce (ranks are invariant to the
+    bucket boundaries: any bucketing monotone in the sort key yields
+    the same prefix + in-bucket decomposition).
+
+    Why fused (guide §1.2/§2.4): N chained parallel_row_number calls
+    pay N bounds jobs, N localCheckpoint materializations of the
+    accumulating relation and N bounded stats collects. This operator
+    pays ONE bounds collect (1 row — the bounded-collect discipline),
+    ONE narrow localCheckpoint, and ONE histogram job (explode of the
+    ≤N 8-byte (metric, bucket) pairs per row, map-side combined to
+    ≤ N·(nbuckets+1) rows before the collect). The in-bucket windows
+    are inherently per-metric (different partitionings) and stay N
+    exchanges of the NARROW relation, now all inside one final plan
+    instead of re-materialized by each successor call.
+
+    Ungrouped only. A metric whose level-0 histogram shows a hot
+    bucket (count > max(split_floor, hot_factor·n/nbuckets)) falls
+    back to the proven adaptive-refinement path via a chained
+    parallel_row_number call — skew pays for refinement only where it
+    exists, and the fused fast path stays byte-identical to the
+    one-level plan."""
+    _reject_helper_collisions(df, "parallel_multi_row_number")
+    specs = [
+        (value_col, list(tiebreaks), out_col)
+        for value_col, tiebreaks, out_col in specs
+    ]
+    helper = [f"_mrb{i}" for i in range(len(specs))]
+    clash = sorted(set(df.columns) & set(helper))
+    if clash:
+        raise ValueError(
+            f"parallel_multi_row_number: input columns {clash} collide "
+            "with the fused decomposition's helper names"
+        )
+    out_cols = [s[2] for s in specs]
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(
+            f"parallel_multi_row_number: duplicate out_cols {out_cols}"
+        )
+    # one bounds job for every metric (1 collected row)
+    bounds = df.agg(
+        *[
+            a
+            for i, (vc, _, _) in enumerate(specs)
+            for a in (
+                F.min(F.col(vc).cast("double")).alias(f"_lo{i}"),
+                F.max(F.col(vc).cast("double")).alias(f"_hi{i}"),
+            )
+        ]
+    ).collect()[0]
+    b = df
+    for i, (vc, _, _) in enumerate(specs):
+        lo = bounds[f"_lo{i}"]
+        hi = bounds[f"_hi{i}"]
+        val_d = F.col(vc).cast("double")
+        b = b.withColumn(
+            helper[i],
+            F.when(val_d.isNull(), F.lit(-1))
+            .otherwise(
+                _fixed_width_bucket(
+                    val_d,
+                    F.lit(float(lo) if lo is not None else 0.0),
+                    F.lit(float(hi) if hi is not None else 0.0),
+                    nbuckets,
+                )
+            )
+            .cast("long"),
+        )
+    # the bucketed relation feeds the fused histogram AND every
+    # in-bucket window — materialize once (vs once per metric)
+    b = b.localCheckpoint()
+    hist_rows = (
+        b.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("m"), F.col(h).alias("bk")
+                        )
+                        for i, h in enumerate(helper)
+                    ]
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.m").alias("m"), F.col("p.bk").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # ≤ len(specs)·(nbuckets+1) rows by construction
+    )
+    per_metric: dict[int, dict[int, int]] = {i: {} for i in range(len(specs))}
+    for r in hist_rows:
+        per_metric[r["m"]][r["bk"]] = r["c"]
+    total = sum(per_metric[0].values()) if specs else 0
+    thr = max(float(split_floor), hot_factor * total / float(nbuckets))
+    call_stats: dict = {
+        "fused": len(specs), "nbuckets": nbuckets, "total_rows": total,
+        "per_spec": [],
+    }
+    out = b
+    fallback: list[tuple] = []
+    for i, (vc, tb, oc) in enumerate(specs):
+        counts = per_metric[i]
+        max_width = max(counts.values()) if counts else 0
+        hot = any(c > thr for c in counts.values())
+        call_stats["per_spec"].append(
+            {"out_col": oc, "max_width": max_width, "fallback": hot}
+        )
+        if hot:
+            fallback.append((vc, tb, oc))
+            continue
+        rows = [{"_b": k, "_bn": v} for k, v in counts.items()]
+        pfx = _dense_prefix_list(rows, nbuckets)
+        w = Window.partitionBy(helper[i]).orderBy(vc, *tb)
+        out = out.withColumn(
+            oc,
+            (
+                _prefix_lookup_expr(pfx, helper[i])
+                + F.row_number().over(w)
+            ).cast("long"),
+        )
+    out = out.drop(*helper)
+    for vc, tb, oc in fallback:
+        out = parallel_row_number(
+            out, vc, tb, out_col=oc, nbuckets=nbuckets,
+            hot_factor=hot_factor, split_floor=split_floor,
+        )
+    LAST_SPLIT_STATS.clear()
+    LAST_SPLIT_STATS.update(call_stats)
+    SPLIT_STATS_LOG.append(call_stats)
+    del SPLIT_STATS_LOG[:-_SPLIT_STATS_LOG_MAX]
+    if stats_out is not None:
+        stats_out.clear()
+        stats_out.update(call_stats)
+    return out
 
 
 def parallel_prefix_sum(

@@ -53,7 +53,7 @@ def _dec_sum(col: F.Column, scale: int = 6) -> F.Column:
 
 
 def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.ranks import parallel_row_number
+    from ..operators.ranks import parallel_multi_row_number
 
     o = load_table(spark, sf, "orders").select(
         "o_custkey",
@@ -72,18 +72,34 @@ def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
         F.max("day").alias("r"),
         F.count(F.lit(1)).alias("f"),
         F.sum("price").alias("m"),
-    ).localCheckpoint()  # consumed by 3 rank calls + the count agg
-    ranked = parallel_row_number(rfm, "r", ["o_custkey"], out_col="ri")
-    ranked = parallel_row_number(ranked, "f", ["o_custkey"], out_col="fi")
-    ranked = parallel_row_number(ranked, "m", ["o_custkey"], out_col="mi")
-    tot = ranked.crossJoin(
-        F.broadcast(rfm.agg(F.count(F.lit(1)).alias("n_total")))  # 1 row
+    ).localCheckpoint()  # consumed by the fused rank's bounds + bucket pass
+    # ONE fused bucket round for all three ranks (r15, guide §1.2):
+    # the three chained parallel_row_number calls each paid their own
+    # bounds job, localCheckpoint materialization of the accumulating
+    # relation, stats collect and prefix broadcast join — the fused
+    # operator pays one of each and keeps the three in-bucket windows
+    # (inherently per-metric) inside a single plan. Ranks are
+    # bit-identical (bucketing is monotone per metric; same in-bucket
+    # order), so RFM_SQL's plain-window oracle is unchanged.
+    stats: dict = {}
+    ranked = parallel_multi_row_number(
+        rfm,
+        [
+            ("r", ["o_custkey"], "ri"),
+            ("f", ["o_custkey"], "fi"),
+            ("m", ["o_custkey"], "mi"),
+        ],
+        stats_out=stats,
     )
-    seg = tot.select(
+    # n_total comes free from the fused histogram (an exact integer
+    # from the same bounded collect) — the old 1-row count agg +
+    # crossJoin(broadcast) is dropped.
+    n_total = int(stats["total_rows"])
+    seg = ranked.select(
         "m",
-        F.expr("((ri - 1) * 4) DIV n_total + 1").alias("r_q"),
-        F.expr("((fi - 1) * 4) DIV n_total + 1").alias("f_q"),
-        F.expr("((mi - 1) * 4) DIV n_total + 1").alias("m_q"),
+        F.expr(f"((ri - 1) * 4) DIV {n_total} + 1").alias("r_q"),
+        F.expr(f"((fi - 1) * 4) DIV {n_total} + 1").alias("f_q"),
+        F.expr(f"((mi - 1) * 4) DIV {n_total} + 1").alias("m_q"),
     )
     return (
         seg.groupBy("r_q", "f_q", "m_q")

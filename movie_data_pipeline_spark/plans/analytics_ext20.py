@@ -238,44 +238,51 @@ def rewrite_without_cross_doc_dups(sent: DataFrame) -> DataFrame:
     this doc is the keeper (min doc_id). Returns (doc_id, n_kept,
     n_dropped, rebuilt) — factored from the registry entry so unit
     fixtures can feed crafted sentence sets directly."""
-    # materialized ONCE (r14): the keeper-stats groupBy and the
-    # join-back previously each re-derived the sentence pipeline (two
-    # full corpus string passes). Unlike the stats-only siblings this
-    # frame must carry the sentence TEXT (the rewrite re-emits it), so
-    # the staged payload is corpus-sized — the same bytes the rewrite
-    # output itself moves, and the explicit-materialization trade the
-    # module docstring prescribes over re-derivation.
+    # r15 reshape (guide §8, r14-VERDICT item 4): decide with NARROW
+    # rows, move the text ONCE. The r14 version localCheckpointed the
+    # corpus-sized TEXT frame and its join-back shuffled sentence text
+    # by k — a key unrelated to the final doc_id grouping — so text
+    # crossed two exchanges and sat in executor storage. Now the
+    # staged relation is the 24-byte (doc_id, pos, k) triple (the
+    # sibling stats entries' payload), the keeper decision and the
+    # DROPPED instance set (duplicates only — almost always a small
+    # fraction) are computed entirely on integers, and the text is
+    # re-derived from the docs scan once at emit, crossing exactly one
+    # exchange (the per-doc groupBy the rewrite output needs anyway).
     keyed = sent.select(
-        "doc_id", "pos", "sn", F.xxhash64("sn").alias("k")
+        "doc_id", "pos", F.xxhash64("sn").alias("k")
     ).localCheckpoint()
     stats = keyed.groupBy("k").agg(
         F.countDistinct("doc_id").alias("nd"),
         F.min("doc_id").alias("keeper"),
     )
-    flagged = keyed.join(stats, "k").select(
-        "doc_id",
-        "pos",
-        "sn",
-        ((F.col("nd") < 2) | (F.col("doc_id") == F.col("keeper"))).alias(
-            "keep"
-        ),
+    # only duplicated keys survive (nd >= 2 ⇔ a drop can happen), so
+    # the join-back probe relation is duplicate-sized, not corpus-sized
+    dropped = (
+        keyed.join(stats.filter(F.col("nd") >= 2), "k")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("dp"))
     )
-    # collect_list skips the NULL a non-matching WHEN yields, so only
-    # kept instances enter the array; array_sort on (pos, sn) structs
-    # restores document order (pos is unique per doc).
-    return flagged.groupBy("doc_id").agg(
-        F.sum(F.col("keep").cast("long")).alias("n_kept"),
-        F.sum((~F.col("keep")).cast("long")).alias("n_dropped"),
+    # emit pass: one text derivation, grouped per doc (pos is unique
+    # per doc, so array_sort on (pos, sn) structs restores document
+    # order), then the narrow drop-position sets prune in-row.
+    per_doc = sent.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "sn"))).alias("arr")
+    )
+    joined = per_doc.join(dropped, "doc_id", "left")
+    kept = F.when(F.col("dp").isNull(), F.col("arr")).otherwise(
+        F.filter(
+            F.col("arr"), lambda x: ~F.array_contains(F.col("dp"), x["pos"])
+        )
+    )
+    n_drop = F.coalesce(F.size("dp"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        (F.size("arr") - n_drop).cast("long").alias("n_kept"),
+        n_drop.cast("long").alias("n_dropped"),
         F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("keep"), F.struct("pos", "sn"))
-                    )
-                ),
-                lambda x: x["sn"],
-            ),
-            " ",
+            F.transform(kept, lambda x: x["sn"]), " "
         ).alias("rebuilt"),
     )
 

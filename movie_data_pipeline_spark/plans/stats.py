@@ -527,25 +527,46 @@ FROM hist
 # ---------------------------------------------------------------------------
 
 def winsorized_price_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # r15 (guide §1.2/§2.3): the percentile side and the clip side each
+    # re-scanned the projected fact. One scan now compresses to the
+    # value-histogram relation (flag, price, cnt) — staged once; both
+    # consumers are integer-cheap re-aggregations of it. Exactness:
+    # Spark's percentile() takes a frequency argument and interpolates
+    # over the sorted (value, count) pairs exactly as over repeated
+    # rows, and Σ cast(wp AS DECIMAL)·cnt ≡ the per-row decimal sum
+    # (exact integer multiples of exact decimals), so the oracle
+    # comparison is unchanged. The staged payload is value-bounded
+    # (distinct (flag, price) pairs), never corpus-sized.
     li = load_table(spark, sf, "lineitem").select("l_returnflag", "l_extendedprice")
-    q = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, array(0.01D, 0.99D))").alias("q")
+    pc = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    q = pc.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.01D, 0.99D), cnt)"
+        ).alias("q")
     )
     clipped = (
-        li.join(F.broadcast(q), "l_returnflag")
+        pc.join(F.broadcast(q), "l_returnflag")
         .select(
             "l_returnflag",
             F.greatest(
                 F.col("q")[0], F.least(F.col("q")[1], F.col("l_extendedprice"))
             ).alias("wp"),
+            "cnt",
         )
     )
     return (
         clipped.groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cnt").alias("n_rows"),
             F.round(
-                _dec_sum(F.col("wp"), 6).cast("double") / F.count(F.lit(1)), 4
+                F.sum(F.col("wp").cast("decimal(30,6)") * F.col("cnt"))
+                .cast("double")
+                / F.sum("cnt"),
+                4,
             ).alias("winsor_mean"),
             F.round(F.min("wp"), 4).alias("winsor_min"),
             F.round(F.max("wp"), 4).alias("winsor_max"),

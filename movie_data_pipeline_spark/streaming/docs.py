@@ -45,6 +45,70 @@ def read_docs_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# mtime-keyed index-partition cache (r14 VERDICT item 9). Every
+# micro-batch probe used to re-list and re-read the WHOLE accumulated
+# index parquet — O(index) decode per trigger even though the index is
+# append-only (one new batch_id=N dir per trigger) and every older
+# partition's bytes are unchanged. The cache holds one persisted
+# DataFrame per batch_id partition dir, keyed by the dir's mtime: a
+# trigger re-reads only dirs it has never seen (usually exactly the
+# previous batch's fold) and any dir whose mtime moved (a replay
+# rewrite or a compaction swap — whose whole-root rename also changes
+# the dir set, invalidating everything stale). Streaming-only state:
+# nothing here is reachable from a bench query, and the cached rows
+# are the slim (doc_id, sh, bands) signature relation, never document
+# text. Keyed by applicationId so a new session never sees another
+# session's unpersisted handles.
+# ---------------------------------------------------------------------------
+
+_INDEX_PART_CACHE: dict[tuple[str, str], dict[str, tuple[float, DataFrame]]] = {}
+
+
+def _cached_index_parts(
+    spark: SparkSession, index_path: str, exclude_batch_id: int
+) -> DataFrame | None:
+    """Union of the index's batch_id=* partitions except
+    ``exclude_batch_id``, served from per-partition persisted
+    DataFrames re-read only on mtime change. Returns None when no
+    partition dir exists (caller treats as empty index)."""
+    key = (spark.sparkContext.applicationId, index_path)
+    cache = _INDEX_PART_CACHE.setdefault(key, {})
+    try:
+        dirs = {
+            name: os.stat(os.path.join(index_path, name)).st_mtime
+            for name in os.listdir(index_path)
+            if name.startswith("batch_id=")
+        }
+    except FileNotFoundError:
+        dirs = {}
+    # evict partitions that vanished (compaction swap) or moved
+    for name in list(cache):
+        if name not in dirs or cache[name][0] != dirs[name]:
+            cache.pop(name)[1].unpersist(blocking=False)
+    parts = []
+    for name, mtime in sorted(dirs.items()):
+        if name == f"batch_id={exclude_batch_id}":
+            continue
+        hit = cache.get(name)
+        if hit is None:
+            df = (
+                spark.read.parquet(os.path.join(index_path, name))
+                .select("doc_id", "sh", "bands")
+                .persist()
+            )
+            cache[name] = (mtime, df)
+            parts.append(df)
+        else:
+            parts.append(hit[1])
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def run_streaming_dedup(
     doc_stream: DataFrame,
     index_path: str,
@@ -65,18 +129,21 @@ def run_streaming_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # Replay safety rides on the batch_id partition column the
-        # index layout gives us for free: drop THIS batch's own prior
-        # fold (partition-pruned, so an at-least-once replay sees
-        # exactly the index the original run saw), then anti-join out
-        # the batch's ids — a doc_id is its logical identity, so a
-        # probe must never pair a doc with an index entry carrying the
-        # same id (delta_near_dup_pairs' id-disjointness
-        # precondition). Replay therefore rewrites byte-equivalent
-        # pairs and fold files.
-        prior = spark.read.parquet(index_path).filter(
-            F.col("batch_id") != F.lit(batch_id)
-        )
+        # Replay safety rides on the batch_id partition layout: drop
+        # THIS batch's own prior fold (excluded by dir name, so an
+        # at-least-once replay sees exactly the index the original run
+        # saw), then anti-join out the batch's ids — a doc_id is its
+        # logical identity, so a probe must never pair a doc with an
+        # index entry carrying the same id (delta_near_dup_pairs'
+        # id-disjointness precondition). Replay therefore rewrites
+        # byte-equivalent pairs and fold files. The partitions are
+        # served from the mtime-keyed cache (see _cached_index_parts):
+        # only never-seen or rewritten dirs touch parquet.
+        prior = _cached_index_parts(spark, index_path, batch_id)
+        if prior is None:  # unseeded root: preserve the legacy error
+            prior = spark.read.parquet(index_path).filter(
+                F.col("batch_id") != F.lit(batch_id)
+            ).select("doc_id", "sh", "bands")
         index = (
             prior.select("doc_id", "sh", "bands")
             .join(

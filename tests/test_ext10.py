@@ -435,3 +435,111 @@ def test_split_stats_log_survives_chained_calls(spark):
     assert SPLIT_STATS_LOG[-1]["grouped"] is False
     assert SPLIT_STATS_LOG[-2]["grouped"] is True
     assert SPLIT_STATS_LOG[-2] == first_stats
+
+
+def test_parallel_multi_row_number_matches_sequential(spark):
+    """r15 fused multi-rank: for every spec, the fused operator must
+    produce exactly the ranks the chained single-rank calls produce —
+    over planted heavy ties (the quartile-boundary case rfm_segments
+    cares about) and mixed value types (int / double / decimal)."""
+    import random
+    from decimal import Decimal
+
+    from movie_data_pipeline_spark.operators.ranks import (
+        parallel_multi_row_number,
+    )
+
+    rng = random.Random(15)
+    rows = [
+        (
+            k,
+            rng.randrange(0, 7),            # heavy integer ties
+            float(rng.randrange(0, 5)),     # heavy double ties
+            Decimal(rng.randrange(0, 900)) / 100,
+        )
+        for k in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k long, r int, f double, m decimal(30,2)")
+    specs = [("r", ["k"], "ri"), ("f", ["k"], "fi"), ("m", ["k"], "mi")]
+    stats: dict = {}
+    fused = {
+        r.k: (r.ri, r.fi, r.mi)
+        for r in parallel_multi_row_number(
+            df, specs, nbuckets=16, stats_out=stats
+        ).collect()
+    }
+    seq = df
+    for vc, tb, oc in specs:
+        seq = parallel_row_number(seq, vc, tb, out_col=oc, nbuckets=16)
+    want = {r.k: (r.ri, r.fi, r.mi) for r in seq.collect()}
+    assert fused == want
+    # and against the plain python sort (ground truth)
+    for ci, col in [(1, "r"), (2, "f"), (3, "m")]:
+        gt = {
+            k: i
+            for i, (k, *_vals) in enumerate(
+                sorted(rows, key=lambda t: (t[ci], t[0])), start=1
+            )
+        }
+        got = {k: v[ci - 1] for k, v in fused.items()}
+        assert got == gt, col
+    assert stats["total_rows"] == 400
+    assert all(not s["fallback"] for s in stats["per_spec"])
+
+
+def test_parallel_multi_row_number_hot_fallback(spark):
+    """A metric whose histogram flags a hot bucket (single-spike
+    distribution, split_floor=1) must fall back to the adaptive
+    single-rank path and still produce exact ranks; the well-spread
+    metric stays on the fused fast path."""
+    from movie_data_pipeline_spark.operators.ranks import (
+        parallel_multi_row_number,
+    )
+
+    rows = [(k, 1, k % 13) for k in range(120)]  # v constant = one hot bucket
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    stats: dict = {}
+    out = {
+        r.k: (r.vi, r.wi)
+        for r in parallel_multi_row_number(
+            df,
+            [("v", ["k"], "vi"), ("w", ["k"], "wi")],
+            nbuckets=8,
+            split_floor=1,
+            stats_out=stats,
+        ).collect()
+    }
+    by_spec = {s["out_col"]: s for s in stats["per_spec"]}
+    assert by_spec["vi"]["fallback"] is True
+    assert by_spec["wi"]["fallback"] is False
+    want_v = {
+        k: i
+        for i, (k, _v, _w) in enumerate(
+            sorted(rows, key=lambda t: (t[1], t[0])), start=1
+        )
+    }
+    want_w = {
+        k: i
+        for i, (k, _v, _w) in enumerate(
+            sorted(rows, key=lambda t: (t[2], t[0])), start=1
+        )
+    }
+    assert {k: v[0] for k, v in out.items()} == want_v
+    assert {k: v[1] for k, v in out.items()} == want_w
+
+
+def test_parallel_multi_row_number_rejects_bad_specs(spark):
+    import pytest
+
+    from movie_data_pipeline_spark.operators.ranks import (
+        parallel_multi_row_number,
+    )
+
+    df = spark.createDataFrame([(1, 2)], ["k", "v"])
+    with pytest.raises(ValueError, match="duplicate out_cols"):
+        parallel_multi_row_number(
+            df, [("v", ["k"], "i"), ("k", ["v"], "i")]
+        )
+    clash = spark.createDataFrame([(1, 2)], ["_mrb0", "v"])
+    with pytest.raises(ValueError, match="collide"):
+        parallel_multi_row_number(clash, [("v", ["_mrb0"], "i")])

@@ -1685,3 +1685,68 @@ def test_streaming_cms_stream_equals_batch(spark, tmp_path):
             width=W * 2,
             depth=D,
         )
+
+
+def test_cached_index_parts_mtime_keyed(spark, tmp_path):
+    """r15: the per-partition index cache must (a) serve unchanged
+    dirs from the SAME persisted DataFrame (no re-read), (b) re-read a
+    dir whose mtime moved (replay rewrite), (c) evict dirs that
+    vanished (compaction swap), and (d) always equal the plain
+    root-read with the batch_id filter."""
+    import os
+    import shutil
+
+    from movie_data_pipeline_spark.operators.dedup import minhash_index
+    from movie_data_pipeline_spark.streaming import docs as SD
+
+    root = str(tmp_path / "index")
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = spark.createDataFrame([(1, t)], ["doc_id", "text"])
+    d2 = spark.createDataFrame([(2, t)], ["doc_id", "text"])
+    d3 = spark.createDataFrame([(3, t)], ["doc_id", "text"])
+    minhash_index(d1).write.parquet(root + "/batch_id=-1")
+    minhash_index(d2).write.parquet(root + "/batch_id=0")
+
+    def ids(df):
+        return sorted(r.doc_id for r in df.select("doc_id").collect())
+
+    got = SD._cached_index_parts(spark, root, exclude_batch_id=99)
+    assert ids(got) == [1, 2]
+    key = (spark.sparkContext.applicationId, root)
+    cache = SD._INDEX_PART_CACHE[key]
+    handles = {n: id(df) for n, (_, df) in cache.items()}
+    assert set(handles) == {"batch_id=-1", "batch_id=0"}
+
+    # (a) unchanged dirs: same persisted handles, no re-read
+    got2 = SD._cached_index_parts(spark, root, exclude_batch_id=99)
+    assert ids(got2) == [1, 2]
+    assert {n: id(df) for n, (_, df) in cache.items()} == handles
+
+    # exclusion by dir name (the probe's replay guard)
+    assert ids(SD._cached_index_parts(spark, root, exclude_batch_id=0)) == [1]
+
+    # (b) mtime moved (at-least-once replay rewrote the fold): re-read
+    shutil.rmtree(root + "/batch_id=0")
+    minhash_index(d3.withColumn("doc_id", F.lit(2) * 0 + 3)).write.parquet(
+        root + "/batch_id=0"
+    )
+    os.utime(root + "/batch_id=0")
+    got3 = SD._cached_index_parts(spark, root, exclude_batch_id=99)
+    assert ids(got3) == [1, 3]
+    assert id(cache["batch_id=0"][1]) != handles["batch_id=0"]
+    assert id(cache["batch_id=-1"][1]) == handles["batch_id=-1"]
+
+    # (c) vanished dir (compaction swap): evicted
+    shutil.rmtree(root + "/batch_id=-1")
+    got4 = SD._cached_index_parts(spark, root, exclude_batch_id=99)
+    assert ids(got4) == [3]
+    assert set(cache) == {"batch_id=0"}
+
+    # (d) equals the plain root read
+    plain = spark.read.parquet(root).select("doc_id", "sh", "bands")
+    assert ids(got4) == sorted(r.doc_id for r in plain.collect())
+
+    # empty / missing root: None
+    assert SD._cached_index_parts(
+        spark, str(tmp_path / "nope"), exclude_batch_id=0
+    ) is None

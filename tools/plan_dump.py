@@ -29,7 +29,7 @@ def main() -> None:
     if names and names[0] == "--file":
         names = Path(names[1]).read_text().split()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = REPO / "plans" / "r14"
+    out_dir = REPO / "plans" / os.environ.get("PLAN_DUMP_ROUND", "r15")
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("plan_dump")
     for name in names:
@@ -40,7 +40,8 @@ def main() -> None:
         )
         (out_dir / f"{name}_{tag}.txt").write_text(plan)
         clear_state(spark)
-        print(f"wrote plans/r14/{name}_{tag}.txt ({len(plan)} chars)")
+        print(f"wrote {out_dir.relative_to(REPO)}/{name}_{tag}.txt"
+              f" ({len(plan)} chars)")
 
 
 if __name__ == "__main__":
