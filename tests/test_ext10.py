@@ -543,3 +543,71 @@ def test_parallel_multi_row_number_rejects_bad_specs(spark):
     clash = spark.createDataFrame([(1, 2)], ["_mrb0", "v"])
     with pytest.raises(ValueError, match="collide"):
         parallel_multi_row_number(clash, [("v", ["_mrb0"], "i")])
+
+
+def test_phrase_regexp_count_equals_array_form(spark):
+    """r15: phrase_match_counts' regexp_count formulation must count
+    exactly what the array formulation counted — whole-token matches
+    of adjacent (w1, w2) over the bpe_ish token stream — across
+    apostrophe/punctuation/boundary cases, and additionally survive
+    the < 2-token documents that crash the array form under ANSI
+    (sequence(1, size-1) descends into a negative index)."""
+    from movie_data_pipeline_spark.functions.text import bpe_ish_tokens
+
+    w1, w2 = "table", "scan"
+    pat = rf"(?<![\w']){w1}[^\w']+{w2}(?![\w'])"
+    rows = [
+        (1, "table scan", 1), (2, "table  scan", 1), (3, "table-scan", 1),
+        (5, "xtable scan", 0), (6, "table scanx", 0),
+        (7, "table scan table scan", 2), (8, "table table scan scan", 1),
+        (9, "TABLE SCAN", 1), (10, "table\nscan", 1),
+        (11, "table scan scan table scan", 2),
+        (12, "'table scan'", 0), (13, "table' scan", 0),
+        (14, "a table scan, table scan; table scan.", 3),
+        (17, "scan table", 0), (18, "tabletable scan", 0),
+        (19, "table scantable", 0), (20, "don't table scan don't", 1),
+        (21, "table, scan", 1), (22, "table 9 scan", 0),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    ).coalesce(1)
+    new = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id",
+            F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+            .cast("int")
+            .alias("n"),
+        ).collect()
+    }
+    assert new == {i: n for i, _, n in rows}
+    old = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", bpe_ish_tokens(F.col("text")).alias("t")
+        ).select(
+            "doc_id",
+            F.size(
+                F.expr(
+                    f"filter(sequence(1, size(t) - 1),"
+                    f" i -> t[i - 1] = '{w1}' AND t[i] = '{w2}')"
+                )
+            ).cast("int").alias("n"),
+        ).collect()
+    }
+    assert old == new
+    # robustness: the regex form handles degenerate docs the array
+    # form cannot evaluate
+    degen = spark.createDataFrame(
+        [(30, ""), (31, "table"), (32, "table'scan")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.n
+        for r in degen.select(
+            "doc_id",
+            F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+            .cast("int")
+            .alias("n"),
+        ).collect()
+    }
+    assert got == {30: 0, 31: 0, 32: 0}

@@ -589,6 +589,37 @@ def _affinity_fused(spark, sf):
     ).limit(_AFFINITY_K)
 
 
+def _phrase_old(spark, sf):
+    from movie_data_pipeline_spark.functions.text import bpe_ish_tokens
+    from movie_data_pipeline_spark.plans.analytics_ext10 import (
+        _PHRASE,
+        _PHRASE_K,
+    )
+    from movie_data_pipeline_spark.sources.catalog import load_table
+
+    w1, w2 = _PHRASE
+    docs = load_table(spark, sf, "documents")
+    counted = docs.select(
+        "doc_id",
+        bpe_ish_tokens(F.col("text")).alias("t"),
+    ).select(
+        "doc_id",
+        F.size(
+            F.expr(
+                f"filter(sequence(1, size(t) - 1),"
+                f" i -> t[i - 1] = '{w1}' AND t[i] = '{w2}')"
+            )
+        )
+        .cast("int")
+        .alias("n_matches"),
+    )
+    return (
+        counted.filter(F.col("n_matches") > 0)
+        .orderBy(F.desc("n_matches"), F.asc("doc_id"))
+        .limit(_PHRASE_K)
+    )
+
+
 def _pairs(name):
     from movie_data_pipeline_spark.plans.analytics import QUERIES
 
@@ -601,12 +632,14 @@ def _pairs(name):
         "affinity": "part_affinity_cosine",
         "affinity_fused": "part_affinity_cosine",
         "rewrite2": "drop_dup_sentences_docs",
+        "phrase": "phrase_match_counts",
     }
     olds = {
         "rfm": _rfm_old,
         "decile": _decile_old,
         "winsor": _winsor_old,
         "rewrite": _rewrite_old,
+        "phrase": _phrase_old,
         # prototype pairs: the SHIPPED module code is the "old" side
         "charlm": QUERIES[registry["charlm"]][0],
         "affinity": QUERIES[registry["affinity"]][0],
