@@ -181,6 +181,29 @@ def _fixed_width_bucket(
     )
 
 
+def _level0_bucket(
+    val_d: Column, lo: Column, hi: Column, nbuckets: int
+) -> Column:
+    """THE level-0 bucket id: NULL order keys to the dedicated -1
+    bucket (matching the in-bucket sort's NULLS FIRST), else
+    fixed-width on [lo, hi]. Shared by the single-rank and fused
+    operators so their bucketing can never diverge."""
+    return (
+        F.when(val_d.isNull(), F.lit(-1))
+        .otherwise(_fixed_width_bucket(val_d, lo, hi, nbuckets))
+        .cast("long")
+    )
+
+
+def _hot_threshold(
+    total, nbuckets: int, hot_factor: int, split_floor: int
+) -> float:
+    """Driver-side hot-bucket threshold — the same formula the grouped
+    dataflow path expresses as a Column (single definition for every
+    driver-stats consumer)."""
+    return max(float(split_floor), hot_factor * total / float(nbuckets))
+
+
 def _adaptive_buckets(
     df: DataFrame,
     order_col: str,
@@ -242,12 +265,7 @@ def _adaptive_buckets(
         b = df.crossJoin(F.broadcast(bounds))  # 1-row side
     val_d = F.col(order_col).cast("double")
     b = b.withColumn(
-        "_b",
-        F.when(val_d.isNull(), F.lit(-1))
-        .otherwise(
-            _fixed_width_bucket(val_d, F.col("_s0"), F.col("_s1"), nbuckets)
-        )
-        .cast("long"),
+        "_b", _level0_bucket(val_d, F.col("_s0"), F.col("_s1"), nbuckets)
     ).drop("_s0", "_s1")
     # the bucketed relation feeds BOTH the in-bucket windows and the
     # prefix aggregate — cut lineage so the upstream (scans, joins,
@@ -432,7 +450,7 @@ def _refine_ungrouped(
             .collect()  # bounded by construction, never by the data
         )
         total = sum(r["_bn"] for r in rows)
-        thr = max(float(split_floor), hot_factor * total / float(nbuckets))
+        thr = _hot_threshold(total, nbuckets, hot_factor, split_floor)
         hot_ids = {r["_b"] for r in rows if r["_bn"] > thr}
         max_width = max(r["_bn"] for r in rows) if rows else 0
         split_log.append(
@@ -621,19 +639,14 @@ def parallel_multi_row_number(
     for i, (vc, _, _) in enumerate(specs):
         lo = bounds[f"_lo{i}"]
         hi = bounds[f"_hi{i}"]
-        val_d = F.col(vc).cast("double")
         b = b.withColumn(
             helper[i],
-            F.when(val_d.isNull(), F.lit(-1))
-            .otherwise(
-                _fixed_width_bucket(
-                    val_d,
-                    F.lit(float(lo) if lo is not None else 0.0),
-                    F.lit(float(hi) if hi is not None else 0.0),
-                    nbuckets,
-                )
-            )
-            .cast("long"),
+            _level0_bucket(
+                F.col(vc).cast("double"),
+                F.lit(float(lo) if lo is not None else 0.0),
+                F.lit(float(hi) if hi is not None else 0.0),
+                nbuckets,
+            ),
         )
     # the bucketed relation feeds the fused histogram AND every
     # in-bucket window — materialize once (vs once per metric)
@@ -659,7 +672,7 @@ def parallel_multi_row_number(
     for r in hist_rows:
         per_metric[r["m"]][r["bk"]] = r["c"]
     total = sum(per_metric[0].values()) if specs else 0
-    thr = max(float(split_floor), hot_factor * total / float(nbuckets))
+    thr = _hot_threshold(total, nbuckets, hot_factor, split_floor)
     call_stats: dict = {
         "fused": len(specs), "nbuckets": nbuckets, "total_rows": total,
         "per_spec": [],
@@ -687,11 +700,10 @@ def parallel_multi_row_number(
             ).cast("long"),
         )
     out = out.drop(*helper)
-    for vc, tb, oc in fallback:
-        out = parallel_row_number(
-            out, vc, tb, out_col=oc, nbuckets=nbuckets,
-            hot_factor=hot_factor, split_floor=split_floor,
-        )
+    # record the fused call's stats BEFORE chaining the hot-metric
+    # fallbacks, so the log order is chronological (parent first, each
+    # fallback child after) and LAST_SPLIT_STATS keeps its "most
+    # recent rank call" contract when a fallback runs
     LAST_SPLIT_STATS.clear()
     LAST_SPLIT_STATS.update(call_stats)
     SPLIT_STATS_LOG.append(call_stats)
@@ -699,6 +711,11 @@ def parallel_multi_row_number(
     if stats_out is not None:
         stats_out.clear()
         stats_out.update(call_stats)
+    for vc, tb, oc in fallback:
+        out = parallel_row_number(
+            out, vc, tb, out_col=oc, nbuckets=nbuckets,
+            hot_factor=hot_factor, split_floor=split_floor,
+        )
     return out
 
 

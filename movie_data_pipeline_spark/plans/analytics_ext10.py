@@ -177,10 +177,18 @@ _PHRASE_K = 25
 
 def phrase_match_counts(spark: SparkSession, sf: str) -> DataFrame:
     w1, w2 = _PHRASE
-    assert w1 != w2 and w1.isalnum() and w2.isalnum(), (
-        "phrase words must be distinct regex-literal tokens for the "
-        "regexp_count formulation's equivalence proof"
-    )
+    # real raise, not assert (assert strips under -O); isascii matters
+    # because Java regex \w is ASCII-only while str.isalnum is Unicode
+    # — a non-ASCII word char would be a SEPARATOR to the tokenizer
+    # but a literal to the regex, breaking the equivalence proof
+    if not (
+        w1 != w2
+        and all(w.isascii() and w.isalnum() for w in (w1, w2))
+    ):
+        raise ValueError(
+            "phrase words must be distinct ASCII-alphanumeric tokens "
+            "for the regexp_count formulation's equivalence proof"
+        )
     pat = rf"(?<![\w']){w1}[^\w']+{w2}(?![\w'])"
     docs = load_table(spark, sf, "documents")
     counted = docs.select(

@@ -46,23 +46,41 @@ def read_docs_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mtime-keyed index-partition cache (r14 VERDICT item 9). Every
+# Signature-keyed index-partition cache (r14 VERDICT item 9). Every
 # micro-batch probe used to re-list and re-read the WHOLE accumulated
 # index parquet — O(index) decode per trigger even though the index is
 # append-only (one new batch_id=N dir per trigger) and every older
 # partition's bytes are unchanged. The cache holds one persisted
-# DataFrame per batch_id partition dir, keyed by the dir's mtime: a
-# trigger re-reads only dirs it has never seen (usually exactly the
-# previous batch's fold) and any dir whose mtime moved (a replay
-# rewrite or a compaction swap — whose whole-root rename also changes
-# the dir set, invalidating everything stale). Streaming-only state:
+# DataFrame per batch_id partition dir, keyed by the dir's
+# (st_mtime_ns, file-name set) signature: a trigger re-reads only dirs
+# it has never seen (usually exactly the previous batch's fold) and
+# any dir whose signature moved (a replay rewrite or a compaction
+# swap — whose whole-root rename also changes the dir set,
+# invalidating everything stale; the file-name set catches a rewrite
+# that lands inside one mtime tick on coarse-granularity
+# filesystems). BOUNDED: past _INDEX_CACHE_MAX_DIRS partition dirs the
+# cache disables itself for that root (everything unpersisted, plain
+# whole-root read) — the measured crossover (see
+# plans/r15/streaming_probe_latency.json) is that a union of many tiny
+# cached partitions schedules more tasks than the packed root scan,
+# and production pairs this stream with the index COMPACTION that
+# keeps the dir count far below the bound. Streaming-only state:
 # nothing here is reachable from a bench query, and the cached rows
 # are the slim (doc_id, sh, bands) signature relation, never document
 # text. Keyed by applicationId so a new session never sees another
-# session's unpersisted handles.
+# session's unpersisted handles; foreign-app entries are purged on
+# access.
 # ---------------------------------------------------------------------------
 
-_INDEX_PART_CACHE: dict[tuple[str, str], dict[str, tuple[float, DataFrame]]] = {}
+_INDEX_PART_CACHE: dict[tuple[str, str], dict[str, tuple[tuple, DataFrame]]] = {}
+_INDEX_CACHE_MAX_DIRS = 16
+
+
+def _dir_signature(path: str) -> tuple:
+    """(st_mtime_ns, sorted file names) — the staleness key. The file
+    set disambiguates rewrites that land within one mtime tick."""
+    st = os.stat(path)
+    return (st.st_mtime_ns, tuple(sorted(os.listdir(path))))
 
 
 def _cached_index_parts(
@@ -70,24 +88,36 @@ def _cached_index_parts(
 ) -> DataFrame | None:
     """Union of the index's batch_id=* partitions except
     ``exclude_batch_id``, served from per-partition persisted
-    DataFrames re-read only on mtime change. Returns None when no
-    partition dir exists (caller treats as empty index)."""
-    key = (spark.sparkContext.applicationId, index_path)
+    DataFrames re-read only on signature change. Returns None when no
+    partition dir exists (caller treats as empty index) OR when the
+    dir count exceeds the cache bound (caller falls back to the plain
+    root read)."""
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _INDEX_PART_CACHE if k[0] != app_id]:
+        _INDEX_PART_CACHE.pop(k)  # dead-session handles: just drop
+    key = (app_id, index_path)
     cache = _INDEX_PART_CACHE.setdefault(key, {})
     try:
         dirs = {
-            name: os.stat(os.path.join(index_path, name)).st_mtime
+            name: _dir_signature(os.path.join(index_path, name))
             for name in os.listdir(index_path)
             if name.startswith("batch_id=")
         }
     except FileNotFoundError:
         dirs = {}
+    if not dirs or len(dirs) > _INDEX_CACHE_MAX_DIRS:
+        # beyond the bound the packed root scan wins (measured) and
+        # pinned-storage growth must stop — drop everything
+        for name in list(cache):
+            cache.pop(name)[1].unpersist(blocking=False)
+        _INDEX_PART_CACHE.pop(key, None)
+        return None
     # evict partitions that vanished (compaction swap) or moved
     for name in list(cache):
         if name not in dirs or cache[name][0] != dirs[name]:
             cache.pop(name)[1].unpersist(blocking=False)
     parts = []
-    for name, mtime in sorted(dirs.items()):
+    for name, sig in sorted(dirs.items()):
         if name == f"batch_id={exclude_batch_id}":
             continue
         hit = cache.get(name)
@@ -97,7 +127,7 @@ def _cached_index_parts(
                 .select("doc_id", "sh", "bands")
                 .persist()
             )
-            cache[name] = (mtime, df)
+            cache[name] = (sig, df)
             parts.append(df)
         else:
             parts.append(hit[1])
@@ -140,7 +170,10 @@ def run_streaming_dedup(
         # served from the mtime-keyed cache (see _cached_index_parts):
         # only never-seen or rewritten dirs touch parquet.
         prior = _cached_index_parts(spark, index_path, batch_id)
-        if prior is None:  # unseeded root: preserve the legacy error
+        if prior is None:
+            # either an unseeded root (preserve the legacy error) or
+            # more dirs than the cache bound (the packed root scan is
+            # the faster plan there — measured crossover)
             prior = spark.read.parquet(index_path).filter(
                 F.col("batch_id") != F.lit(batch_id)
             ).select("doc_id", "sh", "bands")

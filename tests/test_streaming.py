@@ -1750,3 +1750,31 @@ def test_cached_index_parts_mtime_keyed(spark, tmp_path):
     assert SD._cached_index_parts(
         spark, str(tmp_path / "nope"), exclude_batch_id=0
     ) is None
+
+
+def test_cached_index_parts_bound_disables_cache(spark, tmp_path):
+    """r15 review fix: past _INDEX_CACHE_MAX_DIRS partition dirs the
+    cache disables itself (returns None, unpersists everything) — the
+    measured crossover where a union of many tiny cached partitions
+    loses to the packed whole-root scan, and the cap on pinned
+    executor storage."""
+    from movie_data_pipeline_spark.operators.dedup import minhash_index
+    from movie_data_pipeline_spark.streaming import docs as SD
+
+    root = str(tmp_path / "index")
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    n = SD._INDEX_CACHE_MAX_DIRS
+    for i in range(n):
+        minhash_index(
+            spark.createDataFrame([(i, t)], ["doc_id", "text"])
+        ).write.parquet(root + f"/batch_id={i}")
+    got = SD._cached_index_parts(spark, root, exclude_batch_id=999)
+    assert got is not None and got.count() == n
+    key = (spark.sparkContext.applicationId, root)
+    assert len(SD._INDEX_PART_CACHE[key]) == n
+    # one dir past the bound: cache drops out entirely
+    minhash_index(
+        spark.createDataFrame([(n, t)], ["doc_id", "text"])
+    ).write.parquet(root + f"/batch_id={n}")
+    assert SD._cached_index_parts(spark, root, exclude_batch_id=999) is None
+    assert key not in SD._INDEX_PART_CACHE
