@@ -528,6 +528,21 @@ def part_affinity_frame(
     )
     co = (
         baskets.select(F.explode(pair_expr).alias("pk"))
+        # r15 (guide §1.1 measured, §2.2): the pair keys are ~97%
+        # UNIQUE (12.34M distinct of 12.73M at sf0.1 — co >= 2 is the
+        # rare case by construction), so the default partial+final
+        # aggregate built two rounds of ~12M-entry hash tables to
+        # remove 3% of the shuffle rows. Repartitioning by the key
+        # FIRST moves the exchange below the aggregate (the planner
+        # reuses the partitioning; net exchange count unchanged) and
+        # ships the raw 8-byte longs instead: measured 7.7-8.1 s ->
+        # 5.8-5.9 s for the explode+count subplan, interleaved, and
+        # identical counts (placement-only change). Data-dependent
+        # trade, documented: a corpus whose pairs repeat heavily
+        # (multiplicity >> 1) would prefer the map-side-combine shape
+        # this replaces; the basket cap keeps multiplicity near 1
+        # (mean 1.03 measured) at every shipped SF.
+        .repartition("pk")
         .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= _AFFINITY_MIN_CO)

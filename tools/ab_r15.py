@@ -620,6 +620,70 @@ def _phrase_old(spark, sf):
     )
 
 
+def _affinity_noreparition_old(spark, sf):
+    """part_affinity_cosine as shipped before r15's repartition-by-pk
+    change: default partial+final aggregate over the exploded pairs."""
+    from movie_data_pipeline_spark.plans.analytics_ext7 import (
+        _AFFINITY_K,
+        _AFFINITY_MAX_BASKET,
+        _AFFINITY_MIN_CO,
+    )
+    from movie_data_pipeline_spark.sources.catalog import load_table
+
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    baskets = cp.groupBy("cust").agg(
+        F.sort_array(F.collect_set("part")).alias("ps")
+    )
+    m = int(_AFFINITY_MAX_BASKET)
+    baskets = baskets.select(
+        "cust",
+        F.expr(
+            "CASE WHEN size(ps) <= "
+            f"{m} THEN ps ELSE array_sort(transform(slice(array_sort("
+            "transform(ps, p -> struct(md5(concat(cast(cust AS string),"
+            " ':', cast(p AS string))) AS h, p AS p))), 1, "
+            f"{m}), s -> s.p)) END"
+        ).alias("ps"),
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)), y ->"
+        " x * 4294967296L + y)))"
+    )
+    co = (
+        baskets.select(F.explode(pair_expr).alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= _AFFINITY_MIN_CO)
+        .select(
+            F.expr("pk DIV 4294967296L").alias("p1"),
+            F.expr("pk % 4294967296L").alias("p2"),
+            "co",
+        )
+    )
+    deg = cp.groupBy("part").agg(F.count(F.lit(1)).alias("d"))
+    scored = (
+        co.join(deg.select(F.col("part").alias("p1"), F.col("d").alias("d1")), "p1")
+        .join(deg.select(F.col("part").alias("p2"), F.col("d").alias("d2")), "p2")
+        .select(
+            "p1", "p2", F.col("co").cast("long").alias("co"),
+            F.round(
+                F.col("co") / F.sqrt((F.col("d1") * F.col("d2")).cast("double")), 6
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("p1"), F.asc("p2")).limit(_AFFINITY_K)
+
+
 def _pairs(name):
     from movie_data_pipeline_spark.plans.analytics import QUERIES
 
@@ -633,6 +697,7 @@ def _pairs(name):
         "affinity_fused": "part_affinity_cosine",
         "rewrite2": "drop_dup_sentences_docs",
         "phrase": "phrase_match_counts",
+        "affinity_repart": "part_affinity_cosine",
     }
     olds = {
         "rfm": _rfm_old,
@@ -640,6 +705,7 @@ def _pairs(name):
         "winsor": _winsor_old,
         "rewrite": _rewrite_old,
         "phrase": _phrase_old,
+        "affinity_repart": _affinity_noreparition_old,
         # prototype pairs: the SHIPPED module code is the "old" side
         "charlm": QUERIES[registry["charlm"]][0],
         "affinity": QUERIES[registry["affinity"]][0],
